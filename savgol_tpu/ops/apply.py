@@ -1,0 +1,229 @@
+"""1D Savitzky-Golay application — XLA-native, jit/vmap/grad/shard-friendly.
+
+Semantics match the reference exactly (region layout
+/root/reference/src/savgolFilter.c:743-804):
+
+  * center region (output j in [n, N-n)): correlation with the centered
+    stencil;
+  * POLYNOMIAL boundary: the n leading outputs come from the edge-weight
+    matrix applied to the *reversed* first window, the n trailing outputs
+    from the same rows applied forward to the last window
+    (src/savgolFilter.c:769-784 — mirror symmetry lets one n x (2n+1)
+    matrix serve both ends);
+  * REFLECT / PERIODIC / CONSTANT boundaries: virtual samples
+    (src/savgolFilter.c:442-482) — expressed here as one jnp.pad
+    (symmetric / wrap / edge) followed by a full valid correlation, which is
+    equivalent in exact arithmetic to the reference's per-tap indexing;
+  * derivative outputs scaled by 1 / time_step**derivative
+    (src/savgolFilter.c:759).
+
+Intentional divergences from the C (documented per SURVEY.md §7):
+
+  * **Leading-edge odd-derivative sign.** The reference convolves the
+    leading edge against *reversed* data with the trailing-edge weight rows
+    (src/savgolFilter.c:773-777). Reversal negates odd derivatives, so the C
+    emits ``-p'(x)`` for the first n samples when ``derivative`` is odd
+    (verified against the compiled reference: d=1 on y=3x gives -3 for
+    out[0..n-1]). MATLAB sgolayfilt / scipy mode='interp' return +3. The
+    default here is the mathematically correct sign (leading outputs are
+    multiplied by ``(-1)**derivative``); pass ``reference_edge_sign=True``
+    to reproduce the C bit-for-bit. Even derivatives are unaffected.
+  * **In-place aliasing.** JAX arrays are immutable, so ``output is input``
+    aliasing cannot read half-filtered values — the reference's in-place
+    center pass does (src/savgolFilter.c:763-766).
+  * **Strided access.** ``savgol_apply_strided`` (byte strides into struct
+    arrays, src/savgolFilter.c:877-934) is a memory-layout feature with no
+    JAX meaning; the idiomatic equivalent is the ``axis=`` argument —
+    filtering any axis of an ND array with all other axes batched.
+
+Precision: on TPU, XLA lowers f32 convolutions/matmuls to bf16 MXU passes by
+default (~1e-3 relative error). Every contraction here defaults to
+``lax.Precision.HIGHEST`` so f32 results hold the <=1e-6 parity target; pass
+``precision=lax.Precision.DEFAULT`` to trade accuracy for MXU throughput.
+The Pallas fast path (savgol_tpu.ops.pallas_conv) instead computes on the
+VPU in true f32 and is both exact and fast.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from savgol_tpu.config import BoundaryMode
+
+__all__ = [
+    "correlate_valid",
+    "savgol_apply_core",
+    "savgol_apply",
+    "savgol_apply_valid",
+]
+
+_PAD_MODE = {
+    BoundaryMode.REFLECT: "symmetric",   # edge sample duplicated — see header
+    BoundaryMode.PERIODIC: "wrap",
+    BoundaryMode.CONSTANT: "edge",
+}
+
+
+def _ensure_float(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Promote integer/bool inputs to the weights' floating dtype.
+
+    Casting f32 weights *down* to an int input dtype would truncate them to
+    zero and silently return garbage."""
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        return x.astype(w.dtype)
+    return x
+
+
+def correlate_valid(x: jax.Array, w: jax.Array,
+                    precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Valid cross-correlation along the last axis.
+
+    ``out[..., j] = sum_k w[k] * x[..., j + k]`` — the center-region sum of
+    the reference (src/savgolFilter.c:418). ``x`` has shape (..., N); the
+    output has shape (..., N - len(w) + 1).
+    """
+    ws = w.shape[-1]
+    batch_shape = x.shape[:-1]
+    n_in = x.shape[-1]
+    xb = x.reshape((-1, 1, n_in))
+    out = lax.conv_general_dilated(
+        xb,
+        w.reshape((1, 1, ws)).astype(x.dtype),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )
+    return out.reshape(batch_shape + (n_in - ws + 1,))
+
+
+def _move_axis_last(x, axis):
+    axis = axis % x.ndim
+    if axis == x.ndim - 1:
+        return x, None
+    return jnp.moveaxis(x, axis, -1), axis
+
+
+def _restore_axis(y, axis):
+    if axis is None:
+        return y
+    return jnp.moveaxis(y, -1, axis)
+
+
+def savgol_apply_core(
+    x: jax.Array,
+    center_w: jax.Array,
+    edge_w: Optional[jax.Array],
+    half_window: int,
+    boundary: BoundaryMode,
+    dt_inv: float | jax.Array = 1.0,
+    *,
+    derivative: int = 0,
+    reference_edge_sign: bool = False,
+    use_pallas: bool = False,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Filter the last axis of ``x``; same-length output.
+
+    ``center_w``: (2n+1,) stencil; ``edge_w``: (n, 2n+1) edge rows (required
+    for POLYNOMIAL boundary, ignored otherwise). ``half_window`` and
+    ``derivative`` must be Python ints (static). Fully differentiable and
+    vmappable.
+    """
+    n = int(half_window)
+    ws = 2 * n + 1
+    N = x.shape[-1]
+    if N < ws:
+        raise ValueError(
+            f"data length ({N}) must be >= window size ({ws})")
+    x = _ensure_float(x, center_w)
+    lead_sign = 1.0
+    if not reference_edge_sign and (int(derivative) % 2 == 1):
+        lead_sign = -1.0
+
+    if boundary is BoundaryMode.POLYNOMIAL:
+        if use_pallas:
+            from savgol_tpu.ops import pallas_conv
+            return pallas_conv.savgol_polynomial_pallas(
+                x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign)
+        center = correlate_valid(x, center_w, precision)   # (..., N - 2n)
+        ew = edge_w.astype(x.dtype)
+        # Leading: out[e] = sum_k ew[e, k] * x[ws-1-k]  (reversed window)
+        first = x[..., :ws][..., ::-1]
+        lead = jnp.einsum("ek,...k->...e", ew, first,
+                          precision=precision) * lead_sign
+        # Trailing: out[N-1-e] = sum_k ew[e, k] * x[N-ws+k]  (forward)
+        last = x[..., N - ws:]
+        trail = jnp.einsum("ek,...k->...e", ew, last,
+                           precision=precision)[..., ::-1]
+        y = jnp.concatenate([lead, center, trail], axis=-1)
+    else:
+        mode = _PAD_MODE[boundary]
+        pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
+        xp = jnp.pad(x, pad, mode=mode)
+        if use_pallas:
+            from savgol_tpu.ops import pallas_conv
+            y = pallas_conv.correlate_valid_pallas(xp, center_w)
+        else:
+            y = correlate_valid(xp, center_w, precision)
+    return y * jnp.asarray(dt_inv, dtype=x.dtype)
+
+
+def savgol_apply(
+    x: jax.Array,
+    center_w: jax.Array,
+    edge_w: Optional[jax.Array] = None,
+    *,
+    half_window: int,
+    boundary: BoundaryMode = BoundaryMode.POLYNOMIAL,
+    dt_inv: float | jax.Array = 1.0,
+    derivative: int = 0,
+    reference_edge_sign: bool = False,
+    axis: int = -1,
+    use_pallas: bool = False,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Apply a precomputed Savitzky-Golay filter along ``axis`` of ``x``.
+
+    Equivalent of ``savgol_apply`` (src/savgolFilter.c:743) generalized to ND
+    arrays; the ``axis`` argument is the idiomatic replacement for
+    ``savgol_apply_strided``.
+    """
+    xl, moved = _move_axis_last(x, axis)
+    y = savgol_apply_core(
+        xl, center_w, edge_w, half_window, boundary, dt_inv,
+        derivative=derivative, reference_edge_sign=reference_edge_sign,
+        use_pallas=use_pallas, precision=precision)
+    return _restore_axis(y, moved)
+
+
+def savgol_apply_valid(
+    x: jax.Array,
+    center_w: jax.Array,
+    *,
+    half_window: int,
+    dt_inv: float | jax.Array = 1.0,
+    axis: int = -1,
+    use_pallas: bool = False,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """VALID-mode apply: only positions with a full window; output length
+    N - 2*half_window (src/savgolFilter.c:821-850)."""
+    n = int(half_window)
+    ws = 2 * n + 1
+    xl, moved = _move_axis_last(x, axis)
+    if xl.shape[-1] < ws:
+        raise ValueError(
+            f"data length ({xl.shape[-1]}) must be >= window size ({ws})")
+    xl = _ensure_float(xl, center_w)
+    if use_pallas:
+        from savgol_tpu.ops import pallas_conv
+        y = pallas_conv.correlate_valid_pallas(xl, center_w)
+    else:
+        y = correlate_valid(xl, center_w, precision)
+    y = y * jnp.asarray(dt_inv, dtype=x.dtype)
+    return _restore_axis(y, moved)

@@ -1,0 +1,261 @@
+"""Savitzky-Golay weight generation — vectorized, works on host (numpy/f64)
+and on device (jax, jittable, differentiable).
+
+The reference computes one Gram-polynomial value per call with a rolling
+3-buffer recurrence (/root/reference/src/savgolFilter.c:236-303) and one
+weight per (i, t) pair (/root/reference/src/savgolFilter.c:336-356). Here the
+whole table F_k^{(d)}(i) for all k <= m, all d' <= d, all i in [-n, +n] is
+built in one shot by running the same three-term recurrence over vectors, and
+the centered stencil plus *all* n edge rows fall out of a single einsum.
+
+Math (documented in the reference at src/savgolFilter.c:207-218, 312-318):
+
+  F_0^{(d)}(i)  = [d == 0]
+  F_1^{(d)}(i)  = (1/n) * (i * F_0^{(d)}(i) + d * F_0^{(d-1)}(i))
+  F_k^{(d)}(i)  = a_k * (i * F_{k-1}^{(d)}(i) + d * F_{k-1}^{(d-1)}(i))
+                  - g_k * F_{k-2}^{(d)}(i)
+      a_k = (4k - 2) / (k (2n - k + 1))
+      g_k = (k - 1)(2n + k) / (k (2n - k + 1))
+
+  w(i, t) = sum_{k=0..m} (2k+1) * GenFact(2n, k) / GenFact(2n+k+1, k+1)
+                         * F_k^{(0)}(i) * F_k^{(d)}(t)
+
+where GenFact(a, b) = a (a-1) ... (a-b+1) is the falling factorial. The
+reference precomputes GenFact into a 76x76 float table with double
+intermediates (/root/reference/src/savgolFilter.c:151-176); on TPU the handful
+of values needed per config are just computed directly in f64 (numpy path) or
+as trace-time Python floats folded into constants (jax path) — an O(1) lookup
+table buys nothing when the whole weight tensor is one fused graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from savgol_tpu.config import Savgol2DConfig, SavgolConfig
+
+__all__ = [
+    "genfact",
+    "gram_poly_table",
+    "savgol_weights_np",
+    "savgol_weights",
+    "savgol_all_weights_np",
+    "savgol_all_weights",
+    "savgol2d_weights_np",
+    "savgol2d_weights",
+    "monomial_index",
+]
+
+
+def genfact(a: int, b: int) -> float:
+    """Falling factorial GenFact(a, b) = a! / (a-b)! as an exact f64.
+
+    Matches the reference's table entries
+    (/root/reference/src/savgolFilter.c:151-176): empty product is 1,
+    and b > a yields 0.
+    """
+    if b > a:
+        return 0.0
+    out = 1.0
+    for j in range(a - b + 1, a + 1):
+        out *= float(j)
+    return out
+
+
+def _norm_factors(n: int, m: int) -> np.ndarray:
+    """(2k+1) * GenFact(2n,k) / GenFact(2n+k+1,k+1) for k = 0..m, f64."""
+    return np.array(
+        [(2 * k + 1) * genfact(2 * n, k) / genfact(2 * n + k + 1, k + 1)
+         for k in range(m + 1)],
+        dtype=np.float64,
+    )
+
+
+def _gram_table(points, n: int, m: int, dmax: int, xp):
+    """Gram polynomial table G[k, d, :] = F_k^{(d)}(points).
+
+    ``points`` is a 1D array of evaluation points; ``xp`` is numpy or
+    jax.numpy. Loops over k and d are Python-level (static, k <= 10,
+    d <= 4) so the jax path traces to a small fused elementwise graph.
+    Returns an array of shape (m+1, dmax+1, len(points)).
+    """
+    i = points
+    npts = i.shape[0]
+    dtype = i.dtype
+    zeros = xp.zeros((npts,), dtype=dtype)
+    ones = xp.ones((npts,), dtype=dtype)
+
+    # rows[k][d] : F_k^{(d)} over all points
+    row0 = [ones] + [zeros] * dmax
+    rows = [row0]
+    if m >= 1:
+        inv_n = 1.0 / n
+        row1 = [inv_n * (i * row0[0])]
+        for d in range(1, dmax + 1):
+            row1.append(inv_n * (i * row0[d] + d * row0[d - 1]))
+        rows.append(row1)
+    for k in range(2, m + 1):
+        denom = k * (2.0 * n - k + 1.0)
+        alpha = (4.0 * k - 2.0) / denom
+        gamma = ((k - 1.0) * (2.0 * n + k)) / denom
+        prev1, prev2 = rows[k - 1], rows[k - 2]
+        curr = [alpha * (i * prev1[0]) - gamma * prev2[0]]
+        for d in range(1, dmax + 1):
+            curr.append(alpha * (i * prev1[d] + d * prev1[d - 1])
+                        - gamma * prev2[d])
+        rows.append(curr)
+    return xp.stack([xp.stack(r) for r in rows])
+
+
+def gram_poly_table(n: int, m: int, dmax: int, dtype=np.float64) -> np.ndarray:
+    """Host-side Gram table over the window: shape (m+1, dmax+1, 2n+1),
+    evaluated at integer points i = -n..n."""
+    pts = np.arange(-n, n + 1, dtype=np.float64)
+    tab = _gram_table(pts, n, m, dmax, np)
+    return tab.astype(dtype)
+
+
+def _weights_from_table(G, factors, n: int, d: int, xp):
+    """Combine a Gram table into (center, edge) weight arrays.
+
+    Targets: t = 0 for the center stencil
+    (/root/reference/src/savgolFilter.c:368-378) and t = n - e for edge row e
+    (/root/reference/src/savgolFilter.c:394-409). Point t maps to table
+    column t + n.
+    """
+    # G: (m+1, d+1, 2n+1); value basis F_k^{(0)}(i) over the window:
+    basis = G[:, 0, :]                       # (m+1, 2n+1)
+    # F_k^{(d)}(t) at targets t = 0 and t = n-e  (columns n and 2n-e):
+    center_t = G[:, d, n]                    # (m+1,)
+    center = xp.einsum("k,ki->i", factors * center_t, basis)
+    edge_cols = G[:, d, :][:, ::-1][:, : n]  # columns 2n, 2n-1, ..., n+1
+    # edge_cols[k, e] = F_k^{(d)}(n - e)
+    edge = xp.einsum("ke,ki->ei", factors[:, None] * edge_cols, basis)
+    return center, edge
+
+
+def savgol_weights_np(config: SavgolConfig, dtype=np.float32):
+    """Reference-parity weights on the host in full f64, cast at the end.
+
+    Returns ``(center, edge)`` with shapes ``(2n+1,)`` and ``(n, 2n+1)``.
+    ``center[idx]`` weights input point i = idx - n; ``edge[e]`` is the row
+    used for output position e (leading, data reversed) and position
+    N-1-e (trailing, data forward) — see src/savgolFilter.c:769-784.
+    """
+    n, m, d = config.half_window, config.poly_order, config.derivative
+    G = gram_poly_table(n, m, d)
+    factors = _norm_factors(n, m)
+    center, edge = _weights_from_table(G, factors, n, d, np)
+    return center.astype(dtype), edge.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("half_window", "poly_order",
+                                             "derivative", "dtype"))
+def savgol_weights(half_window: int, poly_order: int, derivative: int = 0,
+                   dtype=jnp.float32):
+    """On-device, jittable weight generation (same math as the host path).
+
+    All shapes are static functions of the (static) config, so this fuses
+    into a single small XLA computation; useful for fused
+    weight-gen + convolution pipelines and parameter sweeps where weights
+    are (re)generated on device instead of transferred from host.
+    """
+    n, m, d = half_window, poly_order, derivative
+    pts = jnp.arange(-n, n + 1, dtype=dtype)
+    G = _gram_table(pts, n, m, d, jnp)
+    factors = jnp.asarray(_norm_factors(n, m), dtype=dtype)
+    return _weights_from_table(G, factors, n, d, jnp)
+
+
+def savgol_all_weights_np(config: SavgolConfig, dtype=np.float32):
+    """Stacked (n+1, 2n+1) weight matrix: row 0 = center, rows 1..n = edges.
+
+    Convenient for fused edge matmuls."""
+    c, e = savgol_weights_np(config, dtype)
+    return np.concatenate([c[None, :], e], axis=0)
+
+
+def savgol_all_weights(half_window: int, poly_order: int, derivative: int = 0,
+                       dtype=jnp.float32):
+    c, e = savgol_weights(half_window, poly_order, derivative, dtype)
+    return jnp.concatenate([c[None, :], e], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# 2D weights: design matrix + normal equations
+# (/root/reference/src/savgol2d.c:57-265)
+# ---------------------------------------------------------------------------
+
+
+def monomial_index(i: int, j: int) -> int:
+    """Index of x^i y^j in the degree-major monomial ordering
+    (1; x, y; x^2, xy, y^2; ...) — /root/reference/src/savgol2d.c:57-65."""
+    total = i + j
+    return total * (total + 1) // 2 + j
+
+
+def _design_matrix_np(nx: int, ny: int, order: int) -> np.ndarray:
+    """Design matrix A: rows = window points (y-major, x fastest), columns =
+    monomials x^i y^j with i+j <= order, f64.
+    (/root/reference/src/savgol2d.c:77-105)."""
+    xs = np.arange(-nx, nx + 1, dtype=np.float64)
+    ys = np.arange(-ny, ny + 1, dtype=np.float64)
+    X, Y = np.meshgrid(xs, ys)               # (H, W), y-major rows
+    x = X.ravel()
+    y = Y.ravel()
+    nterms = (order + 1) * (order + 2) // 2
+    A = np.empty((x.size, nterms), dtype=np.float64)
+    for tot in range(order + 1):
+        for j in range(tot + 1):
+            i = tot - j
+            A[:, monomial_index(i, j)] = x**i * y**j
+    return A
+
+
+def savgol2d_weights_np(config: Savgol2DConfig, dtype=np.float32) -> np.ndarray:
+    """2D convolution weights, shape (window_height, window_width).
+
+    weights = A @ (A^T A)^{-1} e_k * dx! * dy!, i.e. the row of pinv(A)
+    selecting the coefficient of monomial x^dx y^dy, scaled so that the
+    polynomial coefficient becomes the derivative value
+    (/root/reference/src/savgol2d.c:188-265). Solved in f64 via Cholesky
+    (the normal matrix is SPD for valid configs), cast to ``dtype``.
+    """
+    nx, ny = config.half_window_x, config.half_window_y
+    order = config.poly_order
+    dx, dy = config.deriv_x, config.deriv_y
+    A = _design_matrix_np(nx, ny, order)
+    ata = A.T @ A
+    e = np.zeros(A.shape[1], dtype=np.float64)
+    e[monomial_index(dx, dy)] = 1.0
+    L = np.linalg.cholesky(ata)
+    c = np.linalg.solve(L.T, np.linalg.solve(L, e))
+    scale = math.factorial(dx) * math.factorial(dy)
+    w = (A @ c) * scale
+    return w.reshape(config.window_height, config.window_width).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "half_window_x", "half_window_y", "poly_order", "deriv_x", "deriv_y",
+    "dtype"))
+def savgol2d_weights(half_window_x: int, half_window_y: int, poly_order: int,
+                     deriv_x: int = 0, deriv_y: int = 0, dtype=jnp.float32):
+    """On-device 2D weight generation (jittable).
+
+    Same normal-equations construction as the host path, in the working
+    dtype, solved with a Cholesky factorization on device.
+    """
+    nx, ny, order = half_window_x, half_window_y, poly_order
+    A = jnp.asarray(_design_matrix_np(nx, ny, order), dtype=dtype)
+    ata = A.T @ A
+    e = jnp.zeros((A.shape[1],), dtype=dtype).at[
+        monomial_index(deriv_x, deriv_y)].set(1.0)
+    c = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(ata), e)
+    scale = float(math.factorial(deriv_x) * math.factorial(deriv_y))
+    w = (A @ c) * scale
+    return w.reshape(2 * ny + 1, 2 * nx + 1)

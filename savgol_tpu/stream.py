@@ -1,0 +1,287 @@
+"""Streaming (real-time) Savitzky-Golay filtering.
+
+Functional port of the reference streaming module
+(/root/reference/src/savgol_stream.c): a circular buffer of size 2n+1 is an
+explicit, immutable pytree (``StreamState``), every push returns a new state,
+and the whole-sequence online path is a single ``lax.scan``. Because the
+carry is a plain pytree, streaming state is serializable / checkpointable for
+free (orbax, pickle, ...) — the TPU-native equivalent of the reference's
+trivially-copyable state struct (savgol_stream.h:29-37).
+
+Exact semantic parity:
+
+  * fixed latency of ``half_window`` samples (src/savgol_stream.c:289-295);
+  * ``push`` emits nothing until the buffer holds 2n+1 samples, then one
+    centered output per sample (src/savgol_stream.c:152-178);
+  * ``push_full`` additionally emits the n leading-edge outputs (reversed
+    ring traversal) + the first center output on the push that fills the
+    buffer (src/savgol_stream.c:180-227);
+  * ``flush`` emits up to n trailing-edge outputs with descending edge index
+    n-1-i (src/savgol_stream.c:229-252); ``flush_leading`` re-emits the
+    leading edge (src/savgol_stream.c:254-275);
+  * conservation: with push_full + flush, total outputs == total inputs.
+
+Since output buffers must be shape-static under jit, functions that can emit
+a variable number of samples return a fixed-size array plus a ``count``; only
+the first ``count`` entries are meaningful (the reference's
+``(output, max_outputs) -> int`` contract, expressed functionally).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "StreamState",
+    "stream_init",
+    "stream_reset",
+    "stream_push",
+    "stream_push_full",
+    "stream_flush",
+    "stream_flush_leading",
+    "stream_ready",
+    "stream_buffered",
+    "stream_apply",
+]
+
+
+class StreamState(NamedTuple):
+    """Streaming carry: ring buffer + counters (savgol_stream.h:29-37)."""
+
+    buffer: jax.Array            # (2n+1,) ring buffer
+    write_pos: jax.Array         # i32 — next write slot == oldest sample
+    samples_received: jax.Array  # i32 — total pushed
+    samples_output: jax.Array    # i32 — total emitted
+
+
+def stream_init(half_window: int, dtype=jnp.float32) -> StreamState:
+    """Fresh stream state (zeroed ring; savgol_stream_reset,
+    src/savgol_stream.c:135-146)."""
+    ws = 2 * half_window + 1
+    return StreamState(
+        buffer=jnp.zeros((ws,), dtype=dtype),
+        write_pos=jnp.zeros((), dtype=jnp.int32),
+        samples_received=jnp.zeros((), dtype=jnp.int32),
+        samples_output=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def stream_reset(state: StreamState) -> StreamState:
+    return StreamState(
+        buffer=jnp.zeros_like(state.buffer),
+        write_pos=jnp.zeros_like(state.write_pos),
+        samples_received=jnp.zeros_like(state.samples_received),
+        samples_output=jnp.zeros_like(state.samples_output),
+    )
+
+
+def _write(state: StreamState, sample) -> StreamState:
+    ws = state.buffer.shape[0]
+    buf = state.buffer.at[state.write_pos].set(
+        jnp.asarray(sample, dtype=state.buffer.dtype))
+    return state._replace(
+        buffer=buf,
+        write_pos=(state.write_pos + 1) % ws,
+        samples_received=state.samples_received + 1,
+    )
+
+
+def _aligned(state: StreamState) -> jax.Array:
+    """Ring contents ordered oldest -> newest.
+
+    After a write, ``write_pos`` points at the oldest sample, so
+    ``aligned[i] = buffer[(write_pos + i) % ws]`` — the traversal of
+    convolve_center_circular (src/savgol_stream.c:25-38)."""
+    return jnp.roll(state.buffer, -state.write_pos)
+
+
+def stream_ready(state: StreamState) -> jax.Array:
+    ws = state.buffer.shape[0]
+    return state.samples_received >= ws
+
+
+def stream_buffered(state: StreamState) -> jax.Array:
+    ws = state.buffer.shape[0]
+    return jnp.minimum(state.samples_received, ws)
+
+
+def stream_push(
+    state: StreamState,
+    sample,
+    center_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+) -> Tuple[StreamState, jax.Array, jax.Array]:
+    """Push one sample; returns (state, value, valid).
+
+    ``value`` is meaningful only where ``valid`` is True — the filling
+    phase emits nothing (src/savgol_stream.c:152-178).
+    """
+    state = _write(state, sample)
+    valid = stream_ready(state)
+    aligned = _aligned(state)
+    value = jnp.where(
+        valid,
+        jnp.dot(center_w.astype(aligned.dtype), aligned,
+                precision=jax.lax.Precision.HIGHEST)
+        * jnp.asarray(dt_inv, dtype=aligned.dtype),
+        jnp.zeros((), dtype=aligned.dtype),
+    )
+    state = state._replace(
+        samples_output=state.samples_output + valid.astype(jnp.int32))
+    return state, value, valid
+
+
+def _leading_outputs(aligned, edge_w, dt_inv, lead_sign=1.0):
+    """All n leading-edge values: edge row e against the REVERSED window
+    (convolve_edge_leading, src/savgol_stream.c:61-74).
+
+    ``lead_sign`` corrects the reference's odd-derivative sign flip at the
+    leading edge (see savgol_tpu.ops.apply module docstring): pass
+    ``(-1)**derivative`` for mathematically correct output, 1.0 for
+    reference parity."""
+    rev = aligned[::-1]
+    out = jnp.einsum("ek,k->e", edge_w.astype(aligned.dtype), rev,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out * (dt_inv * jnp.asarray(lead_sign, dtype=aligned.dtype))
+
+
+def _trailing_outputs(aligned, edge_w, dt_inv):
+    """Trailing-edge values in flush order: output i uses edge row n-1-i,
+    forward traversal (src/savgol_stream.c:243-248)."""
+    fwd = jnp.einsum("ek,k->e", edge_w.astype(aligned.dtype), aligned,
+                     precision=jax.lax.Precision.HIGHEST) * dt_inv
+    return fwd[::-1]
+
+
+def stream_push_full(
+    state: StreamState,
+    sample,
+    center_w: jax.Array,
+    edge_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+    lead_sign: float = 1.0,
+) -> Tuple[StreamState, jax.Array, jax.Array]:
+    """Push with full edge handling; returns (state, outputs, count).
+
+    ``outputs`` has fixed shape (n+1,). count == 0 while filling; == n+1 on
+    the fill-completing push (n leading-edge values + first center); == 1
+    afterwards (src/savgol_stream.c:180-227).
+    """
+    n = (state.buffer.shape[0] - 1) // 2
+    ws = state.buffer.shape[0]
+    was_filling = state.samples_received < ws
+    state = _write(state, sample)
+    ready = stream_ready(state)
+    aligned = _aligned(state)
+    dt = jnp.asarray(dt_inv, dtype=aligned.dtype)
+
+    center = jnp.dot(center_w.astype(aligned.dtype), aligned,
+                     precision=jax.lax.Precision.HIGHEST) * dt
+    lead = _leading_outputs(aligned, edge_w, dt, lead_sign)
+
+    just_filled = jnp.logical_and(was_filling, ready)
+    # outputs layout: filled-push -> [lead_0..lead_{n-1}, center]
+    #                 steady      -> [center, 0, ..., 0]
+    filled_vec = jnp.concatenate([lead, center[None]])
+    steady_vec = jnp.zeros((n + 1,), dtype=aligned.dtype).at[0].set(center)
+    outputs = jnp.where(just_filled, filled_vec, steady_vec)
+    outputs = jnp.where(ready, outputs, jnp.zeros_like(outputs))
+    count = jnp.where(ready, jnp.where(just_filled, n + 1, 1), 0)
+    state = state._replace(
+        samples_output=state.samples_output + count.astype(jnp.int32))
+    return state, outputs, count
+
+
+def stream_flush(
+    state: StreamState,
+    center_w: jax.Array,
+    edge_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+    max_count: Optional[int] = None,
+) -> Tuple[StreamState, jax.Array, jax.Array]:
+    """Trailing-edge flush at end of stream; returns (state, outputs, count).
+
+    ``outputs`` has fixed shape (min(max_count, n),); count is 0 if the
+    buffer never filled (src/savgol_stream.c:229-252).
+    """
+    del center_w  # kept for API symmetry
+    n = (state.buffer.shape[0] - 1) // 2
+    k = n if max_count is None else min(int(max_count), n)
+    ready = stream_ready(state)
+    aligned = _aligned(state)
+    dt = jnp.asarray(dt_inv, dtype=aligned.dtype)
+    trail = _trailing_outputs(aligned, edge_w, dt)[:k]
+    outputs = jnp.where(ready, trail, jnp.zeros_like(trail))
+    count = jnp.where(ready, k, 0)
+    state = state._replace(
+        samples_output=state.samples_output + count.astype(jnp.int32))
+    return state, outputs, count
+
+
+def stream_flush_leading(
+    state: StreamState,
+    edge_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+    max_count: Optional[int] = None,
+    lead_sign: float = 1.0,
+) -> Tuple[StreamState, jax.Array, jax.Array]:
+    """Leading-edge flush (src/savgol_stream.c:254-275)."""
+    n = (state.buffer.shape[0] - 1) // 2
+    k = n if max_count is None else min(int(max_count), n)
+    ready = stream_ready(state)
+    aligned = _aligned(state)
+    dt = jnp.asarray(dt_inv, dtype=aligned.dtype)
+    lead = _leading_outputs(aligned, edge_w, dt, lead_sign)[:k]
+    outputs = jnp.where(ready, lead, jnp.zeros_like(lead))
+    count = jnp.where(ready, k, 0)
+    state = state._replace(
+        samples_output=state.samples_output + count.astype(jnp.int32))
+    return state, outputs, count
+
+
+def stream_apply(
+    x: jax.Array,
+    center_w: jax.Array,
+    edge_w: jax.Array,
+    *,
+    half_window: int,
+    dt_inv: float | jax.Array = 1.0,
+    derivative: int = 0,
+    reference_edge_sign: bool = False,
+) -> jax.Array:
+    """Whole-sequence online processing as one ``lax.scan``.
+
+    Runs the push_full + flush protocol over a length-T sequence (T >= 2n+1)
+    and stitches the emissions back into a length-T output — output count
+    equals input count by construction (the conservation invariant of
+    test_savgol_stream.c:277-304). The emission schedule is deterministic:
+    push #(2n+1) emits n+1 values, every later push emits 1, flush emits n —
+    so reassembly is static slicing, no dynamic scatter.
+    """
+    n = int(half_window)
+    ws = 2 * n + 1
+    T = x.shape[-1]
+    if T < ws:
+        raise ValueError(f"stream_apply needs at least {ws} samples, got {T}")
+    cw = center_w
+    ew = edge_w
+    dt = dt_inv
+    lead_sign = 1.0
+    if not reference_edge_sign and (int(derivative) % 2 == 1):
+        lead_sign = -1.0
+
+    def step(state, sample):
+        state, outs, _ = stream_push_full(state, sample, cw, ew, dt,
+                                          lead_sign=lead_sign)
+        return state, outs
+
+    state0 = stream_init(n, dtype=x.dtype)
+    state, emitted = jax.lax.scan(step, state0, x)   # emitted: (T, n+1)
+    _, tail, _ = stream_flush(state, cw, ew, dt)     # (n,)
+
+    head = emitted[ws - 1]                 # n leading + first center
+    steady = emitted[ws:, 0]               # one center per later push
+    return jnp.concatenate([head, steady, tail], axis=-1)

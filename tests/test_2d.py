@@ -1,0 +1,176 @@
+"""2D filter tests — ports of test_savgol2d.c: weight sums (:77-120),
+analytic fields (:126-360), convenience gradient/hessian/laplacian
+(:362-502), rectangular window (:508-543), plus golden parity vs the
+compiled reference and batching."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+
+F64 = jnp.float64
+
+
+def grid(rows, cols):
+    """(row=y, col=x) coordinate fields."""
+    y = np.arange(rows, dtype=np.float64)
+    x = np.arange(cols, dtype=np.float64)
+    return np.meshgrid(x, y)  # X: varies along cols, Y: along rows
+
+
+class TestAnalyticFields:
+    def test_constant_preserved(self):
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        img = jnp.full((30, 40), 5.0, dtype=F64)
+        for b in (sg.Boundary2D.VALID, sg.Boundary2D.CONSTANT,
+                  sg.Boundary2D.REFLECT):
+            out = np.asarray(f.apply(img, boundary=b))
+            np.testing.assert_allclose(out, 5.0, atol=1e-9)
+
+    def test_linear_preserved(self):
+        # 2x + 3y (test_savgol2d.c:153)
+        X, Y = grid(30, 40)
+        img = jnp.asarray(2 * X + 3 * Y, dtype=F64)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, np.asarray(img)[3:-3, 3:-3],
+                                   atol=1e-8)
+
+    def test_ddx_of_5x(self):
+        X, Y = grid(25, 35)
+        img = jnp.asarray(5 * X, dtype=F64)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_x=1), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 5.0, atol=1e-8)
+
+    def test_ddy_of_7y(self):
+        X, Y = grid(25, 35)
+        img = jnp.asarray(7 * Y, dtype=F64)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_y=1), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 7.0, atol=1e-8)
+
+    def test_d2dx2_of_x_squared(self):
+        X, Y = grid(25, 35)
+        img = jnp.asarray(X ** 2, dtype=F64)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_x=2), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 2.0, atol=1e-7)
+
+    def test_d2dy2_of_3y_squared(self):
+        X, Y = grid(25, 35)
+        img = jnp.asarray(3 * Y ** 2, dtype=F64)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_y=2), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 6.0, atol=1e-7)
+
+    def test_mixed_d2dxdy_of_4xy(self):
+        X, Y = grid(25, 35)
+        img = jnp.asarray(4 * X * Y, dtype=F64)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_x=1, deriv_y=1), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 4.0, atol=1e-7)
+
+    def test_delta_scaling(self):
+        X, Y = grid(25, 35)
+        dx = 0.5
+        img = jnp.asarray(5 * (X * dx), dtype=F64)  # f(x) = 5x in units of dx
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 3, 2, deriv_x=1, delta_x=dx), dtype=F64)
+        out = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(out, 5.0, atol=1e-8)
+
+
+class TestConvenience:
+    def test_gradient(self):
+        X, Y = grid(30, 30)
+        img = jnp.asarray(2 * X + 3 * Y, dtype=F64)
+        gx, gy = sg.savgol2d_gradient(img, 3, 3, 2,
+                                      boundary=sg.Boundary2D.VALID)
+        np.testing.assert_allclose(np.asarray(gx), 2.0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(gy), 3.0, atol=1e-8)
+
+    def test_gradient_requires_order1(self):
+        # order 1 suffices for gradient; hessian requires >= 2
+        X, Y = grid(20, 20)
+        img = jnp.asarray(X + Y, dtype=F64)
+        gx, gy = sg.savgol2d_gradient(img, 2, 2, 1,
+                                      boundary=sg.Boundary2D.VALID)
+        np.testing.assert_allclose(np.asarray(gx), 1.0, atol=1e-8)
+
+    def test_hessian(self):
+        X, Y = grid(30, 30)
+        img = jnp.asarray(X ** 2 + 4 * X * Y + 3 * Y ** 2, dtype=F64)
+        hxx, hxy, hyy = sg.savgol2d_hessian(img, 3, 3, 2,
+                                            boundary=sg.Boundary2D.VALID)
+        np.testing.assert_allclose(np.asarray(hxx), 2.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(hxy), 4.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(hyy), 6.0, atol=1e-7)
+
+    def test_hessian_rejects_low_order(self):
+        img = jnp.zeros((20, 20), dtype=F64)
+        with pytest.raises(ValueError, match="poly_order"):
+            sg.savgol2d_hessian(img, 3, 3, 1)
+
+    def test_laplacian(self):
+        X, Y = grid(30, 30)
+        img = jnp.asarray(X ** 2 + 3 * Y ** 2, dtype=F64)  # lap = 2 + 6
+        lap = sg.savgol2d_laplacian(img, 4, 4, 2,
+                                    boundary=sg.Boundary2D.VALID)
+        np.testing.assert_allclose(np.asarray(lap), 8.0, atol=1e-7)
+
+    def test_laplacian_rejects_low_order(self):
+        img = jnp.zeros((20, 20), dtype=F64)
+        with pytest.raises(ValueError, match="poly_order"):
+            sg.savgol2d_laplacian(img, 3, 3, 1)
+
+
+class TestRectangularWindow:
+    def test_5x3_window(self):
+        # test_savgol2d.c:508-543 — hw_x=2 (width 5), hw_y=1 (height 3)
+        X, Y = grid(20, 25)
+        img = jnp.asarray(2 * X + 3 * Y, dtype=F64)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 1, 2), dtype=F64)
+        assert f.weights.shape == (3, 5)
+        out = np.asarray(f.apply_valid(img))
+        assert out.shape == (20 - 2, 25 - 4)
+        np.testing.assert_allclose(out, np.asarray(img)[1:-1, 2:-2],
+                                   atol=1e-8)
+
+    def test_valid_size_helper(self):
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 1, 2), dtype=F64)
+        assert f.valid_size(20, 25) == (18, 21)
+
+
+class TestReferenceGoldenParity2D:
+    @pytest.mark.parametrize("boundary", ["valid", "constant", "reflect"])
+    @pytest.mark.parametrize("dx,dy", [(0, 0), (1, 0), (0, 1), (1, 1)])
+    def test_random_field(self, ref, boundary, dx, dy):
+        rng = np.random.default_rng(11)
+        img = rng.standard_normal((24, 31)).astype(np.float32)
+        order = 3
+        theirs = ref.apply2d(img, 3, 2, order, dx, dy, boundary=boundary)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(3, 2, order, deriv_x=dx, deriv_y=dy),
+            dtype=F64)
+        ours = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                                  boundary=sg.Boundary2D(boundary)))
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(ours - theirs).max() <= 2e-6 * scale
+
+
+class TestBatching:
+    def test_batched_images(self):
+        rng = np.random.default_rng(13)
+        imgs = rng.standard_normal((5, 20, 22))
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+        batched = np.asarray(f.apply(jnp.asarray(imgs, dtype=F64)))
+        for b in range(5):
+            single = np.asarray(f.apply(jnp.asarray(imgs[b], dtype=F64)))
+            np.testing.assert_allclose(batched[b], single, atol=1e-12)

@@ -1,0 +1,279 @@
+"""1D apply tests: analytic invariants and noise-RMS (ports of
+test_savgol.c:146-239, 300-445), scipy parity, golden parity vs the compiled
+reference C, ND/axis batching, and differentiability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import savgol_filter
+
+import savgol_tpu as sg
+
+F64 = jnp.float64
+
+
+def make_filter(n, m, d=0, dt=1.0, boundary=sg.BoundaryMode.POLYNOMIAL,
+                dtype=F64):
+    return sg.Savgol1D.create(
+        sg.SavgolConfig(n, m, d, dt, boundary), dtype=dtype)
+
+
+class TestAnalyticInvariants:
+    def test_constant_preserved(self):
+        # test_savgol.c:146-169
+        f = make_filter(5, 2)
+        x = jnp.full((50,), 42.0, dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), 42.0, atol=1e-10)
+
+    def test_linear_preserved(self):
+        # test_savgol.c:171-193
+        f = make_filter(5, 2)
+        x = jnp.asarray(2.0 * np.arange(50) + 3.0, dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-9)
+
+    def test_first_derivative_of_ramp(self):
+        # test_savgol.c:195-215 — d(3x)/dx = 3 everywhere, including edges
+        # (the reference only asserts the interior; with the corrected
+        # leading-edge sign the invariant holds at the edges too).
+        f = make_filter(5, 2, d=1)
+        x = jnp.asarray(3.0 * np.arange(50), dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), 3.0, atol=1e-9)
+
+    def test_reference_edge_sign_compat(self):
+        """reference_edge_sign=True reproduces the C's -3 at the leading
+        edge for odd derivatives."""
+        f = make_filter(5, 2, d=1)
+        x = jnp.asarray(3.0 * np.arange(50), dtype=F64)
+        y = np.asarray(f.apply(x, reference_edge_sign=True))
+        np.testing.assert_allclose(y[:5], -3.0, atol=1e-9)
+        np.testing.assert_allclose(y[5:], 3.0, atol=1e-9)
+
+    def test_second_derivative_of_parabola(self):
+        f = make_filter(6, 3, d=2)
+        x = jnp.asarray(0.5 * np.arange(60.0) ** 2, dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-7)
+
+    def test_time_step_scaling(self):
+        dt = 0.01
+        f = make_filter(5, 2, d=1, dt=dt)
+        t = np.arange(50) * dt
+        x = jnp.asarray(3.0 * t, dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), 3.0, atol=1e-6)
+
+    def test_noise_reduction_rms(self):
+        # test_savgol.c:414-445 — smoothing reduces noise RMS
+        rng = np.random.default_rng(12345)
+        clean = np.sin(np.linspace(0, 4 * np.pi, 500))
+        noisy = clean + 0.1 * rng.standard_normal(500)
+        f = make_filter(8, 3)
+        y = np.asarray(f.apply(jnp.asarray(noisy, dtype=F64)))
+        rms_before = np.sqrt(np.mean((noisy - clean) ** 2))
+        rms_after = np.sqrt(np.mean((y - clean) ** 2))
+        assert rms_after < 0.5 * rms_before
+
+
+class TestBoundaryModes:
+    @pytest.mark.parametrize("mode", [sg.BoundaryMode.POLYNOMIAL,
+                                      sg.BoundaryMode.REFLECT,
+                                      sg.BoundaryMode.PERIODIC,
+                                      sg.BoundaryMode.CONSTANT])
+    def test_constant_signal_all_modes(self, mode):
+        # test_savgol.c:300-364
+        f = make_filter(5, 2, boundary=mode)
+        x = jnp.full((40,), 7.0, dtype=F64)
+        y = f.apply(x)
+        np.testing.assert_allclose(np.asarray(y), 7.0, atol=1e-9)
+
+    def test_periodic_on_periodic_signal(self):
+        """On an exactly periodic signal, PERIODIC edges behave like the
+        interior."""
+        N = 128
+        x = np.sin(2 * np.pi * np.arange(N) / N * 4)
+        f = make_filter(6, 3, boundary=sg.BoundaryMode.PERIODIC)
+        y = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        # rolled input -> rolled output (circular shift equivariance)
+        ys = np.asarray(f.apply(jnp.asarray(np.roll(x, 13), dtype=F64)))
+        np.testing.assert_allclose(np.roll(y, 13), ys, atol=1e-12)
+
+    def test_reflect_duplicates_edge_sample(self):
+        """The reference's REFLECT is numpy 'symmetric' (edge duplicated),
+        not 'reflect' (src/savgolFilter.c:452-463)."""
+        n, m = 3, 2
+        x = np.arange(20, dtype=np.float64) ** 1.5
+        f = make_filter(n, m, boundary=sg.BoundaryMode.REFLECT)
+        y = np.asarray(f.apply(jnp.asarray(x)))
+        c, _ = sg.savgol_weights_np(sg.SavgolConfig(n, m), dtype=np.float64)
+        ref = np.correlate(np.pad(x, n, mode="symmetric"), c, mode="valid")
+        np.testing.assert_allclose(y, ref, atol=1e-12)
+
+
+class TestScipyParity:
+    @pytest.mark.parametrize("n,m,d", [(12, 4, 0), (5, 3, 1), (8, 4, 2),
+                                       (3, 2, 0), (16, 5, 0)])
+    def test_interp_mode(self, n, m, d):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(300)
+        f = make_filter(n, m, d)
+        y = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        ref = savgol_filter(x, 2 * n + 1, m, deriv=d, mode="interp")
+        np.testing.assert_allclose(y, ref, atol=1e-10)
+
+    @pytest.mark.parametrize("mode,smode", [
+        (sg.BoundaryMode.PERIODIC, "wrap"),
+        (sg.BoundaryMode.CONSTANT, "nearest"),
+    ])
+    def test_padded_modes(self, mode, smode):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(200)
+        f = make_filter(7, 3, boundary=mode)
+        y = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        ref = savgol_filter(x, 15, 3, mode=smode)
+        np.testing.assert_allclose(y, ref, atol=1e-10)
+
+
+class TestReferenceGoldenParity:
+    """Golden-vector parity against the compiled reference C library
+    (BASELINE target: max abs err <= 1e-6 on f32 data)."""
+
+    @pytest.mark.parametrize("n,m,d", [(12, 4, 0), (5, 2, 0), (5, 2, 1),
+                                       (8, 4, 2), (2, 2, 0), (32, 10, 0)])
+    @pytest.mark.parametrize("boundary", ["polynomial", "reflect",
+                                          "periodic", "constant"])
+    def test_full_apply(self, ref, n, m, d, boundary):
+        rng = np.random.default_rng(42)
+        x = rng.standard_normal(350).astype(np.float32)
+        theirs = ref.apply(x, n, m, d, boundary=boundary)
+        f = sg.Savgol1D.create(
+            sg.SavgolConfig(n, m, d, boundary=sg.BoundaryMode(boundary)),
+            dtype=F64)
+        ours = np.asarray(
+            f.apply(jnp.asarray(x, dtype=F64), reference_edge_sign=True))
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(ours - theirs).max() <= 1e-6 * scale
+
+    def test_valid_mode(self, ref):
+        rng = np.random.default_rng(43)
+        x = rng.standard_normal(300).astype(np.float32)
+        theirs = ref.apply_valid(x, 12, 4)
+        f = make_filter(12, 4)
+        ours = np.asarray(f.apply_valid(jnp.asarray(x, dtype=F64)))
+        assert ours.shape == theirs.shape
+        assert np.abs(ours - theirs).max() <= 1e-6
+
+    def test_f32_pipeline_parity(self, ref):
+        """Full f32 device pipeline (weights f64->f32, data f32) stays
+        within 1e-6 of the reference on O(1) data."""
+        rng = np.random.default_rng(44)
+        x = rng.standard_normal(1000).astype(np.float32)
+        theirs = ref.apply(x, 12, 4, 0)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+        ours = np.asarray(f.apply(jnp.asarray(x)))
+        assert np.abs(ours - theirs).max() <= 1e-6
+
+
+class TestValidMode:
+    def test_length_and_content(self):
+        # test_savgol.c:370-408
+        n = 6
+        f = make_filter(n, 3)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal(100), dtype=F64)
+        yv = f.apply_valid(x)
+        assert yv.shape == (100 - 2 * n,)
+        yf = f.apply(x)
+        np.testing.assert_allclose(np.asarray(yv),
+                                   np.asarray(yf)[n:-n], atol=1e-12)
+
+    def test_too_short_raises(self):
+        f = make_filter(6, 3)
+        with pytest.raises(ValueError, match="window size"):
+            f.apply(jnp.zeros((5,), dtype=F64))
+        with pytest.raises(ValueError, match="window size"):
+            f.apply_valid(jnp.zeros((12,), dtype=F64))
+
+
+class TestBatchingAndAxis:
+    def test_axis_argument(self):
+        """axis= replaces savgol_apply_strided: filtering one column of a
+        record array leaves other columns untouched by construction
+        (test_savgol.c:245-294)."""
+        rng = np.random.default_rng(6)
+        rec = rng.standard_normal((100, 3))
+        f = make_filter(5, 2)
+        filtered_col = np.asarray(
+            f.apply(jnp.asarray(rec[:, 1], dtype=F64)))
+        out = np.asarray(f.apply(jnp.asarray(rec, dtype=F64), axis=0))
+        np.testing.assert_allclose(out[:, 1], filtered_col, atol=1e-12)
+        # columns are independent
+        col0 = np.asarray(f.apply(jnp.asarray(rec[:, 0], dtype=F64)))
+        np.testing.assert_allclose(out[:, 0], col0, atol=1e-12)
+
+    def test_batched_equals_loop(self):
+        rng = np.random.default_rng(7)
+        xs = rng.standard_normal((4, 120))
+        f = make_filter(8, 3)
+        batched = np.asarray(f.apply(jnp.asarray(xs, dtype=F64)))
+        for b in range(4):
+            single = np.asarray(f.apply(jnp.asarray(xs[b], dtype=F64)))
+            np.testing.assert_allclose(batched[b], single, atol=1e-12)
+
+    def test_vmap(self):
+        rng = np.random.default_rng(8)
+        xs = jnp.asarray(rng.standard_normal((6, 90)), dtype=F64)
+        f = make_filter(5, 3)
+        vm = jax.vmap(f.apply)(xs)
+        np.testing.assert_allclose(np.asarray(vm), np.asarray(f.apply(xs)),
+                                   atol=1e-12)
+
+    def test_jit_with_filter_as_pytree(self):
+        f = make_filter(5, 3)
+        x = jnp.asarray(np.arange(80.0), dtype=F64)
+
+        @jax.jit
+        def run(flt, data):
+            return flt.apply(data)
+
+        np.testing.assert_allclose(np.asarray(run(f, x)),
+                                   np.asarray(f.apply(x)), atol=1e-12)
+
+
+class TestDifferentiability:
+    def test_grad_flows(self):
+        """The filter is linear, so grad of sum(filter(x)) is the column-sum
+        of the filter matrix — finite and correct."""
+        f = make_filter(4, 2)
+        x = jnp.asarray(np.arange(30.0), dtype=F64)
+        g = jax.grad(lambda v: jnp.sum(f.apply(v)))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # directional derivative check
+        v = jnp.asarray(np.random.default_rng(3).standard_normal(30),
+                        dtype=F64)
+        eps = 1e-6
+        fd = (np.sum(np.asarray(f.apply(x + eps * v)))
+              - np.sum(np.asarray(f.apply(x - eps * v)))) / (2 * eps)
+        np.testing.assert_allclose(float(g @ v), fd, rtol=1e-6)
+
+
+class TestDtypePromotion:
+    def test_int_input_promoted(self):
+        """Integer inputs must promote to the weights' float dtype —
+        casting f32 weights down to int truncates them to zero (found by
+        runtime probing)."""
+        f = sg.Savgol1D.create(sg.SavgolConfig(2, 1), dtype=jnp.float32)
+        y = np.asarray(f.apply(jnp.arange(10)))
+        np.testing.assert_allclose(y, np.arange(10.0), atol=1e-5)
+        yv = np.asarray(f.apply_valid(jnp.arange(10)))
+        np.testing.assert_allclose(yv, np.arange(2.0, 8.0), atol=1e-5)
+
+    def test_int_input_2d(self):
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(1, 1, 1), dtype=jnp.float32)
+        img = jnp.arange(25).reshape(5, 5)
+        y = np.asarray(f.apply_valid(img))
+        np.testing.assert_allclose(
+            y, np.arange(25.0).reshape(5, 5)[1:-1, 1:-1], atol=1e-4)

@@ -1,0 +1,222 @@
+"""Streaming tests — ports of test_savgol_stream.c: lifecycle, latency and
+readiness gating (:71-97), conservation (:99-138, :277-304), streaming ==
+batch golden cross-check (:140-189), derivative on ramp (:191-224),
+reset/reuse (:226-248), flush clamping (:250-275)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+from savgol_tpu import stream as fs
+
+F64 = jnp.float64
+
+
+def make(n=6, m=3, d=0, dt=1.0, dtype=F64):
+    cfg = sg.SavgolConfig(n, m, d, dt)
+    return sg.SavgolStream(cfg, dtype=dtype)
+
+
+class TestLifecycle:
+    def test_initial_state(self):
+        s = make(5, 2)
+        assert not s.ready
+        assert s.latency == 5
+        assert s.buffered == 0
+        assert s.samples_received == 0
+        assert s.samples_output == 0
+
+    def test_init_from_existing_filter(self):
+        # savgol_stream_init with non-owning filter ref
+        # (src/savgol_stream.c:108-120)
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
+        s = sg.SavgolStream(f, dtype=F64)
+        assert s.filter is f
+
+    def test_bad_input_type(self):
+        with pytest.raises(TypeError):
+            sg.SavgolStream(42)
+
+
+class TestLatencyAndGating:
+    def test_no_output_until_full(self):
+        # test_savgol_stream.c:71-97
+        n = 5
+        s = make(n, 2)
+        ws = 2 * n + 1
+        for i in range(ws - 1):
+            _, valid = s.push(float(i))
+            assert not valid
+            assert not s.ready
+        _, valid = s.push(float(ws - 1))
+        assert valid
+        assert s.ready
+        assert s.buffered == ws
+
+    def test_latency_is_half_window(self):
+        for n in (1, 4, 12, 32):
+            s = make(n, 1)
+            assert s.latency == n
+
+
+class TestConservation:
+    @pytest.mark.parametrize("T", [13, 40, 100])
+    def test_outputs_equal_inputs(self, T):
+        # test_savgol_stream.c:277-304 — push_full + flush emits exactly T
+        n = 6
+        s = make(n, 3)
+        total = 0
+        rng = np.random.default_rng(0)
+        for v in rng.standard_normal(T):
+            total += len(s.push_full(float(v)))
+        total += len(s.flush())
+        assert total == T
+        assert s.samples_output == T
+        assert s.samples_received == T
+
+
+class TestGoldenCrossCheck:
+    def test_streaming_equals_batch_noisy_sine(self):
+        # test_savgol_stream.c:140-189 (tolerance 1e-5 in the C; exact here)
+        n, m = 6, 3
+        rng = np.random.default_rng(99)
+        t = np.linspace(0, 4 * np.pi, 200)
+        x = np.sin(t) + 0.1 * rng.standard_normal(200)
+        s = make(n, m)
+        outs = []
+        for v in x:
+            outs.extend(s.push_full(float(v)).tolist())
+        outs.extend(s.flush().tolist())
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+        batch = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        np.testing.assert_allclose(np.array(outs), batch, atol=1e-9)
+
+    @pytest.mark.parametrize("n,m,d", [(3, 2, 0), (6, 3, 1), (8, 4, 2),
+                                       (1, 1, 0), (12, 4, 0)])
+    def test_scan_stream_apply_equals_batch(self, n, m, d):
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(150)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+        ys = np.asarray(sg.stream_apply(
+            jnp.asarray(x, dtype=F64), f.center_weights, f.edge_weights,
+            half_window=n, dt_inv=f.dt_inv, derivative=d))
+        yb = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        np.testing.assert_allclose(ys, yb, atol=1e-10)
+
+    def test_stream_matches_reference_c_stream(self, ref):
+        """Our push path vs the C batch path with reference edge sign:
+        the C's own golden test guarantees stream == batch, so checking our
+        stream against the C batch (compat sign) closes the loop."""
+        n, m, d = 5, 3, 1
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(120).astype(np.float32)
+        theirs = ref.apply(x, n, m, d)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+        ys = np.asarray(sg.stream_apply(
+            jnp.asarray(x, dtype=F64), f.center_weights, f.edge_weights,
+            half_window=n, dt_inv=f.dt_inv, derivative=d,
+            reference_edge_sign=True))
+        assert np.abs(ys - theirs).max() <= 1e-5
+
+
+class TestDerivativeOnRamp:
+    def test_derivative_stream(self):
+        # test_savgol_stream.c:191-224 — steady-state outputs equal slope
+        s = make(5, 2, d=1)
+        slope = 2.5
+        vals = []
+        for i in range(60):
+            v, ok = s.push(slope * i)
+            if ok:
+                vals.append(v)
+        assert len(vals) == 60 - 10
+        np.testing.assert_allclose(vals, slope, atol=1e-8)
+
+    def test_push_full_derivative_edges_correct_sign(self):
+        """With the corrected leading-edge sign, a d=1 stream on a ramp
+        emits +slope everywhere (the raw C emits -slope for the first n)."""
+        s = make(5, 2, d=1)
+        outs = []
+        for i in range(40):
+            outs.extend(s.push_full(3.0 * i).tolist())
+        outs.extend(s.flush().tolist())
+        np.testing.assert_allclose(outs, 3.0, atol=1e-8)
+
+
+class TestResetReuse:
+    def test_reset(self):
+        # test_savgol_stream.c:226-248
+        s = make(4, 2)
+        for i in range(20):
+            s.push(float(i))
+        assert s.ready
+        s.reset()
+        assert not s.ready
+        assert s.buffered == 0
+        assert s.samples_received == 0
+        # reusable after reset
+        run1 = [s.push(float(i))[0] for i in range(20)][9:]
+        s.reset()
+        run2 = [s.push(float(i))[0] for i in range(20)][9:]
+        np.testing.assert_allclose(run1, run2, atol=0)
+
+
+class TestFlushSemantics:
+    def test_flush_before_full_returns_nothing(self):
+        s = make(5, 2)
+        for i in range(5):
+            s.push_full(float(i))
+        assert len(s.flush()) == 0
+
+    def test_flush_max_count_clamp(self):
+        # test_savgol_stream.c:250-275
+        n = 6
+        s = make(n, 3)
+        for i in range(30):
+            s.push_full(float(i))
+        out = s.flush(max_count=3)
+        assert len(out) == 3
+
+    def test_flush_full_count(self):
+        n = 6
+        s = make(n, 3)
+        for i in range(30):
+            s.push_full(float(i))
+        assert len(s.flush()) == n
+
+    def test_flush_leading(self):
+        n = 4
+        s = make(n, 2)
+        for i in range(20):
+            s.push_full(float(i))
+        out = s.flush_leading()
+        assert len(out) == n
+
+
+class TestFunctionalAPI:
+    def test_push_under_jit_scan(self):
+        """The functional core composes with scan (carry = StreamState)."""
+        import jax
+
+        f = sg.Savgol1D.create(sg.SavgolConfig(3, 2), dtype=F64)
+        x = jnp.asarray(np.arange(50.0), dtype=F64)
+
+        def step(state, v):
+            state, val, ok = fs.stream_push(state, v, f.center_weights,
+                                            f.dt_inv)
+            return state, (val, ok)
+
+        state0 = fs.stream_init(3, dtype=F64)
+        _, (vals, oks) = jax.lax.scan(step, state0, x)
+        got = np.asarray(vals)[np.asarray(oks)]
+        # steady-state linear data -> identity with latency n
+        np.testing.assert_allclose(got, np.arange(3.0, 50.0 - 3.0),
+                                   atol=1e-9)
+
+    def test_state_is_pytree(self):
+        import jax
+
+        st = fs.stream_init(4)
+        leaves = jax.tree_util.tree_leaves(st)
+        assert len(leaves) == 4
