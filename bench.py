@@ -1,0 +1,98 @@
+"""Benchmark: prints ONE JSON line with the headline metric.
+
+Headline: batched 1D Savitzky-Golay throughput (half_window=12,
+poly_order=4, POLYNOMIAL boundary, f32) in Gsamples/s on one chip — the
+BASELINE.json north-star config. ``vs_baseline`` is the ratio against the
+5 Gsamples/s/chip target (the reference publishes no absolute numbers;
+BASELINE.md).
+
+Extras carried in the same JSON object: 2D throughput (2048x2048, 11x11
+window, order 3) in Gpix/s, accuracy vs scipy, and the path used.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench(fn, *args, iters=20, warmup=3):
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import savgol_tpu as sg
+
+    rng = np.random.default_rng(0)
+
+    # ---- headline: batched 1D, n=12, m=4 --------------------------------
+    B, N = 128, 1_048_576
+    x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+
+    candidates = {}
+
+    fn_xla = jax.jit(lambda v: flt.apply(v))
+    candidates["xla"] = _bench(fn_xla, x)
+
+    try:
+        fn_pl = jax.jit(lambda v: flt.apply(v, use_pallas=True))
+        candidates["pallas"] = _bench(fn_pl, x)
+    except Exception:
+        pass
+
+    path, secs = min(candidates.items(), key=lambda kv: kv[1])
+    gsps = B * N / secs / 1e9
+
+    # ---- extras: 2D 2048x2048, 11x11 window, order 3 ---------------------
+    img = jnp.asarray(rng.standard_normal((4, 2048, 2048)),
+                      dtype=jnp.float32)
+    f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
+    fn2 = jax.jit(lambda v: f2.apply(v))
+    secs2 = _bench(fn2, img, iters=10)
+    gpixps = img.shape[0] * 2048 * 2048 / secs2 / 1e9
+
+    # ---- accuracy: f32 pipeline vs scipy f64 oracle ----------------------
+    try:
+        from scipy.signal import savgol_filter
+        xs = rng.standard_normal(10_000).astype(np.float32)
+        ours = np.asarray(fn_xla(jnp.asarray(xs)[None, :]))[0]
+        ref = savgol_filter(xs.astype(np.float64), 25, 4, mode="interp")
+        max_err = float(np.abs(ours - ref).max())
+    except Exception:
+        max_err = None
+
+    result = {
+        "metric": "1d_batch_throughput_n12_m4",
+        "value": round(gsps, 3),
+        "unit": "Gsamples/s",
+        "vs_baseline": round(gsps / 5.0, 3),
+        "extras": {
+            "path": path,
+            "candidates_s": {k: round(v, 6) for k, v in candidates.items()},
+            "throughput_2d_gpix_s": round(gpixps, 3),
+            "max_abs_err_vs_scipy_f64": max_err,
+            "device": str(jax.devices()[0]),
+            "batch": B,
+            "samples": N,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
