@@ -1,0 +1,407 @@
+// savgol_host.cpp — native host runtime for savgol_tpu.
+//
+// The TPU path (JAX/Pallas) owns batch throughput; this C++ engine owns the
+// host-side latency domain the reference library targets (embedded,
+// sample-by-sample real-time — /root/reference is a pure-C library): a
+// microsecond-latency streaming filter and a fast CPU batch path, exposed
+// through a C ABI consumed by savgol_tpu.native via ctypes.
+//
+// Written from scratch against the published Savitzky-Golay math (same
+// formulas the Python generator uses — Gram three-term recurrence + falling
+// factorials, see savgol_tpu/ops/weights.py). All weight computation is in
+// double precision (the reference computes its recurrence in float —
+// src/savgolFilter.c:236-303 — so this engine is strictly more accurate).
+// Leading-edge odd derivatives default to the mathematically correct sign;
+// the reference's reversed-data sign flip is available via a flag.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC savgol_host.cpp -o libsavgolhost.so
+
+#include <cmath>
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace sgh {
+
+constexpr int kMaxHalfWindow = 32;
+constexpr int kMaxPolyOrder = 10;
+constexpr int kMaxDerivative = 4;
+
+enum Boundary : int32_t {
+  kPolynomial = 0,
+  kReflect = 1,
+  kPeriodic = 2,
+  kConstant = 3,
+};
+
+// Gram polynomial table F_k^{(d)}(i) for all k <= m, d' <= d, i in [-n, n],
+// filled by running the three-term recurrence over the whole point vector
+// at once (one pass per k, not one call per (k, d, i)).
+class GramTable {
+ public:
+  GramTable(int n, int m, int dmax)
+      : n_(n), m_(m), dmax_(dmax), width_(2 * n + 1),
+        data_((m + 1) * (dmax + 1) * width_, 0.0) {
+    std::vector<double> pts(width_);
+    for (int i = 0; i < width_; ++i) pts[i] = i - n;
+    // k = 0: F_0^{(0)} = 1, higher derivatives 0.
+    for (int i = 0; i < width_; ++i) at(0, 0, i) = 1.0;
+    if (m >= 1) {
+      const double inv_n = 1.0 / n;
+      for (int i = 0; i < width_; ++i) at(1, 0, i) = inv_n * pts[i];
+      for (int d = 1; d <= dmax; ++d)
+        for (int i = 0; i < width_; ++i)
+          at(1, d, i) = inv_n * (pts[i] * at(0, d, i) + d * at(0, d - 1, i));
+    }
+    for (int k = 2; k <= m; ++k) {
+      const double denom = static_cast<double>(k) * (2.0 * n - k + 1.0);
+      const double alpha = (4.0 * k - 2.0) / denom;
+      const double gamma = ((k - 1.0) * (2.0 * n + k)) / denom;
+      for (int d = 0; d <= dmax; ++d) {
+        for (int i = 0; i < width_; ++i) {
+          double term = pts[i] * at(k - 1, d, i);
+          if (d > 0) term += d * at(k - 1, d - 1, i);
+          at(k, d, i) = alpha * term - gamma * at(k - 2, d, i);
+        }
+      }
+    }
+  }
+
+  double operator()(int k, int d, int point) const {  // point in [-n, n]
+    return data_[(static_cast<size_t>(k) * (dmax_ + 1) + d) * width_ +
+                 (point + n_)];
+  }
+
+ private:
+  double& at(int k, int d, int idx) {
+    return data_[(static_cast<size_t>(k) * (dmax_ + 1) + d) * width_ + idx];
+  }
+  int n_, m_, dmax_, width_;
+  std::vector<double> data_;
+};
+
+inline double falling_factorial(int a, int b) {
+  double p = 1.0;
+  for (int j = a - b + 1; j <= a; ++j) p *= j;
+  return b > a ? 0.0 : p;
+}
+
+struct Filter {
+  int n = 0, m = 0, d = 0;
+  int width = 0;                 // 2n + 1
+  Boundary boundary = kPolynomial;
+  double dt_inv = 1.0;
+  // weights[t][i]: t = 0 is the centered stencil; t = 1..n are the edge
+  // rows for target n - (t - 1).
+  std::vector<double> center;             // width
+  std::vector<double> edge;               // n * width (row e: target n - e)
+
+  Filter(int half_window, int poly_order, int deriv, double time_step,
+         Boundary b)
+      : n(half_window), m(poly_order), d(deriv), width(2 * half_window + 1),
+        boundary(b) {
+    const double scale = std::pow(time_step, deriv);
+    dt_inv = scale != 0.0 ? 1.0 / scale : 1.0;
+    GramTable g(n, m, d);
+    std::vector<double> factor(m + 1);
+    for (int k = 0; k <= m; ++k)
+      factor[k] = (2.0 * k + 1.0) * falling_factorial(2 * n, k) /
+                  falling_factorial(2 * n + k + 1, k + 1);
+    center.resize(width);
+    edge.resize(static_cast<size_t>(n) * width);
+    for (int i = -n; i <= n; ++i) {
+      double wc = 0.0;
+      for (int k = 0; k <= m; ++k) wc += factor[k] * g(k, 0, i) * g(k, d, 0);
+      center[i + n] = wc;
+      for (int e = 0; e < n; ++e) {
+        const int target = n - e;
+        double we = 0.0;
+        for (int k = 0; k <= m; ++k)
+          we += factor[k] * g(k, 0, i) * g(k, d, target);
+        edge[static_cast<size_t>(e) * width + (i + n)] = we;
+      }
+    }
+  }
+
+  double dot_center(const float* x) const {
+    double s = 0.0;
+    for (int i = 0; i < width; ++i) s += center[i] * x[i];
+    return s;
+  }
+  double dot_edge(int e, const float* x) const {
+    const double* w = edge.data() + static_cast<size_t>(e) * width;
+    double s = 0.0;
+    for (int i = 0; i < width; ++i) s += w[i] * x[i];
+    return s;
+  }
+  double dot_edge_rev(int e, const float* x_last) const {
+    const double* w = edge.data() + static_cast<size_t>(e) * width;
+    double s = 0.0;
+    for (int i = 0; i < width; ++i) s += w[i] * x_last[-i];
+    return s;
+  }
+};
+
+inline float boundary_sample(const float* x, int64_t len, int64_t idx,
+                             Boundary b) {
+  if (idx >= 0 && idx < len) return x[idx];
+  switch (b) {
+    case kReflect: {  // edge sample duplicated (numpy 'symmetric')
+      int64_t i = idx < 0 ? -idx - 1 : 2 * len - idx - 1;
+      if (i < 0) i = 0;
+      if (i >= len) i = len - 1;
+      return x[i];
+    }
+    case kPeriodic: {
+      int64_t i = ((idx % len) + len) % len;
+      return x[i];
+    }
+    case kConstant:
+      return idx < 0 ? x[0] : x[len - 1];
+    default:
+      return 0.0f;
+  }
+}
+
+// Full-length apply. `reference_edge_sign` reproduces the reference's
+// reversed-data leading edge (odd derivatives come out negated there).
+int apply(const Filter& f, const float* in, float* out, int64_t len,
+          bool reference_edge_sign) {
+  if (len < f.width) return -1;
+  const int n = f.n;
+  const double dt = f.dt_inv;
+  // Interior.
+  for (int64_t j = n; j < len - n; ++j)
+    out[j] = static_cast<float>(f.dot_center(in + j - n) * dt);
+  if (f.boundary == kPolynomial) {
+    const double lead_sign =
+        (!reference_edge_sign && (f.d & 1)) ? -1.0 : 1.0;
+    for (int e = 0; e < n; ++e) {
+      out[e] = static_cast<float>(
+          f.dot_edge_rev(e, in + f.width - 1) * dt * lead_sign);
+      out[len - 1 - e] =
+          static_cast<float>(f.dot_edge(e, in + len - f.width) * dt);
+    }
+  } else {
+    std::vector<float> window(f.width);
+    for (int64_t j : {int64_t(0), len - n}) {
+      const int64_t hi = (j == 0) ? n : len;
+      for (int64_t c = j; c < hi; ++c) {
+        for (int i = 0; i < f.width; ++i)
+          window[i] = boundary_sample(in, len, c - n + i, f.boundary);
+        out[c] = static_cast<float>(f.dot_center(window.data()) * dt);
+      }
+    }
+  }
+  return 0;
+}
+
+int64_t apply_valid(const Filter& f, const float* in, int64_t len,
+                    float* out) {
+  if (len < f.width) return 0;
+  const int64_t out_len = len - 2 * f.n;
+  for (int64_t j = 0; j < out_len; ++j)
+    out[j] = static_cast<float>(f.dot_center(in + j) * f.dt_inv);
+  return out_len;
+}
+
+// Streaming: ring buffer of width samples, fixed latency n.
+struct Stream {
+  const Filter* filter;
+  bool owns_filter;
+  std::vector<float> ring;
+  int write_pos = 0;
+  uint64_t received = 0;
+  uint64_t emitted = 0;
+  bool reference_edge_sign = false;
+
+  explicit Stream(const Filter* f, bool owns)
+      : filter(f), owns_filter(owns), ring(f->width, 0.0f) {}
+
+  void reset() {
+    std::fill(ring.begin(), ring.end(), 0.0f);
+    write_pos = 0;
+    received = 0;
+    emitted = 0;
+  }
+
+  void write(float v) {
+    ring[write_pos] = v;
+    write_pos = (write_pos + 1) % filter->width;
+    ++received;
+  }
+
+  bool ready() const {
+    return received >= static_cast<uint64_t>(filter->width);
+  }
+
+  // Ring sample i steps from the oldest.
+  float aligned(int i) const {
+    return ring[(write_pos + i) % filter->width];
+  }
+
+  double center_out() const {
+    double s = 0.0;
+    for (int i = 0; i < filter->width; ++i)
+      s += filter->center[i] * aligned(i);
+    return s * filter->dt_inv;
+  }
+  double lead_out(int e) const {
+    const double sign =
+        (!reference_edge_sign && (filter->d & 1)) ? -1.0 : 1.0;
+    const double* w = filter->edge.data() +
+                      static_cast<size_t>(e) * filter->width;
+    double s = 0.0;
+    for (int i = 0; i < filter->width; ++i)
+      s += w[i] * aligned(filter->width - 1 - i);
+    return s * filter->dt_inv * sign;
+  }
+  double trail_out(int e) const {
+    const double* w = filter->edge.data() +
+                      static_cast<size_t>(e) * filter->width;
+    double s = 0.0;
+    for (int i = 0; i < filter->width; ++i) s += w[i] * aligned(i);
+    return s * filter->dt_inv;
+  }
+};
+
+}  // namespace sgh
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* sgh_create(int half_window, int poly_order, int derivative,
+                 float time_step, int boundary) {
+  if (half_window < 1 || half_window > sgh::kMaxHalfWindow) return nullptr;
+  if (poly_order < 0 || poly_order >= 2 * half_window + 1 ||
+      poly_order > sgh::kMaxPolyOrder)
+    return nullptr;
+  if (derivative < 0 || derivative > sgh::kMaxDerivative ||
+      derivative > poly_order)
+    return nullptr;
+  if (!(time_step > 0.0f)) return nullptr;
+  return new sgh::Filter(half_window, poly_order, derivative, time_step,
+                         static_cast<sgh::Boundary>(boundary));
+}
+
+void sgh_destroy(void* h) { delete static_cast<sgh::Filter*>(h); }
+
+int sgh_apply(const void* h, const float* in, float* out, int64_t len,
+              int reference_edge_sign) {
+  if (!h || !in || !out) return -1;
+  return sgh::apply(*static_cast<const sgh::Filter*>(h), in, out, len,
+                    reference_edge_sign != 0);
+}
+
+int64_t sgh_apply_valid(const void* h, const float* in, int64_t len,
+                        float* out) {
+  if (!h || !in || !out) return 0;
+  return sgh::apply_valid(*static_cast<const sgh::Filter*>(h), in, len, out);
+}
+
+// Copy weights out (f64): center -> width, edges -> n * width (row-major).
+int sgh_weights(const void* h, double* center, double* edge) {
+  if (!h) return -1;
+  const auto& f = *static_cast<const sgh::Filter*>(h);
+  if (center) std::memcpy(center, f.center.data(), f.width * sizeof(double));
+  if (edge)
+    std::memcpy(edge, f.edge.data(),
+                static_cast<size_t>(f.n) * f.width * sizeof(double));
+  return 0;
+}
+
+void* sgh_stream_create(const void* filter_handle) {
+  if (!filter_handle) return nullptr;
+  return new sgh::Stream(static_cast<const sgh::Filter*>(filter_handle),
+                         false);
+}
+
+void sgh_stream_destroy(void* s) { delete static_cast<sgh::Stream*>(s); }
+
+void sgh_stream_reset(void* s) { static_cast<sgh::Stream*>(s)->reset(); }
+
+int sgh_stream_ready(const void* s) {
+  return static_cast<const sgh::Stream*>(s)->ready() ? 1 : 0;
+}
+
+uint64_t sgh_stream_received(const void* s) {
+  return static_cast<const sgh::Stream*>(s)->received;
+}
+
+uint64_t sgh_stream_emitted(const void* s) {
+  return static_cast<const sgh::Stream*>(s)->emitted;
+}
+
+// Simple push: one centered output once the ring is full.
+float sgh_stream_push(void* sp, float sample, int* valid) {
+  auto* s = static_cast<sgh::Stream*>(sp);
+  s->write(sample);
+  if (!s->ready()) {
+    if (valid) *valid = 0;
+    return 0.0f;
+  }
+  if (valid) *valid = 1;
+  ++s->emitted;
+  return static_cast<float>(s->center_out());
+}
+
+// Push with edge handling: emits n leading + 1 center on the filling push,
+// 1 center afterwards. Returns count written to out (cap max_outputs).
+int sgh_stream_push_full(void* sp, float sample, float* out,
+                         int max_outputs) {
+  auto* s = static_cast<sgh::Stream*>(sp);
+  if (!out || max_outputs <= 0) return 0;
+  const bool was_filling = !s->ready();
+  s->write(sample);
+  if (!s->ready()) return 0;
+  int count = 0;
+  if (was_filling) {
+    const int n = s->filter->n;
+    for (int e = 0; e < n && count < max_outputs; ++e) {
+      out[count++] = static_cast<float>(s->lead_out(e));
+      ++s->emitted;
+    }
+  }
+  if (count < max_outputs) {
+    out[count++] = static_cast<float>(s->center_out());
+    ++s->emitted;
+  }
+  return count;
+}
+
+// Trailing-edge flush: up to n outputs with edge index n-1-i.
+int sgh_stream_flush(void* sp, float* out, int max_count) {
+  auto* s = static_cast<sgh::Stream*>(sp);
+  if (!out || max_count <= 0) return 0;
+  if (!s->ready()) return 0;
+  const int n = s->filter->n;
+  const int count = max_count < n ? max_count : n;
+  for (int i = 0; i < count; ++i) {
+    out[i] = static_cast<float>(s->trail_out(n - 1 - i));
+    ++s->emitted;
+  }
+  return count;
+}
+
+int sgh_stream_flush_leading(void* sp, float* out, int max_count) {
+  auto* s = static_cast<sgh::Stream*>(sp);
+  if (!out || max_count <= 0) return 0;
+  if (!s->ready()) return 0;
+  const int n = s->filter->n;
+  const int count = max_count < n ? max_count : n;
+  for (int i = 0; i < count; ++i) {
+    out[i] = static_cast<float>(s->lead_out(i));
+    ++s->emitted;
+  }
+  return count;
+}
+
+void sgh_stream_set_reference_edge_sign(void* sp, int flag) {
+  static_cast<sgh::Stream*>(sp)->reference_edge_sign = flag != 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,200 @@
+// savgol_host2d.cpp — native 2D Savitzky-Golay for the host runtime.
+//
+// Weight construction mirrors savgol_tpu/ops/weights.py: build the design
+// matrix over the window (monomials x^i y^j, i+j <= order, degree-major
+// ordering), solve the normal equations by Cholesky in double, scale the
+// selected pseudo-inverse row by dx!*dy!. Application supports VALID /
+// CONSTANT / REFLECT like the reference (/root/reference/src/savgol2d.c),
+// implemented fresh.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace sgh2 {
+
+constexpr int kMaxHalfWindow = 16;
+constexpr int kMaxPolyOrder = 6;
+
+enum Boundary : int32_t { kValid = 0, kConstant = 1, kReflect = 2 };
+
+inline int monomial_index(int i, int j) {
+  const int total = i + j;
+  return total * (total + 1) / 2 + j;
+}
+
+inline double factorial(int v) {
+  double r = 1.0;
+  for (int i = 2; i <= v; ++i) r *= i;
+  return r;
+}
+
+// Cholesky solve of (SPD) A x = b, in place on a copy.
+bool spd_solve(std::vector<double> A, std::vector<double> b, int n,
+               std::vector<double>* x) {
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = A[i * n + j];
+      for (int k = 0; k < j; ++k) s -= A[i * n + k] * A[j * n + k];
+      if (i == j) {
+        if (s <= 0.0) return false;
+        A[i * n + i] = std::sqrt(s);
+      } else {
+        A[i * n + j] = s / A[j * n + j];
+      }
+    }
+  }
+  for (int i = 0; i < n; ++i) {           // L y = b
+    double s = b[i];
+    for (int j = 0; j < i; ++j) s -= A[i * n + j] * b[j];
+    b[i] = s / A[i * n + i];
+  }
+  x->assign(n, 0.0);
+  for (int i = n - 1; i >= 0; --i) {      // L^T x = y
+    double s = b[i];
+    for (int j = i + 1; j < n; ++j) s -= A[j * n + i] * (*x)[j];
+    (*x)[i] = s / A[i * n + i];
+  }
+  return true;
+}
+
+struct Filter2D {
+  int nx, ny, order, dx, dy;
+  int width, height;
+  double scale;
+  std::vector<double> weights;   // height * width, row-major
+
+  bool init() {
+    width = 2 * nx + 1;
+    height = 2 * ny + 1;
+    const int area = width * height;
+    const int terms = (order + 1) * (order + 2) / 2;
+    if (area < terms) return false;
+    std::vector<double> A(static_cast<size_t>(area) * terms);
+    int row = 0;
+    for (int yi = -ny; yi <= ny; ++yi) {
+      for (int xi = -nx; xi <= nx; ++xi, ++row) {
+        for (int tot = 0; tot <= order; ++tot) {
+          for (int j = 0; j <= tot; ++j) {
+            const int i = tot - j;
+            A[static_cast<size_t>(row) * terms + monomial_index(i, j)] =
+                std::pow(double(xi), i) * std::pow(double(yi), j);
+          }
+        }
+      }
+    }
+    std::vector<double> ata(static_cast<size_t>(terms) * terms, 0.0);
+    for (int i = 0; i < terms; ++i)
+      for (int j = 0; j < terms; ++j) {
+        double s = 0.0;
+        for (int r = 0; r < area; ++r)
+          s += A[static_cast<size_t>(r) * terms + i] *
+               A[static_cast<size_t>(r) * terms + j];
+        ata[static_cast<size_t>(i) * terms + j] = s;
+      }
+    std::vector<double> e(terms, 0.0);
+    e[monomial_index(dx, dy)] = 1.0;
+    std::vector<double> c;
+    if (!spd_solve(ata, e, terms, &c)) return false;
+    const double dscale = factorial(dx) * factorial(dy);
+    weights.resize(area);
+    for (int r = 0; r < area; ++r) {
+      double s = 0.0;
+      for (int i = 0; i < terms; ++i)
+        s += A[static_cast<size_t>(r) * terms + i] * c[i];
+      weights[r] = s * dscale;
+    }
+    return true;
+  }
+};
+
+inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
+           int64_t stride, float* out, int64_t out_stride, Boundary b) {
+  const int nx = f.nx, ny = f.ny;
+  if (b == kValid) {
+    for (int64_t oy = 0; oy + 2 * ny < rows; ++oy) {
+      for (int64_t ox = 0; ox + 2 * nx < cols; ++ox) {
+        double s = 0.0;
+        const double* w = f.weights.data();
+        for (int wy = 0; wy < f.height; ++wy) {
+          const float* r = in + (oy + wy) * stride + ox;
+          for (int wx = 0; wx < f.width; ++wx) s += *w++ * r[wx];
+        }
+        out[oy * out_stride + ox] = static_cast<float>(s * f.scale);
+      }
+    }
+    return;
+  }
+  for (int64_t oy = 0; oy < rows; ++oy) {
+    for (int64_t ox = 0; ox < cols; ++ox) {
+      double s = 0.0;
+      const double* w = f.weights.data();
+      for (int wy = -ny; wy <= ny; ++wy) {
+        for (int wx = -nx; wx <= nx; ++wx) {
+          int64_t iy = oy + wy, ix = ox + wx;
+          if (b == kReflect) {
+            if (iy < 0) iy = -iy - 1;
+            else if (iy >= rows) iy = 2 * rows - iy - 1;
+            if (ix < 0) ix = -ix - 1;
+            else if (ix >= cols) ix = 2 * cols - ix - 1;
+          }
+          iy = clampi(iy, 0, rows - 1);
+          ix = clampi(ix, 0, cols - 1);
+          s += *w++ * in[iy * stride + ix];
+        }
+      }
+      out[oy * out_stride + ox] = static_cast<float>(s * f.scale);
+    }
+  }
+}
+
+}  // namespace sgh2
+
+extern "C" {
+
+void* sgh2_create(int half_window_x, int half_window_y, int poly_order,
+                  int deriv_x, int deriv_y, float delta_x, float delta_y) {
+  using namespace sgh2;
+  if (half_window_x < 1 || half_window_x > kMaxHalfWindow) return nullptr;
+  if (half_window_y < 1 || half_window_y > kMaxHalfWindow) return nullptr;
+  if (poly_order < 0 || poly_order > kMaxPolyOrder) return nullptr;
+  if (deriv_x < 0 || deriv_y < 0 || deriv_x + deriv_y > poly_order)
+    return nullptr;
+  if (!(delta_x > 0.0f) || !(delta_y > 0.0f)) return nullptr;
+  auto* f = new Filter2D{half_window_x, half_window_y, poly_order,
+                         deriv_x,       deriv_y,       0,
+                         0,             1.0,           {}};
+  f->scale = 1.0 / (std::pow(double(delta_x), deriv_x) *
+                    std::pow(double(delta_y), deriv_y));
+  if (!f->init()) {
+    delete f;
+    return nullptr;
+  }
+  return f;
+}
+
+void sgh2_destroy(void* h) { delete static_cast<sgh2::Filter2D*>(h); }
+
+int sgh2_apply(const void* h, const float* in, int64_t rows, int64_t cols,
+               int64_t stride, float* out, int64_t out_stride,
+               int boundary) {
+  if (!h || !in || !out) return -1;
+  sgh2::apply(*static_cast<const sgh2::Filter2D*>(h), in, rows, cols,
+              stride, out, out_stride,
+              static_cast<sgh2::Boundary>(boundary));
+  return 0;
+}
+
+int sgh2_weights(const void* h, double* out) {
+  if (!h || !out) return -1;
+  const auto& f = *static_cast<const sgh2::Filter2D*>(h);
+  std::memcpy(out, f.weights.data(), f.weights.size() * sizeof(double));
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,281 @@
+"""ctypes bindings to the native C++ host runtime (native/libsavgolhost.so).
+
+The TPU path owns batch throughput; this engine owns the host latency
+domain the reference targets (the reference IS a host C library):
+microsecond-latency streaming and a fast CPU batch path, plus an
+independent f64 oracle for the JAX implementation. Built on demand with
+``make`` (g++ is in the image); import raises a clear error if no
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from savgol_tpu.config import (Boundary2D, BoundaryMode, Savgol2DConfig,
+                               SavgolConfig)
+
+__all__ = ["HostSavgol1D", "HostSavgolStream", "HostSavgol2D",
+           "load_library"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsavgolhost.so")
+
+_BOUNDARY_1D = {
+    BoundaryMode.POLYNOMIAL: 0,
+    BoundaryMode.REFLECT: 1,
+    BoundaryMode.PERIODIC: 2,
+    BoundaryMode.CONSTANT: 3,
+}
+_BOUNDARY_2D = {
+    Boundary2D.VALID: 0,
+    Boundary2D.CONSTANT: 1,
+    Boundary2D.REFLECT: 2,
+}
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _build() -> str:
+    if not os.path.exists(_SO_PATH) or (
+            os.path.getmtime(_SO_PATH) < max(
+                os.path.getmtime(os.path.join(_NATIVE_DIR, s))
+                for s in ("savgol_host.cpp", "savgol_host2d.cpp"))):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    return _SO_PATH
+
+
+def load_library() -> ctypes.CDLL:
+    """Build (if needed) and load the native runtime."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            so = _build()
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise ImportError(
+                f"cannot build native host runtime: {e}") from e
+        lib = ctypes.CDLL(so)
+        lib.sgh_create.restype = ctypes.c_void_p
+        lib.sgh_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_float, ctypes.c_int]
+        lib.sgh_destroy.argtypes = [ctypes.c_void_p]
+        lib.sgh_apply.restype = ctypes.c_int
+        lib.sgh_apply.argtypes = [ctypes.c_void_p, _f32p, _f32p,
+                                  ctypes.c_int64, ctypes.c_int]
+        lib.sgh_apply_valid.restype = ctypes.c_int64
+        lib.sgh_apply_valid.argtypes = [ctypes.c_void_p, _f32p,
+                                        ctypes.c_int64, _f32p]
+        lib.sgh_weights.restype = ctypes.c_int
+        lib.sgh_weights.argtypes = [ctypes.c_void_p, _f64p, _f64p]
+        lib.sgh_stream_create.restype = ctypes.c_void_p
+        lib.sgh_stream_create.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_destroy.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_reset.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_ready.restype = ctypes.c_int
+        lib.sgh_stream_ready.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_received.restype = ctypes.c_uint64
+        lib.sgh_stream_received.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_emitted.restype = ctypes.c_uint64
+        lib.sgh_stream_emitted.argtypes = [ctypes.c_void_p]
+        lib.sgh_stream_push.restype = ctypes.c_float
+        lib.sgh_stream_push.argtypes = [ctypes.c_void_p, ctypes.c_float,
+                                        ctypes.POINTER(ctypes.c_int)]
+        lib.sgh_stream_push_full.restype = ctypes.c_int
+        lib.sgh_stream_push_full.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_float, _f32p,
+                                             ctypes.c_int]
+        lib.sgh_stream_flush.restype = ctypes.c_int
+        lib.sgh_stream_flush.argtypes = [ctypes.c_void_p, _f32p,
+                                         ctypes.c_int]
+        lib.sgh_stream_flush_leading.restype = ctypes.c_int
+        lib.sgh_stream_flush_leading.argtypes = [ctypes.c_void_p, _f32p,
+                                                 ctypes.c_int]
+        lib.sgh_stream_set_reference_edge_sign.argtypes = [
+            ctypes.c_void_p, ctypes.c_int]
+        lib.sgh2_create.restype = ctypes.c_void_p
+        lib.sgh2_create.argtypes = [ctypes.c_int] * 5 + [ctypes.c_float] * 2
+        lib.sgh2_destroy.argtypes = [ctypes.c_void_p]
+        lib.sgh2_apply.restype = ctypes.c_int
+        lib.sgh2_apply.argtypes = [ctypes.c_void_p, _f32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64, _f32p,
+                                   ctypes.c_int64, ctypes.c_int]
+        lib.sgh2_weights.restype = ctypes.c_int
+        lib.sgh2_weights.argtypes = [ctypes.c_void_p, _f64p]
+        _lib = lib
+        return lib
+
+
+def _ptr32(a: np.ndarray):
+    return a.ctypes.data_as(_f32p)
+
+
+class HostSavgol1D:
+    """Native 1D filter (host CPU)."""
+
+    def __init__(self, config: SavgolConfig):
+        self.config = config
+        self._lib = load_library()
+        self._h = self._lib.sgh_create(
+            config.half_window, config.poly_order, config.derivative,
+            config.time_step, _BOUNDARY_1D[config.boundary])
+        if not self._h:
+            raise ValueError("native sgh_create rejected config")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sgh_destroy(self._h)
+            self._h = None
+
+    def apply(self, x, reference_edge_sign: bool = False) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        out = np.empty_like(x)
+        rc = self._lib.sgh_apply(self._h, _ptr32(x), _ptr32(out), x.size,
+                                 int(reference_edge_sign))
+        if rc != 0:
+            raise ValueError("native apply failed (input too short?)")
+        return out
+
+    def apply_valid(self, x) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        n = self.config.half_window
+        out = np.empty(max(x.size - 2 * n, 0), dtype=np.float32)
+        count = self._lib.sgh_apply_valid(self._h, _ptr32(x), x.size,
+                                          _ptr32(out))
+        return out[:count]
+
+    def weights(self):
+        """(center, edge) tables in f64."""
+        n = self.config.half_window
+        ws = self.config.window_size
+        center = np.empty(ws, dtype=np.float64)
+        edge = np.empty((n, ws), dtype=np.float64)
+        self._lib.sgh_weights(self._h, center.ctypes.data_as(_f64p),
+                              edge.ctypes.data_as(_f64p))
+        return center, edge
+
+
+class HostSavgolStream:
+    """Native streaming filter: microsecond-latency push path."""
+
+    def __init__(self, filter_or_config,
+                 reference_edge_sign: bool = False):
+        if isinstance(filter_or_config, SavgolConfig):
+            self._filter = HostSavgol1D(filter_or_config)
+        else:
+            self._filter = filter_or_config
+        self.config = self._filter.config
+        self._lib = self._filter._lib
+        self._h = self._lib.sgh_stream_create(self._filter._h)
+        if not self._h:
+            raise RuntimeError("native stream create failed")
+        if reference_edge_sign:
+            self._lib.sgh_stream_set_reference_edge_sign(self._h, 1)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sgh_stream_destroy(self._h)
+            self._h = None
+
+    @property
+    def ready(self) -> bool:
+        return bool(self._lib.sgh_stream_ready(self._h))
+
+    @property
+    def latency(self) -> int:
+        return self.config.half_window
+
+    @property
+    def samples_received(self) -> int:
+        return self._lib.sgh_stream_received(self._h)
+
+    @property
+    def samples_output(self) -> int:
+        return self._lib.sgh_stream_emitted(self._h)
+
+    def reset(self):
+        self._lib.sgh_stream_reset(self._h)
+
+    def push(self, sample: float):
+        valid = ctypes.c_int(0)
+        v = self._lib.sgh_stream_push(self._h, sample,
+                                      ctypes.byref(valid))
+        return v, bool(valid.value)
+
+    def push_full(self, sample: float,
+                  max_outputs: Optional[int] = None) -> np.ndarray:
+        n = self.config.half_window
+        cap = (n + 1) if max_outputs is None else int(max_outputs)
+        out = np.empty(max(cap, 1), dtype=np.float32)
+        c = self._lib.sgh_stream_push_full(self._h, sample, _ptr32(out),
+                                           cap)
+        return out[:c]
+
+    def flush(self, max_count: Optional[int] = None) -> np.ndarray:
+        n = self.config.half_window
+        cap = n if max_count is None else int(max_count)
+        out = np.empty(max(cap, 1), dtype=np.float32)
+        c = self._lib.sgh_stream_flush(self._h, _ptr32(out), cap)
+        return out[:c]
+
+    def flush_leading(self, max_count: Optional[int] = None) -> np.ndarray:
+        n = self.config.half_window
+        cap = n if max_count is None else int(max_count)
+        out = np.empty(max(cap, 1), dtype=np.float32)
+        c = self._lib.sgh_stream_flush_leading(self._h, _ptr32(out), cap)
+        return out[:c]
+
+
+class HostSavgol2D:
+    """Native 2D filter (host CPU)."""
+
+    def __init__(self, config: Savgol2DConfig):
+        self.config = config
+        self._lib = load_library()
+        self._h = self._lib.sgh2_create(
+            config.half_window_x, config.half_window_y, config.poly_order,
+            config.deriv_x, config.deriv_y, config.delta_x, config.delta_y)
+        if not self._h:
+            raise ValueError("native sgh2_create rejected config")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.sgh2_destroy(self._h)
+            self._h = None
+
+    def apply(self, img, boundary: Boundary2D = Boundary2D.CONSTANT
+              ) -> np.ndarray:
+        img = np.ascontiguousarray(img, dtype=np.float32)
+        rows, cols = img.shape
+        if boundary is Boundary2D.VALID:
+            ny, nx = self.config.half_window_y, self.config.half_window_x
+            out = np.empty((rows - 2 * ny, cols - 2 * nx), dtype=np.float32)
+            ostride = out.shape[1]
+        else:
+            out = np.empty_like(img)
+            ostride = cols
+        rc = self._lib.sgh2_apply(self._h, _ptr32(img), rows, cols, cols,
+                                  _ptr32(out), ostride,
+                                  _BOUNDARY_2D[boundary])
+        if rc != 0:
+            raise ValueError("native 2d apply failed")
+        return out
+
+    def weights(self) -> np.ndarray:
+        out = np.empty((self.config.window_height,
+                        self.config.window_width), dtype=np.float64)
+        self._lib.sgh2_weights(self._h, out.ctypes.data_as(_f64p))
+        return out

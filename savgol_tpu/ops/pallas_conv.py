@@ -1,0 +1,386 @@
+"""Pallas TPU kernels for the hot Savitzky-Golay convolution paths.
+
+The reference's hot loop is a 4-accumulator ILP dot product
+(/root/reference/src/savgolFilter.c:547-580) tuned for CPU FMA ports. The
+TPU-native analog is lane-level vectorization on the VPU: each kernel
+invocation holds a (block_rows, block_cols) output tile in VMEM and
+accumulates the 2n+1 taps as unrolled full-tile FMAs
+
+    acc += w[k] * x[:, k : k + block_cols]          (k static, VPU)
+
+which is exact f32 arithmetic — unlike XLA's conv lowering, which routes
+through the MXU and needs Precision.HIGHEST (~6 bf16 passes) to approximate
+f32, costing both speed and exactness.
+
+Overlap handling ("halo") without manual DMA: the input is passed to the
+kernel TWICE with different BlockSpecs — the main (rows, COLS) tile plus a
+narrow (rows, 128) tile starting at the NEXT column block — so each grid
+step sees [main | halo] = COLS + 128 columns, enough for any window up to
+129 taps (2n <= 64 always; savgolFilter.h:39). The extra HBM traffic is
+128/COLS ~= 12% instead of 2x. Same trick in 2D with four views
+(main / right / bottom / corner).
+
+All kernels compute VALID correlations on pre-padded, block-multiple inputs;
+boundary semantics (reflect/wrap/edge pads, polynomial edge fixups) are
+applied by the wrappers. Off-TPU the kernels run in interpreter mode so the
+whole suite is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "correlate_valid_pallas",
+    "correlate2d_valid_pallas",
+    "savgol_polynomial_pallas",
+]
+
+# f32 tiling: sublane x lane = 8 x 128.
+_LANES = 128
+_SUBLANES = 8
+# Default output tile. COLS must exceed the max window (65) plus edge width;
+# ROWS trades VMEM for grid size.
+_ROWS = 8
+_COLS = 1024
+
+
+def _interpret_default() -> bool:
+    """Run in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+# ---------------------------------------------------------------------------
+# 1D valid correlation
+# ---------------------------------------------------------------------------
+
+
+def _corr1d_kernel(w_ref, x_ref, halo_ref, o_ref, *, ws: int):
+    """out[:, j] = sum_k w[k] * xw[:, j + k], xw = [main | halo]."""
+    xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    cols = o_ref.shape[1]
+    acc = w_ref[0, 0] * xw[:, 0:cols]
+    for k in range(1, ws):
+        acc += w_ref[0, k] * xw[:, k:k + cols]
+    o_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def _corr1d_call(xpad, w, rows, cols, interpret):
+    B, Npad = xpad.shape
+    n_out = Npad - _LANES          # final LANES columns are halo-only
+    ws = w.shape[-1]
+    grid = (B // rows, n_out // cols)
+    kernel = functools.partial(_corr1d_kernel, ws=ws)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            # halo: first 128 columns of the NEXT column block
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_out), xpad.dtype),
+        interpret=interpret,
+    )(w.reshape(1, ws), xpad, xpad)
+
+
+def correlate_valid_pallas(x: jax.Array, w: jax.Array,
+                           rows: int = _ROWS, cols: int = _COLS,
+                           interpret: bool | None = None) -> jax.Array:
+    """Valid cross-correlation along the last axis (Pallas fast path).
+
+    ``x``: (..., N); ``w``: (ws,); output (..., N - ws + 1). Exact f32.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    ws = w.shape[0]
+    if ws > _LANES + 1:
+        raise ValueError(f"window size {ws} exceeds kernel halo limit")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    n_out = N - ws + 1
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+    w = w.astype(x.dtype)
+
+    cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    Bp = _round_up(B, rows)
+    n_out_p = _round_up(n_out, cols)
+    Np = n_out_p + _LANES   # guarantees the halo block of the last column
+    xp = jnp.pad(xb, ((0, Bp - B), (0, Np - N)))
+    out = _corr1d_call(xp, w, rows, cols, interpret)
+    return out[:B, :n_out].reshape(batch_shape + (n_out,))
+
+
+# ---------------------------------------------------------------------------
+# Fused polynomial-boundary 1D apply
+# ---------------------------------------------------------------------------
+
+
+def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
+                      *, ws: int, n: int,
+                      tail_start: int, tail_out: int, last_ci: int):
+    """Full-length savgol with POLYNOMIAL edges fused into one kernel.
+
+    The input is zero-padded by n on the left (host side), so the center
+    taps for output j read xpad[j .. j+2n]. Grid column 0 overwrites its
+    first n outputs with the leading-edge matmul; grid column ``last_ci``
+    overwrites outputs [tail_out, tail_out+n) with the trailing-edge matmul
+    (src/savgolFilter.c:769-784 semantics, statically indexed).
+
+    Mosaic has no in-kernel reverse, so the host pre-bakes the reversals
+    into the edge matrices: ``ewl = lead_sign * ew[:, ::-1]`` (data-reverse
+    + sign folded into column order) and ``ewt = ew[::-1, :]`` (output
+    order n-1..0 folded into row order)."""
+    ci = pl.program_id(1)
+    xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    cols = o_ref.shape[1]
+
+    acc = w_ref[0, 0] * xw[:, 0:cols]
+    for k in range(1, ws):
+        acc += w_ref[0, k] * xw[:, k:k + cols]
+    o_ref[:, :] = acc
+
+    # Leading edge: out[e] = sum_j ewl[e,j] * x_raw[j]; x_raw[i]==xpad[n+i].
+    @pl.when(ci == 0)
+    def _():
+        first = xw[:, n:n + ws]
+        lead = jax.lax.dot_general(
+            first, ewl_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # (rows, n)
+        o_ref[:, 0:n] = lead.astype(o_ref.dtype)
+
+    # Trailing edge: out[N-n+i] = sum_k ewt[i,k] * x_raw[N-ws+k].
+    @pl.when(ci == last_ci)
+    def _():
+        last = xw[:, tail_start:tail_start + ws]
+        trail = jax.lax.dot_general(
+            last, ewt_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, tail_out:tail_out + n] = trail.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n", "n_real",
+                                             "interpret"))
+def _sg1d_poly_call(xpad, w, ewl, ewt, rows, cols, n, n_real, interpret):
+    B, Npad = xpad.shape
+    ws = 2 * n + 1
+    n_out_p = Npad - _LANES
+    n_cblocks = n_out_p // cols
+    last_ci = n_cblocks - 1
+    # Static tail geometry within the last block (wrapper guarantees the
+    # region [n_real - n, n_real) lies inside block last_ci):
+    tail_out = n_real - n - last_ci * cols           # out col of out[N-n]
+    tail_start = (n_real - ws + n) - last_ci * cols  # xpad col of x_raw[N-ws]
+    assert 0 <= tail_out and 0 <= tail_start, (tail_out, tail_start)
+    grid = (B // rows, n_cblocks)
+    kernel = functools.partial(
+        _sg1d_poly_kernel, ws=ws, n=n,
+        tail_start=tail_start, tail_out=tail_out, last_ci=last_ci)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_out_p), xpad.dtype),
+        interpret=interpret,
+    )(w.reshape(1, ws), ewl, ewt, xpad, xpad)
+
+
+def _cols_ok(N: int, n: int, cols: int) -> bool:
+    """A block width is admissible for the fused-edge kernel iff the first
+    block holds the whole leading window (cols >= ws + n = 3n+1) and the
+    trailing-edge read window x_raw[N-ws ..] starts inside the last block
+    (N % cols == 0 or N % cols > n)."""
+    if cols % _LANES or cols < 3 * n + 1:
+        return False
+    r = N % cols
+    return r == 0 or r > n
+
+
+def _pick_cols(N: int, n: int, max_cols: int = _COLS):
+    """Largest admissible lane-multiple block width, or None."""
+    for cols in range(min(max_cols, _round_up(N, _LANES)), 0, -_LANES):
+        if _cols_ok(N, n, cols):
+            return cols
+    return None
+
+
+def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
+                             edge_w: jax.Array, n: int,
+                             dt_inv=1.0, lead_sign: float = 1.0,
+                             rows: int = _ROWS, cols: int | None = None,
+                             interpret: bool | None = None) -> jax.Array:
+    """Same-length POLYNOMIAL-boundary apply as one fused kernel.
+
+    Semantics of savgol_apply_core(.., BoundaryMode.POLYNOMIAL); ``dt_inv``
+    is folded into the weights (sub-ulp difference vs multiply-after).
+    Falls back to the split path (valid kernel + XLA edge matmuls) when no
+    block geometry keeps the edge regions inside single blocks.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    ws = 2 * n + 1
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    if N < ws:
+        raise ValueError(f"data length ({N}) must be >= window size ({ws})")
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+
+    dt = jnp.asarray(dt_inv, dtype=x.dtype)
+    w = center_w.astype(x.dtype) * dt
+    ew = edge_w.astype(x.dtype) * dt
+    # Pre-bake the reversals (Mosaic has no in-kernel rev): lead uses
+    # column-reversed weights (+ sign), trail uses row-reversed weights.
+    ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
+    ewt = ew[::-1, :]
+
+    pick = cols if cols is not None else _pick_cols(N, n)
+    if pick is None or not _cols_ok(N, n, pick):
+        # Fallback: center via the valid kernel, edges via XLA einsum.
+        center = correlate_valid_pallas(xb, w, rows=rows,
+                                        interpret=interpret)
+        hp = jax.lax.Precision.HIGHEST
+        lead = jnp.einsum("ek,bk->be", ew, xb[:, :ws][:, ::-1],
+                          precision=hp) * lead_sign
+        trail = jnp.einsum("ek,bk->be", ew, xb[:, -ws:],
+                           precision=hp)[:, ::-1]
+        out = jnp.concatenate([lead, center, trail], axis=-1)
+        return out.reshape(batch_shape + (N,))
+
+    cols = pick
+    Bp = _round_up(B, rows)
+    n_out_p = _round_up(N, cols)
+    Np = n_out_p + _LANES
+    # left zero-pad by n so center taps align; right-pad to block + halo
+    xp = jnp.pad(xb, ((0, Bp - B), (n, Np - n - N)))
+    out = _sg1d_poly_call(xp, w, ewl, ewt, rows, cols, n, N, interpret)
+    return out[:B, :N].reshape(batch_shape + (N,))
+
+
+# ---------------------------------------------------------------------------
+# 2D valid correlation
+# ---------------------------------------------------------------------------
+
+_ROWS2D = 128
+_COLS2D = 512
+_HALO_R = 32   # >= 2 * MAX_HALF_WINDOW_2D (16), multiple of 8 sublanes
+
+
+def _corr2d_kernel(w_ref, x_ref, right_ref, bot_ref, corner_ref, o_ref,
+                   *, wh: int, ww: int):
+    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+    xw = jnp.concatenate([top, bottom], axis=0)
+    r, c = o_ref.shape[1], o_ref.shape[2]
+    acc = w_ref[0, 0] * xw[0:r, 0:c]
+    for wy in range(wh):
+        for wx in range(ww):
+            if wy == 0 and wx == 0:
+                continue
+            acc += w_ref[wy, wx] * xw[wy:wy + r, wx:wx + c]
+    o_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def _corr2d_call(xpad, w, rows, cols, interpret):
+    B, Rp, Cp = xpad.shape
+    out_r = Rp - _HALO_R
+    out_c = Cp - _LANES
+    wh, ww = w.shape
+    grid = (B, out_r // rows, out_c // cols)
+    kernel = functools.partial(_corr2d_kernel, wh=wh, ww=ww)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wh, ww), lambda b, ri, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, cols),
+                         lambda b, ri, ci: (b, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda b, ri, ci: (b, ri,
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, cols),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, _LANES),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cols),
+                               lambda b, ri, ci: (b, ri, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+        interpret=interpret,
+    )(w, xpad, xpad, xpad, xpad)
+
+
+def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
+                             rows: int = _ROWS2D, cols: int = _COLS2D,
+                             interpret: bool | None = None) -> jax.Array:
+    """Valid 2D cross-correlation over the last two axes (single stencil).
+
+    ``x``: (..., R, C); ``w``: (H, W) with H <= 33, W <= 33 (reference 2D
+    limit is half_window 16 -> 33; savgol2d.h:63-73). Exact f32 on the VPU.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    wh, ww = w.shape
+    if wh > _HALO_R + 1 or ww > _LANES + 1:
+        raise ValueError(f"stencil {w.shape} exceeds kernel halo limits")
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    out_r, out_c = R - wh + 1, C - ww + 1
+    xb = x.reshape((-1, R, C))
+    B = xb.shape[0]
+    w = w.astype(x.dtype)
+
+    rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
+    cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
+    out_r_p = _round_up(out_r, rows)
+    out_c_p = _round_up(out_c, cols)
+    Rp = out_r_p + _HALO_R
+    Cp = out_c_p + _LANES
+    xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
+    out = _corr2d_call(xp, w, rows, cols, interpret)
+    return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))

@@ -1,0 +1,203 @@
+"""Fused on-device weight generation + apply for (n, m) parameter sweeps.
+
+The host generator (savgol_tpu.ops.weights) needs static half_window /
+poly_order because shapes depend on them. This module provides a MASKED
+formulation where ``half_window`` and ``poly_order`` are *traced* values:
+everything is padded to the compile-time limits (window 65, order 10 —
+savgolFilter.h:38-48), invalid lanes are zeroed, and the whole
+weights+filter pipeline becomes one jittable, vmappable function of
+(n, m, x). One compiled executable then sweeps arbitrary (n, m) grids —
+the TPU-native answer to "create a filter per config in a loop"
+(BASELINE.json config 5).
+
+Masking invariants (why no NaNs escape):
+
+  * the Gram recurrence divides by k(2n-k+1), which is positive for every
+    k <= m < 2n+1 (valid configs); rows k > m are force-zeroed each
+    iteration so NaN/Inf from invalid denominators never propagates;
+  * weights outside the true window |i| > n are zeroed, so the fixed
+    65-tap correlation over a max_n-padded input computes exactly the
+    2n+1-tap result;
+  * boundary pad values for symmetric/edge/wrap do not depend on the pad
+    width, so padding by max_n instead of n is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from savgol_tpu.config import (MAX_HALF_WINDOW, MAX_POLY_ORDER, BoundaryMode)
+
+__all__ = ["savgol_weights_masked", "savgol_apply_sweep"]
+
+_M = MAX_HALF_WINDOW           # 32
+_K = MAX_POLY_ORDER            # 10
+_W = 2 * _M + 1                # 65
+
+
+def _genfact_ratio(two_n, k: int, dtype):
+    """(2k+1) * GenFact(2n, k) / GenFact(2n+k+1, k+1) with traced n,
+    static k — the normalization of src/savgolFilter.c:343-346, computed
+    as a static-length product of traced factors."""
+    num = jnp.ones((), dtype=dtype)
+    for j in range(k):                      # GenFact(2n, k)
+        num = num * (two_n - j)
+    den = jnp.ones((), dtype=dtype)
+    for j in range(k + 1):                  # GenFact(2n+k+1, k+1)
+        den = den * (two_n + k + 1 - j)
+    return (2 * k + 1) * num / den
+
+
+def _gram_masked(points, n, m, dmax: int, dtype):
+    """Gram table F_k^{(d)}(points) with traced n, m; rows k > m zeroed.
+
+    ``points`` may itself be traced. Returns (K+1, dmax+1, P)."""
+    i = points.astype(dtype)
+    nf = n.astype(dtype)
+    P = i.shape[0]
+    zeros = jnp.zeros((P,), dtype=dtype)
+    ones = jnp.ones((P,), dtype=dtype)
+
+    def mask_k(k, rows):
+        keep = (k <= m)
+        return [jnp.where(keep, r, 0.0) for r in rows]
+
+    row0 = mask_k(0, [ones] + [zeros] * dmax)
+    rows = [row0]
+    if _K >= 1:
+        inv_n = 1.0 / nf
+        r1 = [inv_n * (i * row0[0])]
+        for d in range(1, dmax + 1):
+            r1.append(inv_n * (i * row0[d] + d * row0[d - 1]))
+        rows.append(mask_k(1, r1))
+    for k in range(2, _K + 1):
+        denom = k * (2.0 * nf - k + 1.0)
+        denom = jnp.where(denom != 0, denom, 1.0)   # guard invalid k > m
+        alpha = (4.0 * k - 2.0) / denom
+        gamma = ((k - 1.0) * (2.0 * nf + k)) / denom
+        prev1, prev2 = rows[k - 1], rows[k - 2]
+        curr = [alpha * (i * prev1[0]) - gamma * prev2[0]]
+        for d in range(1, dmax + 1):
+            curr.append(alpha * (i * prev1[d] + d * prev1[d - 1])
+                        - gamma * prev2[d])
+        rows.append(mask_k(k, curr))
+    return jnp.stack([jnp.stack(r) for r in rows])   # (K+1, dmax+1, P)
+
+
+def savgol_weights_masked(n, m, derivative: int = 0, dtype=jnp.float32):
+    """Weights for traced (n, m): center (65,), lead (32, 65),
+    trail (32, 65), all padded/masked.
+
+    * ``center[_M + i]`` weights x[j+i] for |i| <= n, zero outside.
+    * ``trail[e]`` is the reference edge row (target t = n - e,
+      src/savgolFilter.c:401) over window coords [_M + i]; rows e >= n
+      are zero.
+    * ``lead[e]`` evaluates at target t = e - n (the *correct-sign*
+      leading edge; see savgol_tpu.ops.apply on the reference's odd-
+      derivative sign flip).
+    """
+    n = jnp.asarray(n)
+    m = jnp.asarray(m)
+    d = int(derivative)
+    pts = jnp.arange(-_M, _M + 1, dtype=dtype)
+    G = _gram_masked(pts, n, m, d, dtype)            # (K+1, d+1, 65)
+
+    two_n = (2 * n).astype(dtype)
+    factors = jnp.stack(
+        [jnp.where(k <= m, _genfact_ratio(two_n, k, dtype), 0.0)
+         for k in range(_K + 1)])                     # (K+1,)
+
+    basis = G[:, 0, :]                               # F_k^{(0)}(i), (K+1, 65)
+    win_mask = (jnp.abs(jnp.arange(-_M, _M + 1)) <= n).astype(dtype)
+
+    # -- center: target t = 0 (table column _M) -----------------------------
+    center = jnp.einsum("k,ki->i", factors * G[:, d, _M], basis) * win_mask
+
+    # -- edge rows: evaluate G at traced targets via gather ------------------
+    e = jnp.arange(_M)
+    trail_cols = jnp.clip(_M + n - e, 0, _W - 1)     # t = n - e
+    lead_cols = jnp.clip(_M + e - n, 0, _W - 1)      # t = e - n
+    Gd = G[:, d, :]                                  # (K+1, 65)
+    g_trail = jnp.take(Gd, trail_cols, axis=1)       # (K+1, 32)
+    g_lead = jnp.take(Gd, lead_cols, axis=1)
+    row_mask = (e < n).astype(dtype)[:, None]
+    trail = jnp.einsum("ke,ki->ei", factors[:, None] * g_trail,
+                       basis) * win_mask * row_mask
+    lead = jnp.einsum("ke,ki->ei", factors[:, None] * g_lead,
+                      basis) * win_mask * row_mask
+    return center, lead, trail
+
+
+_PAD_MODE = {
+    BoundaryMode.REFLECT: "symmetric",
+    BoundaryMode.PERIODIC: "wrap",
+    BoundaryMode.CONSTANT: "edge",
+}
+
+
+def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
+                      dt_inv, dtype):
+    """Apply a traced-(n, m) filter to x (..., N); same-length output."""
+    d = int(derivative)
+    center, lead_w, trail_w = savgol_weights_masked(n, m, d, dtype)
+    N = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(_M, _M)]
+    if boundary is BoundaryMode.POLYNOMIAL:
+        xp = jnp.pad(x, pad)                        # zeros; edges fixed below
+    else:
+        xp = jnp.pad(x, pad, mode=_PAD_MODE[boundary])
+
+    from savgol_tpu.ops.apply import correlate_valid
+    y = correlate_valid(xp, center)                 # (..., N)
+
+    if boundary is BoundaryMode.POLYNOMIAL:
+        # lead window: xp slice centered at x[n] -> start n (in xp coords)
+        start = (0,) * (x.ndim - 1) + (n,)
+        win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
+        lead = jnp.einsum("ek,...k->...e", lead_w, win0)      # (..., 32)
+        # trail window centered at x[N-1-n] -> xp start N-1-n
+        startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
+        winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
+        trail = jnp.einsum("ek,...k->...e", trail_w, winT)
+        pos = jnp.arange(N)
+        lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1), axis=-1)
+        trail_vals = jnp.take(trail, jnp.clip(N - 1 - pos, 0, _M - 1),
+                              axis=-1)
+        y = jnp.where(pos < n, lead_vals, y)
+        y = jnp.where(pos >= N - n, trail_vals, y)
+    return y * jnp.asarray(dt_inv, dtype=x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("derivative", "boundary",
+                                             "dtype"))
+def savgol_apply_sweep(
+    x: jax.Array,
+    half_windows: jax.Array,
+    poly_orders: jax.Array,
+    *,
+    derivative: int = 0,
+    boundary: BoundaryMode = BoundaryMode.POLYNOMIAL,
+    dt_inv=1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Filter ``x`` (..., N) under EVERY config (half_windows[c],
+    poly_orders[c]) in one fused, vmapped computation.
+
+    Returns (C, ..., N). Weight generation happens on device inside the
+    same executable — nothing is retraced or transferred per config. The
+    leading edge uses the correct-sign convention (negative targets), not
+    the reference's reversed-data flip.
+    """
+    hw = jnp.asarray(half_windows)
+    po = jnp.asarray(poly_orders)
+
+    def one(n, m):
+        return _apply_masked_one(x, n, m, derivative, boundary, dt_inv,
+                                 dtype)
+
+    return jax.vmap(one)(hw, po)

@@ -1,0 +1,153 @@
+"""Native C++ host runtime tests: cross-validation against the JAX path
+(two independent implementations of the same math), the compiled reference
+C, and the streaming protocol."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+
+native = pytest.importorskip("savgol_tpu.native")
+
+F64 = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestHost1D:
+    @pytest.mark.parametrize("n,m,d", [(12, 4, 0), (5, 3, 1), (8, 4, 2),
+                                       (2, 2, 0), (32, 10, 4)])
+    @pytest.mark.parametrize("boundary", list(sg.BoundaryMode))
+    def test_matches_jax(self, rng, n, m, d, boundary):
+        x = rng.standard_normal(300).astype(np.float32)
+        cfg = sg.SavgolConfig(n, m, d, boundary=boundary)
+        hf = native.HostSavgol1D(cfg)
+        jf = sg.Savgol1D.create(cfg, dtype=F64)
+        got = hf.apply(x)
+        want = np.asarray(jf.apply(jnp.asarray(x, dtype=F64)))
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() <= 1e-6 * scale
+
+    def test_matches_reference_c(self, ref, rng):
+        x = rng.standard_normal(256).astype(np.float32)
+        hf = native.HostSavgol1D(sg.SavgolConfig(12, 4))
+        theirs = ref.apply(x, 12, 4)
+        assert np.abs(hf.apply(x) - theirs).max() <= 1e-6
+
+    def test_reference_edge_sign(self):
+        x = (3.0 * np.arange(50)).astype(np.float32)
+        hf = native.HostSavgol1D(sg.SavgolConfig(5, 2, 1))
+        y = hf.apply(x, reference_edge_sign=True)
+        np.testing.assert_allclose(y[:5], -3.0, atol=1e-5)
+        y2 = hf.apply(x)
+        np.testing.assert_allclose(y2, 3.0, atol=1e-5)
+
+    def test_valid(self, rng):
+        x = rng.standard_normal(100).astype(np.float32)
+        hf = native.HostSavgol1D(sg.SavgolConfig(6, 3))
+        yv = hf.apply_valid(x)
+        assert yv.shape == (88,)
+        np.testing.assert_allclose(yv, hf.apply(x)[6:-6], atol=1e-6)
+
+    def test_weights_match_python(self):
+        cfg = sg.SavgolConfig(12, 4, 2)
+        hf = native.HostSavgol1D(cfg)
+        c, e = hf.weights()
+        cp, ep = sg.savgol_weights_np(cfg, dtype=np.float64)
+        np.testing.assert_allclose(c, cp, atol=1e-12)
+        np.testing.assert_allclose(e, ep, atol=1e-12)
+
+    def test_invalid_config_rejected(self):
+        with pytest.raises(ValueError):
+            # bypass Python validation to hit the native validator
+            cfg = sg.SavgolConfig(5, 3)
+            object.__setattr__(cfg, "poly_order", 60)
+            native.HostSavgol1D(cfg)
+
+    def test_too_short_raises(self):
+        hf = native.HostSavgol1D(sg.SavgolConfig(6, 3))
+        with pytest.raises(ValueError):
+            hf.apply(np.zeros(5, dtype=np.float32))
+
+
+class TestHostStream:
+    def test_conservation_and_parity(self, rng):
+        x = rng.standard_normal(150).astype(np.float32)
+        s = native.HostSavgolStream(sg.SavgolConfig(6, 3))
+        outs = []
+        for v in x:
+            outs.extend(s.push_full(float(v)).tolist())
+        outs.extend(s.flush().tolist())
+        assert len(outs) == x.size
+        assert s.samples_output == x.size
+        jf = sg.Savgol1D.create(sg.SavgolConfig(6, 3), dtype=F64)
+        want = np.asarray(jf.apply(jnp.asarray(x, dtype=F64)))
+        assert np.abs(np.array(outs) - want).max() <= 1e-6
+
+    def test_latency_gating(self):
+        s = native.HostSavgolStream(sg.SavgolConfig(4, 2))
+        assert s.latency == 4
+        for i in range(8):
+            _, ok = s.push(float(i))
+            assert not ok
+        _, ok = s.push(8.0)
+        assert ok and s.ready
+
+    def test_reset(self):
+        s = native.HostSavgolStream(sg.SavgolConfig(3, 2))
+        for i in range(10):
+            s.push(float(i))
+        s.reset()
+        assert not s.ready and s.samples_received == 0
+
+    def test_flush_clamp(self):
+        s = native.HostSavgolStream(sg.SavgolConfig(6, 3))
+        for i in range(20):
+            s.push_full(float(i))
+        assert len(s.flush(max_count=2)) == 2
+
+    def test_matches_jax_stream(self, rng):
+        x = rng.standard_normal(80).astype(np.float32)
+        s = native.HostSavgolStream(sg.SavgolConfig(5, 3, 1))
+        outs = []
+        for v in x:
+            outs.extend(s.push_full(float(v)).tolist())
+        outs.extend(s.flush().tolist())
+        f = sg.Savgol1D.create(sg.SavgolConfig(5, 3, 1), dtype=F64)
+        want = np.asarray(sg.stream_apply(
+            jnp.asarray(x, dtype=F64), f.center_weights, f.edge_weights,
+            half_window=5, dt_inv=f.dt_inv, derivative=1))
+        assert np.abs(np.array(outs) - want).max() <= 1e-5
+
+
+class TestHost2D:
+    @pytest.mark.parametrize("dx,dy", [(0, 0), (1, 0), (0, 1), (1, 1),
+                                       (2, 0)])
+    @pytest.mark.parametrize("boundary", list(sg.Boundary2D))
+    def test_matches_jax(self, rng, dx, dy, boundary):
+        img = rng.standard_normal((25, 31)).astype(np.float32)
+        cfg = sg.Savgol2DConfig(3, 2, 3, deriv_x=dx, deriv_y=dy)
+        hf = native.HostSavgol2D(cfg)
+        jf = sg.Savgol2D.create(cfg, dtype=F64)
+        got = hf.apply(img, boundary)
+        want = np.asarray(jf.apply(jnp.asarray(img, dtype=F64),
+                                   boundary=boundary))
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() <= 1e-6 * scale
+
+    def test_weights_match_python(self):
+        cfg = sg.Savgol2DConfig(4, 3, 3, deriv_x=1, deriv_y=1)
+        hf = native.HostSavgol2D(cfg)
+        wp = sg.savgol2d_weights_np(cfg, dtype=np.float64)
+        np.testing.assert_allclose(hf.weights(), wp, atol=1e-10)
+
+    def test_matches_reference_c_2d(self, ref, rng):
+        img = rng.standard_normal((20, 20)).astype(np.float32)
+        hf = native.HostSavgol2D(sg.Savgol2DConfig(3, 3, 3))
+        theirs = ref.apply2d(img, 3, 3, 3, boundary="constant")
+        assert np.abs(hf.apply(img, sg.Boundary2D.CONSTANT)
+                      - theirs).max() <= 2e-6

@@ -1,0 +1,142 @@
+"""Pallas kernel tests (interpreter mode on CPU; the same code compiles via
+Mosaic on TPU — validated separately on hardware by bench/integration runs).
+
+Each kernel is checked against the XLA reference path across shapes chosen
+to hit the halo/blocking edge cases: exact block multiples, stragglers
+smaller than one block, windows at the size limits, and the fused-edge
+kernel's block-geometry fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+from savgol_tpu.ops import pallas_conv as pc
+from savgol_tpu.ops.apply import correlate_valid, savgol_apply
+from savgol_tpu.ops.apply2d import correlate2d_valid
+
+F32 = jnp.float32
+
+
+def rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape), dtype=F32)
+
+
+class TestCorr1D:
+    @pytest.mark.parametrize("N", [128, 300, 1024, 1025, 2000, 4096])
+    @pytest.mark.parametrize("ws", [3, 25, 65])
+    def test_matches_xla(self, N, ws):
+        if N < ws:
+            pytest.skip("input shorter than window")
+        x = rand((3, N))
+        w = rand((ws,), seed=1)
+        got = np.asarray(pc.correlate_valid_pallas(x, w, interpret=True))
+        want = np.asarray(correlate_valid(x, w))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+    def test_1d_input(self):
+        x = rand((500,))
+        w = rand((11,), seed=2)
+        got = np.asarray(pc.correlate_valid_pallas(x, w, interpret=True))
+        assert got.shape == (490,)
+        np.testing.assert_allclose(
+            got, np.asarray(correlate_valid(x, w)), atol=1e-4)
+
+    def test_odd_batch(self):
+        # batch not a multiple of the 8-row tile
+        x = rand((5, 640))
+        w = rand((9,), seed=3)
+        got = np.asarray(pc.correlate_valid_pallas(x, w, interpret=True))
+        np.testing.assert_allclose(
+            got, np.asarray(correlate_valid(x, w)), atol=1e-4)
+
+    def test_window_too_wide_rejected(self):
+        with pytest.raises(ValueError, match="exceeds"):
+            pc.correlate_valid_pallas(rand((2, 256)), rand((131,)),
+                                      interpret=True)
+
+
+class TestFusedPolynomial:
+    @pytest.mark.parametrize("N,n", [(1024, 12), (1000, 12), (300, 5),
+                                     (1037, 32), (70, 32), (4096, 1)])
+    @pytest.mark.parametrize("d", [0, 1])
+    def test_matches_xla(self, N, n, d):
+        m = max(min(4, 2 * n), d)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F32)
+        x = rand((2, N))
+        lead_sign = -1.0 if d % 2 else 1.0
+        got = np.asarray(pc.savgol_polynomial_pallas(
+            x, f.center_weights, f.edge_weights, n,
+            dt_inv=f.dt_inv, lead_sign=lead_sign, interpret=True))
+        want = np.asarray(f.apply(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_fallback_geometry(self):
+        """An explicitly inadmissible block width (N % cols in (0, n])
+        forces the split fallback; result must still match."""
+        n, N = 32, 1025
+        assert not pc._cols_ok(N, n, 128)   # residue 1 <= n
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, 4), dtype=F32)
+        x = rand((2, N))
+        got = np.asarray(pc.savgol_polynomial_pallas(
+            x, f.center_weights, f.edge_weights, n, cols=128,
+            interpret=True))
+        want = np.asarray(f.apply(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_auto_geometry_always_admissible(self):
+        """_pick_cols finds an admissible width for every N, n in range."""
+        for n in (1, 5, 12, 32):
+            for N in (2 * n + 1, 129, 777, 1024, 1025, 4097, 100_000,
+                      131_073):
+                if N < 2 * n + 1:
+                    continue
+                cols = pc._pick_cols(N, n)
+                assert cols is not None and pc._cols_ok(N, n, cols), (N, n)
+
+    def test_via_apply_use_pallas(self):
+        """The public use_pallas switch routes through the kernel."""
+        f = sg.Savgol1D.create(sg.SavgolConfig(8, 3), dtype=F32)
+        x = rand((4, 777))
+        got = np.asarray(f.apply(x, use_pallas=True))
+        want = np.asarray(f.apply(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_padded_boundary_via_use_pallas(self):
+        f = sg.Savgol1D.create(
+            sg.SavgolConfig(6, 3, boundary=sg.BoundaryMode.REFLECT),
+            dtype=F32)
+        x = rand((3, 500))
+        got = np.asarray(f.apply(x, use_pallas=True))
+        want = np.asarray(f.apply(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_valid_via_use_pallas(self):
+        f = sg.Savgol1D.create(sg.SavgolConfig(6, 3), dtype=F32)
+        x = rand((3, 500))
+        got = np.asarray(f.apply_valid(x, use_pallas=True))
+        want = np.asarray(f.apply_valid(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+class TestCorr2D:
+    @pytest.mark.parametrize("shape,win", [((64, 100), (11, 11)),
+                                           ((40, 40), (7, 5)),
+                                           ((200, 300), (33, 33)),
+                                           ((128, 512), (3, 3)),
+                                           ((33, 33), (33, 33))])
+    def test_matches_xla(self, shape, win):
+        x = rand((2,) + shape)
+        w = rand(win, seed=4)
+        got = np.asarray(pc.correlate2d_valid_pallas(x, w, interpret=True))
+        want = np.asarray(correlate2d_valid(x, w))
+        # tolerance scales with tap count (f32 accumulation order differs)
+        taps = win[0] * win[1]
+        np.testing.assert_allclose(got, want, atol=3e-6 * taps, rtol=1e-5)
+
+    def test_stencil_too_large_rejected(self):
+        with pytest.raises(ValueError, match="halo"):
+            pc.correlate2d_valid_pallas(rand((40, 40)), rand((35, 11)),
+                                        interpret=True)

@@ -1,0 +1,109 @@
+"""Masked (traced n, m) weight generation + vmapped sweep tests: every
+config in the sweep must match the static-shape path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+from savgol_tpu.ops.sweep import savgol_apply_sweep, savgol_weights_masked
+from savgol_tpu.ops.weights import savgol_weights_np
+
+F64 = jnp.float64
+M_ = 32
+W_ = 65
+
+
+class TestMaskedWeights:
+    @pytest.mark.parametrize("n,m,d", [(1, 1, 0), (5, 3, 0), (12, 4, 0),
+                                       (12, 4, 2), (32, 10, 4), (2, 2, 1)])
+    def test_matches_static_generator(self, n, m, d):
+        center, lead, trail = savgol_weights_masked(
+            jnp.asarray(n), jnp.asarray(m), d, dtype=F64)
+        c_ref, e_ref = savgol_weights_np(sg.SavgolConfig(n, m, d),
+                                         dtype=np.float64)
+        c = np.asarray(center)
+        # window slice [_M-n, _M+n] holds the true stencil; rest is zero
+        np.testing.assert_allclose(c[M_ - n:M_ + n + 1], c_ref, atol=1e-9)
+        assert np.all(c[:M_ - n] == 0) and np.all(c[M_ + n + 1:] == 0)
+        t = np.asarray(trail)
+        for e in range(n):
+            np.testing.assert_allclose(t[e, M_ - n:M_ + n + 1], e_ref[e],
+                                       atol=1e-8)
+        assert np.all(t[n:] == 0)
+
+    def test_lead_rows_are_negative_targets(self):
+        """lead[e] must equal the weight row at target t = e - n, i.e. the
+        mirror of trail[e] with (-1)^d."""
+        n, m, d = 6, 3, 1
+        _, lead, trail = savgol_weights_masked(
+            jnp.asarray(n), jnp.asarray(m), d, dtype=F64)
+        le = np.asarray(lead)[:n, M_ - n:M_ + n + 1]
+        tr = np.asarray(trail)[:n, M_ - n:M_ + n + 1]
+        # w_{-t}[i] = (-1)^d w_t[-i]
+        np.testing.assert_allclose(le, (-1) ** d * tr[:, ::-1], atol=1e-9)
+
+    def test_no_nans_across_full_grid(self):
+        """Every valid (n, m) in range produces finite masked weights —
+        the k > m guard must stop NaN propagation (small n, large k)."""
+        for n in (1, 2, 3, 32):
+            for m in range(0, min(2 * n, 10) + 1):
+                c, l, t = savgol_weights_masked(
+                    jnp.asarray(n), jnp.asarray(m), 0, dtype=jnp.float32)
+                assert np.isfinite(np.asarray(c)).all(), (n, m)
+                assert np.isfinite(np.asarray(l)).all(), (n, m)
+                assert np.isfinite(np.asarray(t)).all(), (n, m)
+
+
+class TestSweepApply:
+    @pytest.mark.parametrize("boundary", [sg.BoundaryMode.POLYNOMIAL,
+                                          sg.BoundaryMode.REFLECT,
+                                          sg.BoundaryMode.PERIODIC,
+                                          sg.BoundaryMode.CONSTANT])
+    def test_sweep_matches_static_path(self, boundary):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(300), dtype=F64)
+        ns = [2, 5, 12, 32]
+        ms = [2, 3, 4, 6]
+        out = np.asarray(savgol_apply_sweep(
+            x, jnp.asarray(ns), jnp.asarray(ms), boundary=boundary,
+            dtype=F64))
+        for c, (n, m) in enumerate(zip(ns, ms)):
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+            want = np.asarray(f.apply(x, boundary=boundary))
+            np.testing.assert_allclose(out[c], want, atol=1e-8,
+                                       err_msg=f"config {n},{m}")
+
+    def test_sweep_derivative(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal(200), dtype=F64)
+        ns = [5, 8, 12]
+        ms = [3, 4, 5]
+        out = np.asarray(savgol_apply_sweep(
+            x, jnp.asarray(ns), jnp.asarray(ms), derivative=1, dtype=F64))
+        for c, (n, m) in enumerate(zip(ns, ms)):
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m, 1), dtype=F64)
+            want = np.asarray(f.apply(x))   # correct-sign convention
+            np.testing.assert_allclose(out[c], want, atol=1e-8)
+
+    def test_sweep_batched_input(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((3, 150)), dtype=F64)
+        out = savgol_apply_sweep(x, jnp.asarray([4, 9]),
+                                 jnp.asarray([2, 3]), dtype=F64)
+        assert out.shape == (2, 3, 150)
+        f = sg.Savgol1D.create(sg.SavgolConfig(9, 3), dtype=F64)
+        np.testing.assert_allclose(np.asarray(out[1]),
+                                   np.asarray(f.apply(x)), atol=1e-8)
+
+    def test_single_compile_many_configs(self):
+        """The sweep is one executable regardless of grid size."""
+        x = jnp.asarray(np.arange(100.0), dtype=F64)
+        ns = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8])
+        ms = jnp.asarray([1, 2, 2, 3, 3, 3, 4, 4])
+        out = savgol_apply_sweep(x, ns, ms, dtype=F64)
+        # linear data preserved by every config
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.broadcast_to(np.arange(100.0),
+                                                   (8, 100)), atol=1e-7)
