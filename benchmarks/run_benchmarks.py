@@ -1,0 +1,185 @@
+"""Benchmark harness: the five BASELINE.json configs on real hardware.
+
+Prints one JSON line per config. Run on the TPU host:
+
+    python benchmarks/run_benchmarks.py [--configs 1,2,3,4,5] [--quick]
+
+Configs (BASELINE.json):
+  1. 1D batch smooth: 100k-sample noisy sine, n=12 m=4 d=0, polynomial
+     boundary, with scipy sgolayfilt-parity check.
+  2. Smoothed derivatives d=1/d=2 with time_step scaling across
+     reflect/periodic/constant boundaries.
+  3. Online streaming (lax.scan), fixed latency n, sweep n=1..32.
+  4. 2D: 2048x2048 image, 11x11 window, order-3 fit.
+  5. Batched multi-channel: 8192 channels x 1M samples (chunked to fit
+     HBM), fused on-device weight-gen + conv, vmapped (n,m) sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+import numpy as np
+
+
+def _t(fn, *args, iters=10, warmup=2):
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(name, **kw):
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def bench_1(quick):
+    import jax, jax.numpy as jnp
+    import savgol_tpu as sg
+
+    rng = np.random.default_rng(0)
+    N = 100_000
+    t = np.linspace(0, 4 * np.pi, N)
+    x = (np.sin(t) + 0.1 * rng.standard_normal(N)).astype(np.float32)
+    flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+    res = {}
+    for path, kw in [("xla", {}), ("pallas", {"use_pallas": True})]:
+        fn = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
+        secs = _t(fn, jnp.asarray(x)[None, :], iters=5 if quick else 20)
+        res[path] = N / secs / 1e9
+    err = None
+    try:
+        from scipy.signal import savgol_filter
+        ours = np.asarray(jax.jit(flt.apply)(jnp.asarray(x)))
+        ref = savgol_filter(x.astype(np.float64), 25, 4, mode="interp")
+        err = float(np.abs(ours - ref).max())
+    except Exception:
+        pass
+    _emit("1_batch_smooth_100k", gsamples_s=res,
+          max_abs_err_vs_sgolayfilt=err)
+
+
+def bench_2(quick):
+    import jax, jax.numpy as jnp
+    import savgol_tpu as sg
+
+    rng = np.random.default_rng(1)
+    B, N = 64, 262_144
+    x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    out = {}
+    for d in (1, 2):
+        for bm in (sg.BoundaryMode.REFLECT, sg.BoundaryMode.PERIODIC,
+                   sg.BoundaryMode.CONSTANT):
+            flt = sg.Savgol1D.create(
+                sg.SavgolConfig(12, 4, d, time_step=0.01, boundary=bm),
+                dtype=jnp.float32)
+            fn = jax.jit(lambda v, flt=flt: flt.apply(v, use_pallas=True))
+            secs = _t(fn, x, iters=3 if quick else 10)
+            out[f"d{d}_{bm.value}"] = round(B * N / secs / 1e9, 3)
+    _emit("2_derivatives_boundaries", gsamples_s=out)
+
+
+def bench_3(quick):
+    import jax, jax.numpy as jnp
+    import savgol_tpu as sg
+
+    rng = np.random.default_rng(2)
+    T = 16_384 if quick else 65_536
+    x = jnp.asarray(rng.standard_normal(T), dtype=jnp.float32)
+    out = {}
+    ns = (1, 4, 12, 32) if quick else (1, 2, 4, 8, 12, 16, 24, 32)
+    for n in ns:
+        m = min(3, 2 * n)
+        flt = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=jnp.float32)
+
+        def fn(v, flt=flt, n=n):
+            return sg.stream_apply(v, flt.center_weights,
+                                   flt.edge_weights, half_window=n,
+                                   dt_inv=flt.dt_inv)
+
+        secs = _t(jax.jit(fn), x, iters=3 if quick else 10)
+        out[f"n{n}"] = round(T / secs / 1e6, 3)
+    _emit("3_streaming_scan", msamples_s=out, latency="half_window",
+          note="sequential scan is latency-bound by design; batch path is "
+               "the throughput route")
+
+
+def bench_4(quick):
+    import jax, jax.numpy as jnp
+    import savgol_tpu as sg
+    from savgol_tpu.ops import pallas_conv as pc
+
+    rng = np.random.default_rng(3)
+    B = 2 if quick else 4
+    img = jnp.asarray(rng.standard_normal((B, 2048, 2048)),
+                      dtype=jnp.float32)
+    f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
+    res = {}
+    fn = jax.jit(lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT))
+    res["xla"] = B * 2048 * 2048 / _t(fn, img, iters=3 if quick else 10) / 1e9
+    imgp = jnp.asarray(rng.standard_normal((B, 2058, 2058)),
+                       dtype=jnp.float32)
+    fnp = jax.jit(lambda v: pc.correlate2d_valid_pallas(v, f2.weights))
+    res["pallas"] = (B * 2048 * 2048
+                     / _t(fnp, imgp, iters=3 if quick else 10) / 1e9)
+    _emit("4_2d_2048_11x11_order3", gpix_s={k: round(v, 3)
+                                            for k, v in res.items()})
+
+
+def bench_5(quick):
+    import jax, jax.numpy as jnp
+    import savgol_tpu as sg
+    from savgol_tpu.ops.sweep import savgol_apply_sweep
+
+    rng = np.random.default_rng(4)
+    # 8192 channels x 1M samples = 32 GB f32 — stream it through the chip
+    # in HBM-sized chunks; throughput is what matters.
+    chan_chunk = 64 if quick else 256
+    N = 1_048_576
+    total_channels = 512 if quick else 8192
+    x = jnp.asarray(rng.standard_normal((chan_chunk, N)), dtype=jnp.float32)
+    flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+    fn = jax.jit(lambda v: flt.apply(v, use_pallas=True))
+    secs_chunk = _t(fn, x, iters=3 if quick else 10)
+    n_chunks = total_channels // chan_chunk
+    total_s = secs_chunk * n_chunks
+    gsps = total_channels * N / total_s / 1e9
+
+    # vmapped (n, m) sweep with fused on-device weight gen
+    xs = jnp.asarray(rng.standard_normal(N // 8), dtype=jnp.float32)
+    ns = jnp.asarray([4, 8, 12, 16, 24, 32])
+    ms = jnp.asarray([2, 3, 4, 4, 5, 6])
+    fsw = jax.jit(lambda v: savgol_apply_sweep(v, ns, ms))
+    secs_sw = _t(fsw, xs, iters=3 if quick else 10)
+    _emit("5_multichannel_8192x1M", gsamples_s=round(gsps, 3),
+          chunk=[chan_chunk, N], chunks=n_chunks,
+          sweep_6cfg_gsamples_s=round(6 * xs.size / secs_sw / 1e9, 3))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    import jax
+    print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
+    table = {"1": bench_1, "2": bench_2, "3": bench_3, "4": bench_4,
+             "5": bench_5}
+    for c in args.configs.split(","):
+        table[c.strip()](args.quick)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,7 @@ VPU in true f32 and is both exact and fast.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -101,6 +102,63 @@ def correlate_valid(x: jax.Array, w: jax.Array,
     return out.reshape(batch_shape + (n_in - ws + 1,))
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_poly_diff(n: int, lead_sign: float):
+    """Differentiable wrapper for the fused Pallas polynomial apply.
+
+    Pallas kernels have no autodiff rules; the filter is (bi)linear in
+    (x, weights), so the backward pass is the VJP of the XLA twin — exact
+    up to f32 rounding, costing one XLA apply per cotangent."""
+
+    def xla_poly(x, cw, ew, dt_inv):
+        ws = 2 * n + 1
+        N = x.shape[-1]
+        center = correlate_valid(x, cw)
+        ewc = ew.astype(x.dtype)
+        lead = jnp.einsum("ek,...k->...e", ewc, x[..., :ws][..., ::-1],
+                          precision=lax.Precision.HIGHEST) * lead_sign
+        trail = jnp.einsum("ek,...k->...e", ewc, x[..., N - ws:],
+                           precision=lax.Precision.HIGHEST)[..., ::-1]
+        y = jnp.concatenate([lead, center, trail], axis=-1)
+        return y * jnp.asarray(dt_inv, dtype=x.dtype)
+
+    @jax.custom_vjp
+    def op(x, cw, ew, dt_inv):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.savgol_polynomial_pallas(
+            x, cw, ew, n, dt_inv, lead_sign=lead_sign)
+
+    def fwd(x, cw, ew, dt_inv):
+        return op(x, cw, ew, dt_inv), (x, cw, ew, dt_inv)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(xla_poly, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_corr_diff(precision_unused=None):
+    """Differentiable wrapper for the Pallas valid correlation."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.correlate_valid_pallas(x, w)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _move_axis_last(x, axis):
     axis = axis % x.ndim
     if axis == x.ndim - 1:
@@ -147,9 +205,9 @@ def savgol_apply_core(
 
     if boundary is BoundaryMode.POLYNOMIAL:
         if use_pallas:
-            from savgol_tpu.ops import pallas_conv
-            return pallas_conv.savgol_polynomial_pallas(
-                x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign)
+            op = _pallas_poly_diff(n, lead_sign)
+            return op(x, center_w, edge_w,
+                      jnp.asarray(dt_inv, dtype=x.dtype))
         center = correlate_valid(x, center_w, precision)   # (..., N - 2n)
         ew = edge_w.astype(x.dtype)
         # Leading: out[e] = sum_k ew[e, k] * x[ws-1-k]  (reversed window)
@@ -166,8 +224,7 @@ def savgol_apply_core(
         pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
         xp = jnp.pad(x, pad, mode=mode)
         if use_pallas:
-            from savgol_tpu.ops import pallas_conv
-            y = pallas_conv.correlate_valid_pallas(xp, center_w)
+            y = _pallas_corr_diff()(xp, center_w)
         else:
             y = correlate_valid(xp, center_w, precision)
     return y * jnp.asarray(dt_inv, dtype=x.dtype)
@@ -221,8 +278,7 @@ def savgol_apply_valid(
             f"data length ({xl.shape[-1]}) must be >= window size ({ws})")
     xl = _ensure_float(xl, center_w)
     if use_pallas:
-        from savgol_tpu.ops import pallas_conv
-        y = pallas_conv.correlate_valid_pallas(xl, center_w)
+        y = _pallas_corr_diff()(xl, center_w)
     else:
         y = correlate_valid(xl, center_w, precision)
     y = y * jnp.asarray(dt_inv, dtype=x.dtype)

@@ -140,3 +140,44 @@ class TestCorr2D:
         with pytest.raises(ValueError, match="halo"):
             pc.correlate2d_valid_pallas(rand((40, 40)), rand((35, 11)),
                                         interpret=True)
+
+
+class TestPallasDifferentiability:
+    def test_grad_through_pallas_poly(self):
+        """use_pallas forward is Pallas; backward routes through the XLA
+        twin's VJP (the op is linear) — grads must match the XLA path."""
+        f = sg.Savgol1D.create(sg.SavgolConfig(6, 3, 1), dtype=F32)
+        x = rand((2, 300))
+
+        def loss_pl(v):
+            return jnp.sum(f.apply(v, use_pallas=True) ** 2)
+
+        def loss_xla(v):
+            return jnp.sum(f.apply(v) ** 2)
+
+        g_pl = np.asarray(jax.grad(loss_pl)(x))
+        g_xla = np.asarray(jax.grad(loss_xla)(x))
+        np.testing.assert_allclose(g_pl, g_xla, atol=1e-3, rtol=1e-4)
+
+    def test_grad_through_pallas_padded(self):
+        f = sg.Savgol1D.create(
+            sg.SavgolConfig(5, 2, boundary=sg.BoundaryMode.REFLECT),
+            dtype=F32)
+        x = rand((256,))
+        g_pl = np.asarray(jax.grad(
+            lambda v: jnp.sum(f.apply(v, use_pallas=True)))(x))
+        g_xla = np.asarray(jax.grad(lambda v: jnp.sum(f.apply(v)))(x))
+        np.testing.assert_allclose(g_pl, g_xla, atol=1e-4)
+
+    def test_grad_wrt_weights(self):
+        """Bilinearity: weight gradients flow too."""
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F32)
+        x = rand((200,))
+
+        def loss(cw):
+            from savgol_tpu.ops.apply import savgol_apply
+            return jnp.sum(savgol_apply(
+                x, cw, f.edge_weights, half_window=4, use_pallas=True))
+
+        g = np.asarray(jax.grad(loss)(f.center_weights))
+        assert np.isfinite(g).all() and (np.abs(g) > 0).any()
