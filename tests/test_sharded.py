@@ -109,3 +109,36 @@ class TestDataParallelOnly:
         f = sg.Savgol1D.create(sg.SavgolConfig(6, 3), dtype=F64)
         got = np.asarray(jax.jit(f.apply)(xs))
         np.testing.assert_allclose(got, np.asarray(f.apply(x)), atol=1e-12)
+
+
+class TestSharded2D:
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.VALID])
+    def test_matches_single_device_2d(self, mesh8, boundary):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.standard_normal((64, 40)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2), dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            img, f2.weights, mesh=mesh8, boundary=boundary,
+            scale=f2.scale))
+        want = np.asarray(f2.apply(img, boundary=boundary))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_batched_2d_on_2x4(self, mesh2x4):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(6)
+        imgs = jnp.asarray(rng.standard_normal((4, 32, 24)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            imgs, f2.weights, mesh=mesh2x4, scale=f2.scale))
+        want = np.asarray(f2.apply(imgs))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_row_shard_too_small(self, mesh8):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        with pytest.raises(ValueError, match="window height"):
+            apply2d_sharded(jnp.zeros((16, 40), dtype=F64), f2.weights,
+                            mesh=mesh8, scale=f2.scale)
