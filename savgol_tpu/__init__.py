@@ -49,11 +49,15 @@ from savgol_tpu.ops.weights import (
     savgol_weights_np,
 )
 from savgol_tpu.stream import (
+    ChunkState,
     StreamState,
+    chunk_init,
     stream_apply,
     stream_flush,
+    stream_flush_chunked,
     stream_flush_leading,
     stream_init,
+    stream_process_chunk,
     stream_push,
     stream_push_full,
     stream_reset,
@@ -73,5 +77,6 @@ __all__ = [
     "savgol2d_laplacian",
     "StreamState", "stream_init", "stream_reset", "stream_push",
     "stream_push_full", "stream_flush", "stream_flush_leading",
-    "stream_apply",
+    "stream_apply", "ChunkState", "chunk_init", "stream_process_chunk",
+    "stream_flush_chunked",
 ]

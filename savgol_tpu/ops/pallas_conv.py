@@ -165,6 +165,7 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
         lead = jax.lax.dot_general(
             first, ewl_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )                                          # (rows, n)
         o_ref[:, 0:n] = lead.astype(o_ref.dtype)
@@ -176,6 +177,7 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
         trail = jax.lax.dot_general(
             last, ewt_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         o_ref[:, tail_out:tail_out + n] = trail.astype(o_ref.dtype)
@@ -297,8 +299,8 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # 2D valid correlation
 # ---------------------------------------------------------------------------
 
-_ROWS2D = 128
-_COLS2D = 512
+_ROWS2D = 64
+_COLS2D = 256
 _HALO_R = 32   # >= 2 * MAX_HALF_WINDOW_2D (16), multiple of 8 sublanes
 
 
@@ -308,12 +310,18 @@ def _corr2d_kernel(w_ref, x_ref, right_ref, bot_ref, corner_ref, o_ref,
     bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
     xw = jnp.concatenate([top, bottom], axis=0)
     r, c = o_ref.shape[1], o_ref.shape[2]
-    acc = w_ref[0, 0] * xw[0:r, 0:c]
-    for wy in range(wh):
+
+    # Loop over stencil rows with fori_loop (bounds the number of live
+    # temporaries — a fully unrolled 33x33 stencil blows the 16 MB scoped
+    # VMEM limit); lanes (wx taps) stay unrolled for the VPU.
+    def row_body(wy, acc):
+        slab = jax.lax.dynamic_slice(xw, (wy, 0), (r, c + ww - 1))
         for wx in range(ww):
-            if wy == 0 and wx == 0:
-                continue
-            acc += w_ref[wy, wx] * xw[wy:wy + r, wx:wx + c]
+            acc = acc + w_ref[wy, wx] * slab[:, wx:wx + c]
+        return acc
+
+    acc = jnp.zeros((r, c), dtype=o_ref.dtype)
+    acc = jax.lax.fori_loop(0, wh, row_body, acc)
     o_ref[0] = acc
 
 

@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "StreamState",
@@ -285,3 +286,114 @@ def stream_apply(
     head = emitted[ws - 1]                 # n leading + first center
     steady = emitted[ws:, 0]               # one center per later push
     return jnp.concatenate([head, steady, tail], axis=-1)
+
+
+class ChunkState(NamedTuple):
+    """Carry for chunked streaming: the last 2n+1 samples + counters."""
+
+    tail: jax.Array              # (2n+1,) most recent samples, oldest first
+    samples_received: jax.Array  # i32
+    samples_output: jax.Array    # i32
+
+
+def chunk_init(half_window: int, dtype=jnp.float32) -> ChunkState:
+    """Fresh chunked-streaming state."""
+    return ChunkState(
+        tail=jnp.zeros((2 * half_window + 1,), dtype=dtype),
+        samples_received=jnp.zeros((), dtype=jnp.int32),
+        samples_output=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def stream_process_chunk(
+    state: ChunkState,
+    chunk: jax.Array,
+    center_w: jax.Array,
+    edge_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+    lead_sign: float = 1.0,
+) -> Tuple[ChunkState, jax.Array, jax.Array]:
+    """High-throughput streaming: process a whole chunk per call.
+
+    Semantically equivalent to calling :func:`stream_push_full` for every
+    sample of ``chunk`` (same emission schedule: nothing until 2n+1 samples
+    arrive, then the n leading-edge values + first center, then one center
+    per sample) but vectorized — per-chunk cost is one valid correlation
+    instead of a sequential scan, so throughput matches the batch path
+    while latency stays bounded by chunk size + half_window. This is the
+    TPU-native answer to the survey's streaming-scan hard part: the
+    per-sample lax.scan path is exact but latency-bound; this path trades
+    sample-level for chunk-level latency at full VPU throughput.
+
+    Returns ``(state, outputs, count)``; ``outputs`` has fixed shape
+    ``(len(chunk) + half_window + 1,)``, only ``outputs[:count]`` is
+    meaningful. Finish the stream with :func:`stream_flush_chunked`.
+    """
+    from savgol_tpu.ops.apply import correlate_valid
+
+    ws = state.tail.shape[0]
+    n = (ws - 1) // 2
+    C = chunk.shape[0]
+    chunk = chunk.astype(state.tail.dtype)
+    dt = jnp.asarray(dt_inv, dtype=state.tail.dtype)
+    t0 = state.samples_received
+    t1 = t0 + C
+
+    # ext[i] = stream sample t0 - ws + i (zeros where negative), len ws + C
+    ext = jnp.concatenate([state.tail, chunk])
+    # Window starting at ext index i is centered at p(i) = t0 - n - 1 + i;
+    # centers[i] = filtered value at position p(i), i = 0..C.
+    centers = correlate_valid(ext[None, :], center_w)[0] * dt   # (C + 1,)
+
+    # Emission schedule: center p is emitted once p + n + 1 samples exist,
+    # i.e. this chunk emits p in [max(n, t0 - n), t1 - 1 - n].
+    first_center = jnp.maximum(t0 - n, n)
+    n_centers = jnp.clip(t1 - n - first_center, 0, C)
+    crossed = jnp.logical_and(t0 < ws, t1 >= ws)
+    n_lead = jnp.where(crossed, n, 0)
+    count = n_lead + n_centers
+
+    # Leading-edge values (only meaningful when crossing the fill point):
+    # need the first ws stream samples, at ext positions [ws - t0, ...).
+    start = jnp.clip(ws - t0, 0, ws)
+    first_win = lax.dynamic_slice(ext, (start,), (ws,))
+    lead = jnp.einsum("ek,k->e", edge_w.astype(ext.dtype), first_win[::-1],
+                      precision=jax.lax.Precision.HIGHEST)
+    lead = lead * dt * jnp.asarray(lead_sign, dtype=ext.dtype)
+
+    # Assemble: out[j] = lead[j] for j < n_lead, else
+    # centers[coff + j - n_lead] where coff maps first_center into centers.
+    coff = first_center - (t0 - n - 1)
+    idx = jnp.arange(C + n + 1)
+    src = jnp.clip(coff + idx - n_lead, 0, C)
+    vals = jnp.take(centers, src)
+    lead_pad = jnp.concatenate([lead, jnp.zeros((C + 1,), dtype=ext.dtype)])
+    out = jnp.where(idx < n_lead, lead_pad[jnp.clip(idx, 0, n - 1) if n > 0
+                                           else idx], vals)
+    out = jnp.where(idx < count, out, 0.0)
+
+    state = ChunkState(
+        tail=ext[-ws:],
+        samples_received=t1.astype(jnp.int32),
+        samples_output=(state.samples_output + count).astype(jnp.int32),
+    )
+    return state, out, count
+
+
+def stream_flush_chunked(
+    state: ChunkState,
+    edge_w: jax.Array,
+    dt_inv: float | jax.Array = 1.0,
+) -> Tuple[ChunkState, jax.Array, jax.Array]:
+    """Trailing-edge flush for the chunked stream (mirrors
+    :func:`stream_flush`): up to n outputs over the last full window."""
+    ws = state.tail.shape[0]
+    n = (ws - 1) // 2
+    ready = state.samples_received >= ws
+    dt = jnp.asarray(dt_inv, dtype=state.tail.dtype)
+    trail = _trailing_outputs(state.tail, edge_w, dt)
+    outputs = jnp.where(ready, trail, jnp.zeros_like(trail))
+    count = jnp.where(ready, n, 0)
+    state = state._replace(
+        samples_output=(state.samples_output + count).astype(jnp.int32))
+    return state, outputs, count

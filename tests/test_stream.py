@@ -3,6 +3,7 @@ readiness gating (:71-97), conservation (:99-138, :277-304), streaming ==
 batch golden cross-check (:140-189), derivative on ramp (:191-224),
 reset/reuse (:226-248), flush clamping (:250-275)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -220,3 +221,88 @@ class TestFunctionalAPI:
         st = fs.stream_init(4)
         leaves = jax.tree_util.tree_leaves(st)
         assert len(leaves) == 4
+
+
+class TestChunkedStreaming:
+    """Chunked streaming: vectorized push_full-equivalent emission."""
+
+    @pytest.mark.parametrize("n,m,T,C", [(6, 3, 200, 32), (5, 2, 101, 17),
+                                         (12, 4, 500, 128), (3, 2, 25, 7),
+                                         (1, 1, 10, 3), (32, 6, 300, 70)])
+    def test_matches_batch(self, n, m, T, C):
+        rng = np.random.default_rng(0)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+        x = rng.standard_normal(T)
+        st = fs.chunk_init(n, dtype=F64)
+        outs = []
+        for i in range(0, T, C):
+            ch = jnp.asarray(x[i:i + C], dtype=F64)
+            st, o, c = fs.stream_process_chunk(
+                st, ch, f.center_weights, f.edge_weights, f.dt_inv)
+            outs.extend(np.asarray(o)[:int(c)].tolist())
+        st, o, c = fs.stream_flush_chunked(st, f.edge_weights, f.dt_inv)
+        outs.extend(np.asarray(o)[:int(c)].tolist())
+        assert len(outs) == T, "conservation"
+        want = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        np.testing.assert_allclose(np.array(outs), want, atol=1e-10)
+
+    def test_matches_push_full_emission_schedule(self):
+        """Chunked and per-sample paths emit identical prefixes after every
+        chunk boundary (not just at the end)."""
+        n, m, C = 4, 2, 5
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(37)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+        st_c = fs.chunk_init(n, dtype=F64)
+        st_p = fs.stream_init(n, dtype=F64)
+        got_c, got_p = [], []
+        for i in range(0, 35, C):
+            ch = jnp.asarray(x[i:i + C], dtype=F64)
+            st_c, o, cnt = fs.stream_process_chunk(
+                st_c, ch, f.center_weights, f.edge_weights, f.dt_inv)
+            got_c.extend(np.asarray(o)[:int(cnt)].tolist())
+            for v in x[i:i + C]:
+                st_p, o2, c2 = fs.stream_push_full(
+                    st_p, v, f.center_weights, f.edge_weights, f.dt_inv)
+                got_p.extend(np.asarray(o2)[:int(c2)].tolist())
+            np.testing.assert_allclose(np.array(got_c), np.array(got_p),
+                                       atol=1e-10)
+            assert int(st_c.samples_output) == int(st_p.samples_output)
+
+    def test_under_scan(self):
+        """Chunked state is a pytree: whole pipelines scan over chunks."""
+        n, m, C = 6, 3, 25
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(500)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+        chunks = jnp.asarray(x.reshape(-1, C), dtype=F64)
+
+        def body(st, ch):
+            st, o, c = fs.stream_process_chunk(
+                st, ch, f.center_weights, f.edge_weights, f.dt_inv)
+            return st, (o, c)
+
+        st, (os_, cs) = jax.lax.scan(body, fs.chunk_init(n, dtype=F64),
+                                     chunks)
+        outs = []
+        for o, c in zip(np.asarray(os_), np.asarray(cs)):
+            outs.extend(o[:int(c)].tolist())
+        st, o, c = fs.stream_flush_chunked(st, f.edge_weights, f.dt_inv)
+        outs.extend(np.asarray(o)[:int(c)].tolist())
+        want = np.asarray(f.apply(jnp.asarray(x, dtype=F64)))
+        np.testing.assert_allclose(np.array(outs), want, atol=1e-10)
+
+    def test_derivative_lead_sign(self):
+        n, m = 5, 2
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, 1), dtype=F64)
+        x = 3.0 * np.arange(40)
+        st = fs.chunk_init(n, dtype=F64)
+        outs = []
+        for i in range(0, 40, 8):
+            st, o, c = fs.stream_process_chunk(
+                st, jnp.asarray(x[i:i + 8], dtype=F64), f.center_weights,
+                f.edge_weights, f.dt_inv, lead_sign=-1.0)
+            outs.extend(np.asarray(o)[:int(c)].tolist())
+        st, o, c = fs.stream_flush_chunked(st, f.edge_weights, f.dt_inv)
+        outs.extend(np.asarray(o)[:int(c)].tolist())
+        np.testing.assert_allclose(outs, 3.0, atol=1e-9)
