@@ -74,6 +74,30 @@ def correlate2d_valid(x: jax.Array, w: jax.Array,
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_corr2d_diff():
+    """Differentiable wrapper for the Pallas 2D stencil kernel (backward
+    pass = VJP of the XLA conv; the op is bilinear)."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.correlate2d_valid_pallas(x, w)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate2d_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _pad2d(x: jax.Array, ny: int, nx: int, boundary: Boundary2D) -> jax.Array:
     mode = _PAD_MODE_2D[boundary]
     pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
@@ -86,18 +110,24 @@ def savgol2d_apply(
     *,
     boundary: Boundary2D = Boundary2D.CONSTANT,
     scale: float | jax.Array = 1.0,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Apply a (H, W) 2D stencil over the last two axes of ``x``.
 
     VALID shrinks the output; CONSTANT/REFLECT keep the input shape.
     Mirrors ``savgol2d_apply`` / ``savgol2d_apply_valid``
-    (src/savgol2d.c:356-456).
+    (src/savgol2d.c:356-456). ``use_pallas`` routes the correlation through
+    the VPU stencil kernel (exact f32; forward-only autodiff via the XLA
+    twin's VJP).
     """
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
-    y = correlate2d_valid(x, weights)
+    if use_pallas:
+        y = _pallas_corr2d_diff()(x, weights)
+    else:
+        y = correlate2d_valid(x, weights)
     return y * jnp.asarray(scale, dtype=x.dtype)
 
 

@@ -181,3 +181,24 @@ class TestPallasDifferentiability:
 
         g = np.asarray(jax.grad(loss)(f.center_weights))
         assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+
+class TestPallas2DIntegration:
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.VALID,
+                                          sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT])
+    def test_savgol2d_use_pallas(self, boundary):
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(4, 3, 3, deriv_x=1),
+                                dtype=F32)
+        x = rand((2, 60, 70))
+        got = np.asarray(f2.apply(x, boundary=boundary, use_pallas=True))
+        want = np.asarray(f2.apply(x, boundary=boundary))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    def test_grad_2d_pallas(self):
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F32)
+        x = rand((40, 40))
+        g_pl = np.asarray(jax.grad(
+            lambda v: jnp.sum(f2.apply(v, use_pallas=True)))(x))
+        g_xla = np.asarray(jax.grad(lambda v: jnp.sum(f2.apply(v)))(x))
+        np.testing.assert_allclose(g_pl, g_xla, atol=1e-4)
