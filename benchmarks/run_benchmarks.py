@@ -112,8 +112,31 @@ def bench_3(quick):
         secs = _t(jax.jit(fn), x, iters=3 if quick else 10)
         out[f"n{n}"] = round(T / secs / 1e6, 3)
     _emit("3_streaming_scan", msamples_s=out, latency="half_window",
-          note="sequential scan is latency-bound by design; batch path is "
-               "the throughput route")
+          note="sequential scan is latency-bound by design; chunked mode "
+               "below is the throughput route")
+
+    # chunked streaming: batch-path throughput at chunk-bounded latency
+    from savgol_tpu import stream as fstream
+    n = 12
+    flt = sg.Savgol1D.create(sg.SavgolConfig(n, 4), dtype=jnp.float32)
+    C = 8192
+    chunks = jnp.asarray(
+        rng.standard_normal((64, C)), dtype=jnp.float32)
+
+    @jax.jit
+    def run_chunks(chs):
+        def body(st, ch):
+            st, o, c = fstream.stream_process_chunk(
+                st, ch, flt.center_weights, flt.edge_weights, flt.dt_inv)
+            return st, o
+        st, outs = jax.lax.scan(body, fstream.chunk_init(n, jnp.float32),
+                                chs)
+        return outs
+
+    secs = _t(run_chunks, chunks, iters=3 if quick else 10)
+    _emit("3b_streaming_chunked",
+          msamples_s=round(64 * C / secs / 1e6, 3),
+          chunk_size=C, latency_samples=C + n)
 
 
 def bench_4(quick):

@@ -107,6 +107,20 @@ class SavgolStream:
             max_count=max_count, lead_sign=self._lead_sign)
         return np.asarray(outs)[:int(count)]
 
+    def process_chunked(self, chunks):
+        """Generator-style chunked processing: yields output arrays per
+        chunk at batch-path throughput (see stream_process_chunk); call
+        with an iterable of 1D arrays, then consume the final flush."""
+        st = fstream.chunk_init(self.filter.half_window, dtype=self._dtype)
+        cw, ew = self.filter.center_weights, self.filter.edge_weights
+        for ch in chunks:
+            st, o, c = fstream.stream_process_chunk(
+                st, jnp.asarray(ch, dtype=self._dtype), cw, ew,
+                self.filter.dt_inv, lead_sign=self._lead_sign)
+            yield np.asarray(o)[:int(c)]
+        st, o, c = fstream.stream_flush_chunked(st, ew, self.filter.dt_inv)
+        yield np.asarray(o)[:int(c)]
+
     def process(self, x) -> jax.Array:
         """Whole-sequence online processing via ``lax.scan``; returns a
         same-length filtered array (does not mutate this object's state)."""

@@ -57,6 +57,7 @@ from savgol_tpu.config import BoundaryMode
 
 __all__ = [
     "correlate_valid",
+    "correlate_valid_mxu",
     "savgol_apply_core",
     "savgol_apply",
     "savgol_apply_valid",
@@ -183,6 +184,7 @@ def savgol_apply_core(
     derivative: int = 0,
     reference_edge_sign: bool = False,
     use_pallas: bool = False,
+    method: str = "xla",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Filter the last axis of ``x``; same-length output.
@@ -191,7 +193,14 @@ def savgol_apply_core(
     for POLYNOMIAL boundary, ignored otherwise). ``half_window`` and
     ``derivative`` must be Python ints (static). Fully differentiable and
     vmappable.
+
+    ``method`` selects the compute path: "xla" (conv, HIGHEST precision),
+    "pallas" (fused VPU kernel — fastest exact-f32), or "mxu" (banded
+    matmuls on the systolic array). ``use_pallas=True`` is an alias for
+    method="pallas".
     """
+    if use_pallas:
+        method = "pallas"
     n = int(half_window)
     ws = 2 * n + 1
     N = x.shape[-1]
@@ -204,11 +213,12 @@ def savgol_apply_core(
         lead_sign = -1.0
 
     if boundary is BoundaryMode.POLYNOMIAL:
-        if use_pallas:
+        if method == "pallas":
             op = _pallas_poly_diff(n, lead_sign)
             return op(x, center_w, edge_w,
                       jnp.asarray(dt_inv, dtype=x.dtype))
-        center = correlate_valid(x, center_w, precision)   # (..., N - 2n)
+        corr = correlate_valid_mxu if method == "mxu" else correlate_valid
+        center = corr(x, center_w, precision)              # (..., N - 2n)
         ew = edge_w.astype(x.dtype)
         # Leading: out[e] = sum_k ew[e, k] * x[ws-1-k]  (reversed window)
         first = x[..., :ws][..., ::-1]
@@ -223,8 +233,10 @@ def savgol_apply_core(
         mode = _PAD_MODE[boundary]
         pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
         xp = jnp.pad(x, pad, mode=mode)
-        if use_pallas:
+        if method == "pallas":
             y = _pallas_corr_diff()(xp, center_w)
+        elif method == "mxu":
+            y = correlate_valid_mxu(xp, center_w, precision)
         else:
             y = correlate_valid(xp, center_w, precision)
     return y * jnp.asarray(dt_inv, dtype=x.dtype)
@@ -242,6 +254,7 @@ def savgol_apply(
     reference_edge_sign: bool = False,
     axis: int = -1,
     use_pallas: bool = False,
+    method: str = "xla",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Apply a precomputed Savitzky-Golay filter along ``axis`` of ``x``.
@@ -254,7 +267,7 @@ def savgol_apply(
     y = savgol_apply_core(
         xl, center_w, edge_w, half_window, boundary, dt_inv,
         derivative=derivative, reference_edge_sign=reference_edge_sign,
-        use_pallas=use_pallas, precision=precision)
+        use_pallas=use_pallas, method=method, precision=precision)
     return _restore_axis(y, moved)
 
 
@@ -266,10 +279,13 @@ def savgol_apply_valid(
     dt_inv: float | jax.Array = 1.0,
     axis: int = -1,
     use_pallas: bool = False,
+    method: str = "xla",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """VALID-mode apply: only positions with a full window; output length
     N - 2*half_window (src/savgolFilter.c:821-850)."""
+    if use_pallas:
+        method = "pallas"
     n = int(half_window)
     ws = 2 * n + 1
     xl, moved = _move_axis_last(x, axis)
@@ -277,9 +293,61 @@ def savgol_apply_valid(
         raise ValueError(
             f"data length ({xl.shape[-1]}) must be >= window size ({ws})")
     xl = _ensure_float(xl, center_w)
-    if use_pallas:
+    if method == "pallas":
         y = _pallas_corr_diff()(xl, center_w)
+    elif method == "mxu":
+        y = correlate_valid_mxu(xl, center_w, precision)
     else:
         y = correlate_valid(xl, center_w, precision)
     y = y * jnp.asarray(dt_inv, dtype=x.dtype)
     return _restore_axis(y, moved)
+
+
+def correlate_valid_mxu(x: jax.Array, w: jax.Array,
+                        precision=lax.Precision.HIGHEST) -> jax.Array:
+    """Valid cross-correlation as banded matmuls on the MXU.
+
+    The taps of a (2n+1)-point stencil only ever straddle two adjacent
+    128-column lane blocks, so the correlation factors into two STATIONARY
+    banded (128, 128) matrices:
+
+        out[b, i, p] = sum_q x[b, i, q] W1[q, p] + x[b, i+1, q] W2[q, p]
+        W1[q, p] = w[q - p]        (0 <= q - p <= 2n)
+        W2[q, p] = w[q + 128 - p]  (same band, wrapped into the next block)
+
+    On TPU this runs on the systolic array instead of the VPU: ~5x the
+    FLOPs of the direct method but ~16x the FLOP rate, and the band
+    matrices are reused across the whole array (weight-stationary). Exact
+    to HIGHEST-precision matmul accuracy (~1e-7 relative).
+    """
+    ws = w.shape[0]
+    if ws > 129:
+        raise ValueError("window too wide for the two-block band structure")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    n_out = N - ws + 1
+    xb = x.reshape((-1, N))
+    w = w.astype(x.dtype)
+
+    L = 128
+    nb = -(-n_out // L)                 # output blocks
+    total = (nb + 1) * L                # block-aligned input incl. spillover
+    xp = jnp.pad(xb, ((0, 0), (0, total - N)))
+    xblk = xp.reshape((xb.shape[0], nb + 1, L))
+
+    q = jnp.arange(L)[:, None]
+    p = jnp.arange(L)[None, :]
+    band1 = q - p
+    band2 = q + L - p
+    wpad = jnp.concatenate([w, jnp.zeros((1,), dtype=w.dtype)])
+    W1 = jnp.where((band1 >= 0) & (band1 < ws),
+                   wpad[jnp.clip(band1, 0, ws - 1)], 0.0).astype(x.dtype)
+    W2 = jnp.where((band2 >= 0) & (band2 < ws),
+                   wpad[jnp.clip(band2, 0, ws - 1)], 0.0).astype(x.dtype)
+
+    cur = xblk[:, :nb, :]
+    nxt = xblk[:, 1:nb + 1, :]
+    out = (jnp.einsum("biq,qp->bip", cur, W1, precision=precision)
+           + jnp.einsum("biq,qp->bip", nxt, W2, precision=precision))
+    out = out.reshape((xb.shape[0], nb * L))[:, :n_out]
+    return out.reshape(batch_shape + (n_out,))

@@ -277,3 +277,30 @@ class TestDtypePromotion:
         y = np.asarray(f.apply_valid(img))
         np.testing.assert_allclose(
             y, np.arange(25.0).reshape(5, 5)[1:-1, 1:-1], atol=1e-4)
+
+
+class TestMXUPath:
+    @pytest.mark.parametrize("boundary", list(sg.BoundaryMode))
+    def test_method_mxu_matches_xla(self, boundary):
+        rng = np.random.default_rng(20)
+        x = jnp.asarray(rng.standard_normal((3, 500)), dtype=F64)
+        f = make_filter(8, 3, 1, boundary=boundary)
+        got = np.asarray(f.apply(x, method="mxu"))
+        want = np.asarray(f.apply(x))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_valid_mxu(self):
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.standard_normal(300), dtype=F64)
+        f = make_filter(6, 3)
+        np.testing.assert_allclose(
+            np.asarray(f.apply_valid(x, method="mxu")),
+            np.asarray(f.apply_valid(x)), atol=1e-12)
+
+    def test_mxu_differentiable(self):
+        f = make_filter(4, 2)
+        x = jnp.asarray(np.arange(200.0), dtype=F64)
+        g = jax.grad(lambda v: jnp.sum(f.apply(v, method="mxu") ** 2))(x)
+        g2 = jax.grad(lambda v: jnp.sum(f.apply(v) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   atol=1e-10)

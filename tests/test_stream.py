@@ -306,3 +306,16 @@ class TestChunkedStreaming:
         st, o, c = fs.stream_flush_chunked(st, f.edge_weights, f.dt_inv)
         outs.extend(np.asarray(o)[:int(c)].tolist())
         np.testing.assert_allclose(outs, 3.0, atol=1e-9)
+
+
+class TestModelChunked:
+    def test_process_chunked_generator(self):
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(130)
+        s = make(5, 3)
+        outs = np.concatenate(list(s.process_chunked(
+            [x[i:i + 40] for i in range(0, 130, 40)])))
+        f = sg.Savgol1D.create(sg.SavgolConfig(5, 3), dtype=F64)
+        np.testing.assert_allclose(
+            outs, np.asarray(f.apply(jnp.asarray(x, dtype=F64))),
+            atol=1e-9)
