@@ -49,11 +49,13 @@ def main():
     fn_xla = jax.jit(lambda v: flt.apply(v))
     candidates["xla"] = _bench(fn_xla, x)
 
-    try:
-        fn_pl = jax.jit(lambda v: flt.apply(v, use_pallas=True))
-        candidates["pallas"] = _bench(fn_pl, x)
-    except Exception:
-        pass
+    for name, kw in (("pallas", dict(use_pallas=True)),
+                     ("mxu", dict(method="mxu"))):
+        try:
+            fn_c = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
+            candidates[name] = _bench(fn_c, x)
+        except Exception:
+            pass
 
     path, secs = min(candidates.items(), key=lambda kv: kv[1])
     gsps = B * N / secs / 1e9

@@ -31,7 +31,8 @@ from savgol_tpu.config import (
     num_terms_2d,
     smooth,
 )
-from savgol_tpu.models import Savgol1D, Savgol2D, SavgolStream
+from savgol_tpu.models import (Savgol1D, Savgol2D, SavgolBank,
+                               SavgolStream)
 from savgol_tpu.ops.apply import (
     savgol_apply,
     savgol_apply_valid,
@@ -69,7 +70,7 @@ __all__ = [
     "BoundaryMode", "Boundary2D", "SavgolConfig", "Savgol2DConfig",
     "MAX_HALF_WINDOW", "MAX_POLY_ORDER", "MAX_DERIVATIVE",
     "smooth", "deriv1", "deriv2", "num_terms_2d",
-    "Savgol1D", "Savgol2D", "SavgolStream",
+    "Savgol1D", "Savgol2D", "SavgolStream", "SavgolBank",
     "savgol_weights", "savgol_weights_np",
     "savgol2d_weights", "savgol2d_weights_np",
     "savgol_apply", "savgol_apply_valid",

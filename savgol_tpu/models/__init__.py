@@ -10,8 +10,9 @@ objects are read-only after construction — the JAX analog of the reference's
 registered as pytrees so they can be passed straight through jit/vmap/scan.
 """
 
+from savgol_tpu.models.bank import SavgolBank
 from savgol_tpu.models.filter1d import Savgol1D
 from savgol_tpu.models.filter2d import Savgol2D
 from savgol_tpu.models.streaming import SavgolStream
 
-__all__ = ["Savgol1D", "Savgol2D", "SavgolStream"]
+__all__ = ["Savgol1D", "Savgol2D", "SavgolStream", "SavgolBank"]

@@ -1,0 +1,71 @@
+"""Filter-bank tests: K filters over one window in one vmapped pass must
+match K independent applies exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import savgol_tpu as sg
+
+F64 = jnp.float64
+
+
+class TestBank:
+    def test_matches_independent_filters(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(300), dtype=F64)
+        cfgs = [sg.SavgolConfig(8, 4, 0),
+                sg.SavgolConfig(8, 4, 1, 0.5),
+                sg.SavgolConfig(8, 4, 2, 0.5),
+                sg.SavgolConfig(8, 3, 0)]
+        bank = sg.SavgolBank.create(cfgs, dtype=F64)
+        out = np.asarray(bank.apply(x))
+        assert out.shape == (4, 300)
+        for k, c in enumerate(cfgs):
+            f = sg.Savgol1D.create(c, dtype=F64)
+            np.testing.assert_allclose(out[k], np.asarray(f.apply(x)),
+                                       atol=1e-12, err_msg=str(c))
+
+    def test_smooth_and_derivatives(self):
+        bank = sg.SavgolBank.smooth_and_derivatives(6, 3, 2, dtype=F64)
+        x = jnp.asarray(0.5 * np.arange(60.0) ** 2, dtype=F64)
+        out = np.asarray(bank.apply(x))
+        np.testing.assert_allclose(out[0], np.asarray(x), atol=1e-8)
+        np.testing.assert_allclose(out[1], np.arange(60.0), atol=1e-7)
+        np.testing.assert_allclose(out[2], 1.0, atol=1e-7)
+
+    def test_batched_input(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((5, 200)), dtype=F64)
+        bank = sg.SavgolBank.smooth_and_derivatives(5, 3, 1, dtype=F64)
+        out = bank.apply(x)
+        assert out.shape == (2, 5, 200)
+
+    def test_mixed_window_rejected(self):
+        with pytest.raises(ValueError, match="share"):
+            sg.SavgolBank.create([sg.SavgolConfig(5, 3),
+                                  sg.SavgolConfig(6, 3)])
+
+    def test_empty_rejected(self):
+        with pytest.raises(ValueError):
+            sg.SavgolBank.create([])
+
+    def test_reference_edge_sign(self):
+        x = jnp.asarray(3.0 * np.arange(50), dtype=F64)
+        bank = sg.SavgolBank.create([sg.SavgolConfig(5, 2, 1)], dtype=F64)
+        y = np.asarray(bank.apply(x, reference_edge_sign=True))[0]
+        np.testing.assert_allclose(y[:5], -3.0, atol=1e-9)
+        y2 = np.asarray(bank.apply(x))[0]
+        np.testing.assert_allclose(y2, 3.0, atol=1e-9)
+
+    def test_padded_boundary_bank(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal(150), dtype=F64)
+        cfgs = [sg.SavgolConfig(6, 3, d, boundary=sg.BoundaryMode.REFLECT)
+                for d in (0, 1)]
+        bank = sg.SavgolBank.create(cfgs, dtype=F64)
+        out = np.asarray(bank.apply(x))
+        for k, c in enumerate(cfgs):
+            f = sg.Savgol1D.create(c, dtype=F64)
+            np.testing.assert_allclose(out[k], np.asarray(f.apply(x)),
+                                       atol=1e-12)
