@@ -98,8 +98,6 @@ def _corr1d_call(xpad, w, rows, cols, interpret):
         out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_out), xpad.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(w.reshape(1, ws), xpad, xpad)
 
@@ -262,8 +260,6 @@ def _sg1d_poly_call_v2(x, w, ewl, ewt, rows, cols, n, interpret):
         out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(w.reshape(1, ws), ewl, ewt, x, x, x)
 
@@ -304,8 +300,6 @@ def _sg1d_poly_call(xpad, w, ewl, ewt, rows, cols, n, n_real, interpret):
         out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_out_p), xpad.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(w.reshape(1, ws), ewl, ewt, xpad, xpad)
 
@@ -458,8 +452,6 @@ def _corr2d_call(xpad, w, rows, cols, interpret):
                                lambda b, ri, ci: (b, ri, ci),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(w, xpad, xpad, xpad, xpad)
 
