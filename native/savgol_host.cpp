@@ -93,9 +93,14 @@ struct Filter {
   Boundary boundary = kPolynomial;
   double dt_inv = 1.0;
   // weights[t][i]: t = 0 is the centered stencil; t = 1..n are the edge
-  // rows for target n - (t - 1).
+  // rows for target n - (t - 1). f64 masters (export/oracle accuracy) +
+  // f32 copies for the SIMD hot loops (the reference also convolves in
+  // f32, so accuracy parity is preserved).
   std::vector<double> center;             // width
   std::vector<double> edge;               // n * width (row e: target n - e)
+  std::vector<float> center_f;            // width
+  std::vector<float> edge_f;              // n * width
+  std::vector<float> edge_rev_f;          // n * width, columns reversed
 
   Filter(int half_window, int poly_order, int deriv, double time_step,
          Boundary b)
@@ -122,24 +127,40 @@ struct Filter {
         edge[static_cast<size_t>(e) * width + (i + n)] = we;
       }
     }
+    center_f.assign(center.begin(), center.end());
+    edge_f.assign(edge.begin(), edge.end());
+    edge_rev_f.resize(edge.size());
+    for (int e = 0; e < n; ++e)
+      for (int i = 0; i < width; ++i)
+        edge_rev_f[static_cast<size_t>(e) * width + i] =
+            static_cast<float>(edge[static_cast<size_t>(e) * width +
+                                    (width - 1 - i)]);
+  }
+
+  // SIMD-friendly f32 dot: 8 independent accumulator lanes (SLP-
+  // vectorizes under -O3 -march=native without -ffast-math), pairwise
+  // final reduction.
+  static float dot_f(const float* w, const float* x, int len) {
+    float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int i = 0;
+    for (; i + 8 <= len; i += 8)
+      for (int j = 0; j < 8; ++j) acc[j] += w[i + j] * x[i + j];
+    float tail = 0.0f;
+    for (; i < len; ++i) tail += w[i] * x[i];
+    return ((acc[0] + acc[1]) + (acc[2] + acc[3])) +
+           ((acc[4] + acc[5]) + (acc[6] + acc[7])) + tail;
   }
 
   double dot_center(const float* x) const {
-    double s = 0.0;
-    for (int i = 0; i < width; ++i) s += center[i] * x[i];
-    return s;
+    return dot_f(center_f.data(), x, width);
   }
   double dot_edge(int e, const float* x) const {
-    const double* w = edge.data() + static_cast<size_t>(e) * width;
-    double s = 0.0;
-    for (int i = 0; i < width; ++i) s += w[i] * x[i];
-    return s;
+    return dot_f(edge_f.data() + static_cast<size_t>(e) * width, x, width);
   }
   double dot_edge_rev(int e, const float* x_last) const {
-    const double* w = edge.data() + static_cast<size_t>(e) * width;
-    double s = 0.0;
-    for (int i = 0; i < width; ++i) s += w[i] * x_last[-i];
-    return s;
+    // reversed traversal = forward dot against column-reversed weights
+    return dot_f(edge_rev_f.data() + static_cast<size_t>(e) * width,
+                 x_last - width + 1, width);
   }
 };
 
@@ -171,8 +192,25 @@ int apply(const Filter& f, const float* in, float* out, int64_t len,
   if (len < f.width) return -1;
   const int n = f.n;
   const double dt = f.dt_inv;
-  // Interior.
-  for (int64_t j = n; j < len - n; ++j)
+  const float dtf = static_cast<float>(dt);
+  // Interior: vectorize ACROSS outputs (64-wide blocks; each tap is one
+  // broadcast-FMA over the block — no horizontal reductions, no tails in
+  // the hot loop). The per-output dot form leaves half the SIMD width idle
+  // on a 25-tap window.
+  constexpr int kBlock = 64;
+  const float* wf = f.center_f.data();
+  int64_t j = n;
+  for (; j + kBlock <= len - n; j += kBlock) {
+    float acc[kBlock] = {0};
+    const float* base = in + (j - n);
+    for (int k = 0; k < f.width; ++k) {
+      const float wk = wf[k];
+      const float* xk = base + k;
+      for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
+    }
+    for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
+  }
+  for (; j < len - n; ++j)
     out[j] = static_cast<float>(f.dot_center(in + j - n) * dt);
   if (f.boundary == kPolynomial) {
     const double lead_sign =
@@ -201,7 +239,20 @@ int64_t apply_valid(const Filter& f, const float* in, int64_t len,
                     float* out) {
   if (len < f.width) return 0;
   const int64_t out_len = len - 2 * f.n;
-  for (int64_t j = 0; j < out_len; ++j)
+  const float dtf = static_cast<float>(f.dt_inv);
+  constexpr int kBlock = 64;
+  const float* wf = f.center_f.data();
+  int64_t j = 0;
+  for (; j + kBlock <= out_len; j += kBlock) {
+    float acc[kBlock] = {0};
+    for (int k = 0; k < f.width; ++k) {
+      const float wk = wf[k];
+      const float* xk = in + j + k;
+      for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
+    }
+    for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
+  }
+  for (; j < out_len; ++j)
     out[j] = static_cast<float>(f.dot_center(in + j) * f.dt_inv);
   return out_len;
 }

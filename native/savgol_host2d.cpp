@@ -117,8 +117,27 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
            int64_t stride, float* out, int64_t out_stride, Boundary b) {
   const int nx = f.nx, ny = f.ny;
   if (b == kValid) {
+    // f32 weights + output-blocked inner loop (vectorizes across columns)
+    std::vector<float> wf(f.weights.begin(), f.weights.end());
+    const float sc = static_cast<float>(f.scale);
+    constexpr int kBlock = 64;
+    const int64_t out_cols = cols - 2 * nx;
     for (int64_t oy = 0; oy + 2 * ny < rows; ++oy) {
-      for (int64_t ox = 0; ox + 2 * nx < cols; ++ox) {
+      int64_t ox = 0;
+      for (; ox + kBlock <= out_cols; ox += kBlock) {
+        float acc[kBlock] = {0};
+        const float* wp = wf.data();
+        for (int wy = 0; wy < f.height; ++wy) {
+          const float* r = in + (oy + wy) * stride + ox;
+          for (int wx = 0; wx < f.width; ++wx) {
+            const float wk = *wp++;
+            for (int t = 0; t < kBlock; ++t) acc[t] += wk * r[wx + t];
+          }
+        }
+        float* o = out + oy * out_stride + ox;
+        for (int t = 0; t < kBlock; ++t) o[t] = acc[t] * sc;
+      }
+      for (; ox < out_cols; ++ox) {
         double s = 0.0;
         const double* w = f.weights.data();
         for (int wy = 0; wy < f.height; ++wy) {
@@ -130,8 +149,20 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
     }
     return;
   }
+  // Full-size output: interior pixels are a plain VALID stencil — reuse the
+  // blocked fast path for them; only the border ring needs per-tap index
+  // remapping.
+  if (rows > 2 * ny && cols > 2 * nx) {
+    apply(f, in, rows, cols, stride, out + ny * out_stride + nx,
+          out_stride, kValid);
+  }
   for (int64_t oy = 0; oy < rows; ++oy) {
+    const bool row_interior = (oy >= ny && oy < rows - ny);
     for (int64_t ox = 0; ox < cols; ++ox) {
+      if (row_interior && ox == nx && cols > 2 * nx) {
+        ox = cols - nx - 1;       // skip the interior span (already done)
+        continue;
+      }
       double s = 0.0;
       const double* w = f.weights.data();
       for (int wy = -ny; wy <= ny; ++wy) {
