@@ -13,9 +13,14 @@ window, order 3) in Gpix/s, accuracy vs scipy, and the path used.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# reuse Mosaic/XLA compiles across runs (first Pallas compile through the
+# remote tunnel is ~3 min; cached it is ~1 s)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def _bench(fn, *args, iters=20, warmup=3):
