@@ -86,7 +86,9 @@ class SavgolBank:
         """Apply all K filters; output shape (K,) + x.shape."""
         n = self.half_window
         boundary = self.configs[0].boundary
-        x = jnp.moveaxis(x, axis, -1) if axis not in (-1, x.ndim - 1) else x
+        moved = axis % x.ndim != x.ndim - 1
+        if moved:
+            x = jnp.moveaxis(x, axis, -1)
 
         def one(cw, ew, dt, sign):
             # fold the per-filter leading-edge sign into the edge matrix the
@@ -103,8 +105,11 @@ class SavgolBank:
 
         out = jax.vmap(one)(self.center_weights, self.edge_weights,
                             self.dt_inv, self.lead_signs)
-        if axis not in (-1, x.ndim - 1):
-            out = jnp.moveaxis(out, -1, axis if axis >= 0 else axis)
+        if moved:
+            # out has a leading K axis, so positive source positions shift
+            # by one; negative positions still index from the end.
+            target = axis + 1 if axis >= 0 else axis
+            out = jnp.moveaxis(out, -1, target)
         return out
 
     def __call__(self, x: jax.Array, **kw) -> jax.Array:

@@ -69,3 +69,27 @@ class TestBank:
             f = sg.Savgol1D.create(c, dtype=F64)
             np.testing.assert_allclose(out[k], np.asarray(f.apply(x)),
                                        atol=1e-12)
+
+
+class TestBankAxis:
+    def test_axis0(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((120, 4)), dtype=F64)
+        bank = sg.SavgolBank.smooth_and_derivatives(5, 3, 1, dtype=F64)
+        out = bank.apply(x, axis=0)
+        assert out.shape == (2, 120, 4)
+        f = sg.Savgol1D.create(sg.SavgolConfig(5, 3, 0), dtype=F64)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(f.apply(x, axis=0)),
+                                   atol=1e-12)
+
+    def test_axis_negative(self):
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((4, 120, 3)), dtype=F64)
+        bank = sg.SavgolBank.smooth_and_derivatives(4, 2, 1, dtype=F64)
+        out = bank.apply(x, axis=-2)
+        assert out.shape == (2, 4, 120, 3)
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2, 1), dtype=F64)
+        np.testing.assert_allclose(np.asarray(out[1]),
+                                   np.asarray(f.apply(x, axis=-2)),
+                                   atol=1e-12)
