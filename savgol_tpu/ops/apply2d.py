@@ -137,13 +137,19 @@ def savgol2d_apply_stack(
     *,
     boundary: Boundary2D = Boundary2D.CONSTANT,
     scales: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Apply K stencils (K, H, W) in one conv; output (..., K, R', C')."""
     H, W = weight_stack.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
-    y = correlate2d_valid(x, weight_stack)
+    if use_pallas:
+        op = _pallas_corr2d_diff()
+        y = jnp.stack([op(x, weight_stack[k])
+                       for k in range(weight_stack.shape[0])], axis=-3)
+    else:
+        y = correlate2d_valid(x, weight_stack)
     if scales is not None:
         y = y * jnp.asarray(scales, dtype=x.dtype)[..., :, None, None]
     return y
@@ -167,12 +173,13 @@ def savgol2d_gradient(
     x: jax.Array, half_window_x: int, half_window_y: int, poly_order: int,
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """(dI/dx, dI/dy) via one stacked conv (ref: src/savgol2d.c:462-499)."""
     W, s = _stencil_stack(half_window_x, half_window_y, poly_order,
                           [(1, 0), (0, 1)], delta_x, delta_y)
     y = savgol2d_apply_stack(x, jnp.asarray(W), boundary=boundary,
-                             scales=jnp.asarray(s))
+                             scales=jnp.asarray(s), use_pallas=use_pallas)
     return y[..., 0, :, :], y[..., 1, :, :]
 
 
@@ -180,6 +187,7 @@ def savgol2d_hessian(
     x: jax.Array, half_window_x: int, half_window_y: int, poly_order: int,
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(d2I/dx2, d2I/dxdy, d2I/dy2); requires poly_order >= 2
     (ref: src/savgol2d.c:501-558)."""
@@ -188,7 +196,7 @@ def savgol2d_hessian(
     W, s = _stencil_stack(half_window_x, half_window_y, poly_order,
                           [(2, 0), (1, 1), (0, 2)], delta_x, delta_y)
     y = savgol2d_apply_stack(x, jnp.asarray(W), boundary=boundary,
-                             scales=jnp.asarray(s))
+                             scales=jnp.asarray(s), use_pallas=use_pallas)
     return y[..., 0, :, :], y[..., 1, :, :], y[..., 2, :, :]
 
 
@@ -196,6 +204,7 @@ def savgol2d_laplacian(
     x: jax.Array, half_window_x: int, half_window_y: int, poly_order: int,
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Laplacian d2I/dx2 + d2I/dy2; since both stencils share the window the
     sum is folded into ONE stencil before the conv — one pass instead of the
@@ -205,4 +214,5 @@ def savgol2d_laplacian(
     W, s = _stencil_stack(half_window_x, half_window_y, poly_order,
                           [(2, 0), (0, 2)], delta_x, delta_y)
     fused = W[0] * s[0] + W[1] * s[1]
-    return savgol2d_apply(x, jnp.asarray(fused), boundary=boundary)
+    return savgol2d_apply(x, jnp.asarray(fused), boundary=boundary,
+                          use_pallas=use_pallas)

@@ -202,3 +202,16 @@ class TestPallas2DIntegration:
             lambda v: jnp.sum(f2.apply(v, use_pallas=True)))(x))
         g_xla = np.asarray(jax.grad(lambda v: jnp.sum(f2.apply(v)))(x))
         np.testing.assert_allclose(g_pl, g_xla, atol=1e-4)
+
+    def test_convenience_2d_pallas(self):
+        X, Y = np.meshgrid(np.arange(50.0), np.arange(40.0))
+        img = jnp.asarray(2 * X + 3 * Y, dtype=F32)
+        gx, gy = sg.savgol2d_gradient(img, 3, 3, 2,
+                                      boundary=sg.Boundary2D.VALID,
+                                      use_pallas=True)
+        np.testing.assert_allclose(np.asarray(gx), 2.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy), 3.0, atol=1e-4)
+        lap = sg.savgol2d_laplacian(
+            jnp.asarray(X ** 2 + 3 * Y ** 2, dtype=F32), 4, 4, 2,
+            boundary=sg.Boundary2D.VALID, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(lap), 8.0, atol=2e-3)
