@@ -201,6 +201,9 @@ def savgol_apply_core(
     """
     if use_pallas:
         method = "pallas"
+    if method not in ("xla", "pallas", "mxu"):
+        raise ValueError(
+            f"method must be 'xla', 'pallas' or 'mxu', got {method!r}")
     n = int(half_window)
     ws = 2 * n + 1
     N = x.shape[-1]
@@ -286,6 +289,9 @@ def savgol_apply_valid(
     N - 2*half_window (src/savgolFilter.c:821-850)."""
     if use_pallas:
         method = "pallas"
+    if method not in ("xla", "pallas", "mxu"):
+        raise ValueError(
+            f"method must be 'xla', 'pallas' or 'mxu', got {method!r}")
     n = int(half_window)
     ws = 2 * n + 1
     xl, moved = _move_axis_last(x, axis)

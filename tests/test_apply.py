@@ -304,3 +304,11 @@ class TestMXUPath:
         g2 = jax.grad(lambda v: jnp.sum(f.apply(v) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                    atol=1e-10)
+
+    def test_invalid_method_rejected(self):
+        f = make_filter(4, 2)
+        x = jnp.zeros(100, dtype=F64)
+        with pytest.raises(ValueError, match="method"):
+            f.apply(x, method="bogus")
+        with pytest.raises(ValueError, match="method"):
+            f.apply_valid(x, method="bogus")
