@@ -49,6 +49,7 @@ from savgol_tpu.ops.weights import (
     savgol_weights,
     savgol_weights_np,
 )
+from savgol_tpu.scipy_compat import savgol_coeffs, savgol_filter
 from savgol_tpu.stream import (
     ChunkState,
     StreamState,
@@ -74,6 +75,7 @@ __all__ = [
     "savgol_weights", "savgol_weights_np",
     "savgol2d_weights", "savgol2d_weights_np",
     "savgol_apply", "savgol_apply_valid",
+    "savgol_filter", "savgol_coeffs",
     "savgol2d_apply", "savgol2d_gradient", "savgol2d_hessian",
     "savgol2d_laplacian",
     "StreamState", "stream_init", "stream_reset", "stream_push",

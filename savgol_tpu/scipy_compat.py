@@ -1,0 +1,123 @@
+"""Drop-in scipy.signal compatibility layer.
+
+``savgol_filter`` / ``savgol_coeffs`` with scipy's exact signatures and mode
+names, computed by this framework (jit/vmap/shard-able, Pallas fast path,
+weights exact where scipy's lstsq loses precision). Lets scipy users switch
+with an import swap::
+
+    from savgol_tpu.scipy_compat import savgol_filter   # was scipy.signal
+
+Mode mapping (scipy name -> implementation):
+
+  * ``interp``   -> POLYNOMIAL edge fit (the reference's default)
+  * ``wrap``     -> PERIODIC
+  * ``nearest``  -> CONSTANT (edge replication)
+  * ``mirror``   -> reflect WITHOUT edge duplication (np.pad 'reflect') —
+                    an EXTENSION beyond the reference, whose REFLECT
+                    duplicates the edge sample
+  * ``constant`` -> pad with ``cval`` — also an extension
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from savgol_tpu.config import BoundaryMode, SavgolConfig
+from savgol_tpu.ops.apply import (_ensure_float, _move_axis_last,
+                                  _restore_axis, correlate_valid,
+                                  savgol_apply_core)
+from savgol_tpu.ops.weights import savgol_weights_np
+
+__all__ = ["savgol_coeffs", "savgol_filter"]
+
+_NATIVE_MODES = {
+    "interp": BoundaryMode.POLYNOMIAL,
+    "wrap": BoundaryMode.PERIODIC,
+    "nearest": BoundaryMode.CONSTANT,
+}
+
+
+def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, pos=None, use: str = "conv"):
+    """scipy.signal.savgol_coeffs equivalent (f64, Gram recurrence).
+
+    More accurate than scipy's lstsq construction at extreme configs
+    (verified against exact rational arithmetic at n=32, m=10, d=4 where
+    scipy is off by up to 6e-2).
+    """
+    if window_length % 2 != 1:
+        raise ValueError("window_length must be odd")
+    n = window_length // 2
+    cfg = SavgolConfig(n, polyorder, min(deriv, 4) if deriv <= 4 else deriv)
+    if deriv > 4:
+        raise ValueError("derivative orders above 4 are not supported")
+    center, edge = savgol_weights_np(cfg, dtype=np.float64)
+    if pos is None or pos == n:
+        w = center
+    else:
+        # weight row evaluating the fit at window position `pos`
+        # (reference edge rows cover pos > n; mirror for pos < n)
+        if not 0 <= pos < window_length:
+            raise ValueError("pos must be within the window")
+        if pos > n:
+            w = edge[2 * n - pos]
+        else:
+            w = edge[pos][::-1] * ((-1.0) ** deriv)
+    w = w / (delta ** deriv)
+    if use == "conv":
+        return w[::-1]
+    if use == "dot":
+        return w
+    raise ValueError("use must be 'conv' or 'dot'")
+
+
+def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
+                  delta: float = 1.0, axis: int = -1, mode: str = "interp",
+                  cval: float = 0.0, *, use_pallas: bool = False,
+                  method: str = "xla") -> jax.Array:
+    """scipy.signal.savgol_filter equivalent on the savgol_tpu stack."""
+    if window_length % 2 != 1:
+        raise ValueError("window_length must be odd")
+    n = window_length // 2
+    cfg = SavgolConfig(n, polyorder, deriv,
+                       time_step=delta if delta > 0 else 1.0)
+    center, edge = savgol_weights_np(cfg, dtype=np.float64)
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float32
+    cw = jnp.asarray(center, dtype=dtype)
+    ew = jnp.asarray(edge, dtype=dtype)
+    dt_inv = 1.0 / (float(delta) ** deriv)
+
+    if mode in _NATIVE_MODES:
+        xl, moved = _move_axis_last(x, axis)
+        y = savgol_apply_core(
+            xl, cw, ew, n, _NATIVE_MODES[mode], dt_inv, derivative=deriv,
+            use_pallas=use_pallas, method=method)
+        return _restore_axis(y, moved)
+
+    if mode not in ("mirror", "constant"):
+        raise ValueError(
+            f"mode must be one of interp/mirror/nearest/wrap/constant, "
+            f"got {mode!r}")
+
+    # Extension modes: pad explicitly, then valid-correlate.
+    xl, moved = _move_axis_last(x, axis)
+    xl = _ensure_float(xl, cw)
+    if xl.shape[-1] < window_length:
+        raise ValueError(
+            f"data length ({xl.shape[-1]}) must be >= window_length")
+    pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
+    if mode == "mirror":
+        xp = jnp.pad(xl, pad, mode="reflect")
+    else:
+        xp = jnp.pad(xl, pad, mode="constant",
+                     constant_values=jnp.asarray(cval, dtype=xl.dtype))
+    if use_pallas or method == "pallas":
+        from savgol_tpu.ops.apply import _pallas_corr_diff
+        y = _pallas_corr_diff()(xp, cw)
+    else:
+        y = correlate_valid(xp, cw)
+    y = y * jnp.asarray(dt_inv, dtype=xl.dtype)
+    return _restore_axis(y, moved)

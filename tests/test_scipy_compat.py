@@ -1,0 +1,95 @@
+"""scipy_compat: drop-in parity with scipy.signal across every mode,
+coefficient parity incl. the pos= argument, and the extension modes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.signal import savgol_coeffs as sp_coeffs
+from scipy.signal import savgol_filter as sp_filter
+
+from savgol_tpu.scipy_compat import savgol_coeffs, savgol_filter
+
+F64 = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def x():
+    return np.random.default_rng(0).standard_normal(400)
+
+
+class TestCoeffs:
+    @pytest.mark.parametrize("wl,po,d", [(25, 4, 0), (11, 3, 1), (17, 4, 2),
+                                         (5, 2, 0)])
+    def test_matches_scipy(self, wl, po, d):
+        ours = savgol_coeffs(wl, po, deriv=d)
+        ref = sp_coeffs(wl, po, deriv=d)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    @pytest.mark.parametrize("pos", [0, 3, 5, 8, 10])
+    def test_pos_argument(self, pos):
+        ours = savgol_coeffs(11, 3, deriv=1, pos=pos)
+        ref = sp_coeffs(11, 3, deriv=1, pos=pos)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    def test_delta_scaling(self):
+        ours = savgol_coeffs(11, 3, deriv=2, delta=0.5)
+        ref = sp_coeffs(11, 3, deriv=2, delta=0.5)
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+    def test_use_dot(self):
+        np.testing.assert_allclose(savgol_coeffs(9, 2, use="dot"),
+                                   sp_coeffs(9, 2, use="dot"), atol=1e-12)
+
+    def test_even_window_rejected(self):
+        with pytest.raises(ValueError, match="odd"):
+            savgol_coeffs(10, 2)
+
+
+class TestFilter:
+    @pytest.mark.parametrize("mode", ["interp", "mirror", "nearest",
+                                      "wrap", "constant"])
+    @pytest.mark.parametrize("wl,po,d", [(25, 4, 0), (11, 3, 1)])
+    def test_matches_scipy_all_modes(self, x, mode, wl, po, d):
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), wl, po, deriv=d, mode=mode))
+        ref = sp_filter(x, wl, po, deriv=d, mode=mode)
+        np.testing.assert_allclose(ours, ref, atol=1e-9,
+                                   err_msg=f"mode={mode}")
+
+    def test_constant_cval(self, x):
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), 15, 3, mode="constant", cval=2.5))
+        ref = sp_filter(x, 15, 3, mode="constant", cval=2.5)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    def test_delta(self, x):
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), 11, 3, deriv=1, delta=0.01))
+        ref = sp_filter(x, 11, 3, deriv=1, delta=0.01)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_axis(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((120, 5))
+        ours = np.asarray(savgol_filter(jnp.asarray(a, dtype=F64), 11, 3,
+                                        axis=0))
+        ref = sp_filter(a, 11, 3, axis=0)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    def test_bad_mode(self, x):
+        with pytest.raises(ValueError, match="mode"):
+            savgol_filter(jnp.asarray(x), 11, 3, mode="banana")
+
+    def test_pallas_path(self, x):
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=jnp.float32), 25, 4, mode="interp",
+            use_pallas=True))
+        ref = sp_filter(x.astype(np.float64), 25, 4, mode="interp")
+        assert np.abs(ours - ref).max() < 1e-5
+
+    def test_mirror_pallas(self, x):
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=jnp.float32), 11, 3, mode="mirror",
+            use_pallas=True))
+        ref = sp_filter(x.astype(np.float64), 11, 3, mode="mirror")
+        assert np.abs(ours - ref).max() < 1e-5
