@@ -312,3 +312,10 @@ class TestMXUPath:
             f.apply(x, method="bogus")
         with pytest.raises(ValueError, match="method"):
             f.apply_valid(x, method="bogus")
+
+    def test_method_auto_resolves(self):
+        # on CPU auto -> xla; result matches
+        f = make_filter(6, 3)
+        x = jnp.asarray(np.arange(120.0), dtype=F64)
+        np.testing.assert_array_equal(np.asarray(f.apply(x, method="auto")),
+                                      np.asarray(f.apply(x)))
