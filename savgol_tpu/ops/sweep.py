@@ -141,7 +141,7 @@ _PAD_MODE = {
 
 
 def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
-                      dt_inv, dtype):
+                      dt_inv, dtype, method: str = "auto"):
     """Apply a traced-(n, m) filter to x (..., N); same-length output."""
     d = int(derivative)
     center, lead_w, trail_w = savgol_weights_masked(n, m, d, dtype)
@@ -152,8 +152,14 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
     else:
         xp = jnp.pad(x, pad, mode=_PAD_MODE[boundary])
 
-    from savgol_tpu.ops.apply import correlate_valid
-    y = correlate_valid(xp, center)                 # (..., N)
+    from savgol_tpu.ops.apply import correlate_valid, correlate_valid_mxu
+    if method == "auto":
+        method = "mxu" if jax.default_backend() == "tpu" else "xla"
+    # The masked stencil is always 65 taps wide, so on TPU the banded-MXU
+    # formulation wins (and vmaps over configs as plain batched matmuls —
+    # the XLA conv would retrace/lower per vmap lane far less efficiently).
+    corr = correlate_valid_mxu if method == "mxu" else correlate_valid
+    y = corr(xp, center)                            # (..., N)
 
     if boundary is BoundaryMode.POLYNOMIAL:
         # lead window: xp slice centered at x[n] -> start n (in xp coords)
@@ -174,7 +180,7 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
 
 
 @functools.partial(jax.jit, static_argnames=("derivative", "boundary",
-                                             "dtype"))
+                                             "dtype", "method"))
 def savgol_apply_sweep(
     x: jax.Array,
     half_windows: jax.Array,
@@ -184,6 +190,7 @@ def savgol_apply_sweep(
     boundary: BoundaryMode = BoundaryMode.POLYNOMIAL,
     dt_inv=1.0,
     dtype=jnp.float32,
+    method: str = "auto",
 ) -> jax.Array:
     """Filter ``x`` (..., N) under EVERY config (half_windows[c],
     poly_orders[c]) in one fused, vmapped computation.
@@ -198,6 +205,6 @@ def savgol_apply_sweep(
 
     def one(n, m):
         return _apply_masked_one(x, n, m, derivative, boundary, dt_inv,
-                                 dtype)
+                                 dtype, method)
 
     return jax.vmap(one)(hw, po)
