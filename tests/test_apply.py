@@ -319,3 +319,29 @@ class TestMXUPath:
         x = jnp.asarray(np.arange(120.0), dtype=F64)
         np.testing.assert_array_equal(np.asarray(f.apply(x, method="auto")),
                                       np.asarray(f.apply(x)))
+
+
+class TestReferenceFuzz:
+    def test_random_config_grid(self, ref):
+        """30 random (n, m, d, boundary, N) draws vs the compiled C."""
+        rng = np.random.default_rng(2024)
+        for trial in range(30):
+            n = int(rng.integers(1, 33))
+            m = int(rng.integers(0, min(2 * n, 10) + 1))
+            d = int(rng.integers(0, min(m, 4) + 1))
+            boundary = str(rng.choice(["polynomial", "reflect",
+                                       "periodic", "constant"]))
+            N = int(rng.integers(2 * n + 1, 400))
+            x = rng.standard_normal(N).astype(np.float32)
+            theirs = ref.apply(x, n, m, d, boundary=boundary)
+            f = sg.Savgol1D.create(
+                sg.SavgolConfig(n, m, d,
+                                boundary=sg.BoundaryMode(boundary)),
+                dtype=F64)
+            ours = np.asarray(f.apply(jnp.asarray(x, dtype=F64),
+                                      reference_edge_sign=True))
+            scale = max(1.0, np.abs(theirs).max())
+            err = np.abs(ours - theirs).max()
+            assert err <= 2e-5 * scale, (
+                f"trial {trial}: n={n} m={m} d={d} {boundary} N={N}: "
+                f"err {err:.2e} scale {scale:.2e}")
