@@ -115,8 +115,10 @@ def savgol_weights_masked(n, m, derivative: int = 0, dtype=jnp.float32):
     basis = G[:, 0, :]                               # F_k^{(0)}(i), (K+1, 65)
     win_mask = (jnp.abs(jnp.arange(-_M, _M + 1)) <= n).astype(dtype)
 
+    hp = jax.lax.Precision.HIGHEST
     # -- center: target t = 0 (table column _M) -----------------------------
-    center = jnp.einsum("k,ki->i", factors * G[:, d, _M], basis) * win_mask
+    center = jnp.einsum("k,ki->i", factors * G[:, d, _M], basis,
+                        precision=hp) * win_mask
 
     # -- edge rows: evaluate G at traced targets via gather ------------------
     e = jnp.arange(_M)
@@ -127,9 +129,9 @@ def savgol_weights_masked(n, m, derivative: int = 0, dtype=jnp.float32):
     g_lead = jnp.take(Gd, lead_cols, axis=1)
     row_mask = (e < n).astype(dtype)[:, None]
     trail = jnp.einsum("ke,ki->ei", factors[:, None] * g_trail,
-                       basis) * win_mask * row_mask
+                       basis, precision=hp) * win_mask * row_mask
     lead = jnp.einsum("ke,ki->ei", factors[:, None] * g_lead,
-                      basis) * win_mask * row_mask
+                      basis, precision=hp) * win_mask * row_mask
     return center, lead, trail
 
 
@@ -165,11 +167,13 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
         # lead window: xp slice centered at x[n] -> start n (in xp coords)
         start = (0,) * (x.ndim - 1) + (n,)
         win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
-        lead = jnp.einsum("ek,...k->...e", lead_w, win0)      # (..., 32)
+        lead = jnp.einsum("ek,...k->...e", lead_w, win0,
+                          precision=jax.lax.Precision.HIGHEST)  # (..., 32)
         # trail window centered at x[N-1-n] -> xp start N-1-n
         startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
         winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
-        trail = jnp.einsum("ek,...k->...e", trail_w, winT)
+        trail = jnp.einsum("ek,...k->...e", trail_w, winT,
+                           precision=jax.lax.Precision.HIGHEST)
         pos = jnp.arange(N)
         lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1), axis=-1)
         trail_vals = jnp.take(trail, jnp.clip(N - 1 - pos, 0, _M - 1),
