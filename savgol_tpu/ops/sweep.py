@@ -25,7 +25,6 @@ Masking invariants (why no NaNs escape):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
