@@ -49,10 +49,10 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     """
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
-    n = window_length // 2
-    cfg = SavgolConfig(n, polyorder, min(deriv, 4) if deriv <= 4 else deriv)
     if deriv > 4:
         raise ValueError("derivative orders above 4 are not supported")
+    n = window_length // 2
+    cfg = SavgolConfig(n, polyorder, deriv)
     center, edge = savgol_weights_np(cfg, dtype=np.float64)
     if pos is None or pos == n:
         w = center
