@@ -92,6 +92,14 @@ def _ensure_float(x: jax.Array, w: jax.Array) -> jax.Array:
     return x
 
 
+def _compute_dtype(x: jax.Array):
+    """Half-precision inputs compute in f32 (quantizing the WEIGHTS to
+    bf16/f16 would cost ~1e-2 accuracy); returns (x_f32, restore_dtype)."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32), x.dtype
+    return x, None
+
+
 def correlate_valid(x: jax.Array, w: jax.Array,
                     precision=lax.Precision.HIGHEST) -> jax.Array:
     """Valid cross-correlation along the last axis.
@@ -225,6 +233,7 @@ def savgol_apply_core(
         raise ValueError(
             f"data length ({N}) must be >= window size ({ws})")
     x = _ensure_float(x, center_w)
+    x, restore = _compute_dtype(x)
     lead_sign = 1.0
     if not reference_edge_sign and (int(derivative) % 2 == 1):
         lead_sign = -1.0
@@ -232,8 +241,9 @@ def savgol_apply_core(
     if boundary is BoundaryMode.POLYNOMIAL:
         if method == "pallas":
             op = _pallas_poly_diff(n, lead_sign)
-            return op(x, center_w, edge_w,
-                      jnp.asarray(dt_inv, dtype=x.dtype))
+            y = op(x, center_w, edge_w,
+                   jnp.asarray(dt_inv, dtype=x.dtype))
+            return y.astype(restore) if restore is not None else y
         corr = correlate_valid_mxu if method == "mxu" else correlate_valid
         center = corr(x, center_w, precision)              # (..., N - 2n)
         ew = edge_w.astype(x.dtype)
@@ -246,6 +256,8 @@ def savgol_apply_core(
         trail = jnp.einsum("ek,...k->...e", ew, last,
                            precision=precision)[..., ::-1]
         y = jnp.concatenate([lead, center, trail], axis=-1)
+        y = y * jnp.asarray(dt_inv, dtype=x.dtype)
+        return y.astype(restore) if restore is not None else y
     else:
         mode = _PAD_MODE[boundary]
         pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
@@ -256,7 +268,8 @@ def savgol_apply_core(
             y = correlate_valid_mxu(xp, center_w, precision)
         else:
             y = correlate_valid(xp, center_w, precision)
-    return y * jnp.asarray(dt_inv, dtype=x.dtype)
+    y = y * jnp.asarray(dt_inv, dtype=x.dtype)
+    return y.astype(restore) if restore is not None else y
 
 
 def savgol_apply(
@@ -315,13 +328,16 @@ def savgol_apply_valid(
         raise ValueError(
             f"data length ({xl.shape[-1]}) must be >= window size ({ws})")
     xl = _ensure_float(xl, center_w)
+    xl, restore = _compute_dtype(xl)
     if method == "pallas":
         y = _pallas_corr_diff()(xl, center_w)
     elif method == "mxu":
         y = correlate_valid_mxu(xl, center_w, precision)
     else:
         y = correlate_valid(xl, center_w, precision)
-    y = y * jnp.asarray(dt_inv, dtype=x.dtype)
+    y = y * jnp.asarray(dt_inv, dtype=xl.dtype)
+    if restore is not None:
+        y = y.astype(restore)
     return _restore_axis(y, moved)
 
 

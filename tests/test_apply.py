@@ -345,3 +345,20 @@ class TestReferenceFuzz:
             assert err <= 2e-5 * scale, (
                 f"trial {trial}: n={n} m={m} d={d} {boundary} N={N}: "
                 f"err {err:.2e} scale {scale:.2e}")
+
+    @pytest.mark.parametrize("hdt", ["bfloat16", "float16"])
+    def test_half_precision_promoted(self, hdt):
+        """Half inputs compute in f32 (bf16 weights would cost ~1e-2) and
+        return in the input dtype."""
+        dt = getattr(jnp, hdt)
+        f = make_filter(8, 3, dtype=jnp.float32)
+        rng = np.random.default_rng(30)
+        x64 = rng.standard_normal(300)
+        y = f.apply(jnp.asarray(x64, dtype=dt))
+        assert y.dtype == dt
+        ref = np.asarray(f.apply(jnp.asarray(x64, dtype=jnp.float32)))
+        # residual error is just the input/output quantization
+        tol = 4e-3 if hdt == "bfloat16" else 6e-4
+        assert np.abs(np.asarray(y, dtype=np.float64) - ref).max() < tol
+        yv = f.apply_valid(jnp.asarray(x64, dtype=dt))
+        assert yv.dtype == dt
