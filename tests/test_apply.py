@@ -358,7 +358,7 @@ class TestReferenceFuzz:
         assert y.dtype == dt
         ref = np.asarray(f.apply(jnp.asarray(x64, dtype=jnp.float32)))
         # residual error is just the input/output quantization
-        tol = 4e-3 if hdt == "bfloat16" else 6e-4
+        tol = 8e-3 if hdt == "bfloat16" else 1e-3
         assert np.abs(np.asarray(y, dtype=np.float64) - ref).max() < tol
         yv = f.apply_valid(jnp.asarray(x64, dtype=dt))
         assert yv.dtype == dt
