@@ -390,9 +390,10 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # 2D valid correlation
 # ---------------------------------------------------------------------------
 
-# Measured on v5e: 256x512 -> 2.29 Gpix/s (11x11 f32 stencil).
-_ROWS2D = 256
-_COLS2D = 512
+# Measured on v5e (11x11 f32 stencil): 128x1024 is the consistent best
+# (~1.7 Gpix/s median across repeated runs; larger/smaller tiles within 10%).
+_ROWS2D = 128
+_COLS2D = 1024
 _HALO_R = 32   # >= 2 * MAX_HALF_WINDOW_2D (16), multiple of 8 sublanes
 
 
@@ -407,11 +408,14 @@ def _corr2d_kernel(w_ref, x_ref, right_ref, bot_ref, corner_ref, o_ref,
     # unrolled 33x33 expression tree keeps ~1000 live tile temporaries and
     # blows the 16 MB scoped-VMEM limit (and Mosaic cannot lower
     # dynamic_slice on values, so no fori_loop over rows either). Per-row
-    # expressions hold at most ``ww`` temporaries.
+    # expressions hold at most ``ww`` temporaries. The sublane (row) shift
+    # is hoisted out of the tap loop — one shifted slab per stencil row,
+    # then lane-only shifts per tap.
     for wy in range(wh):
-        row = w_ref[wy, 0] * xw[wy:wy + r, 0:c]
+        slab = xw[wy:wy + r, :]
+        row = w_ref[wy, 0] * slab[:, 0:c]
         for wx in range(1, ww):
-            row = row + w_ref[wy, wx] * xw[wy:wy + r, wx:wx + c]
+            row = row + w_ref[wy, wx] * slab[:, wx:wx + c]
         if wy == 0:
             o_ref[0] = row
         else:
