@@ -155,6 +155,42 @@ class ReferenceOracle:
         self.lib.savgol_destroy(f)
         return center, edge
 
+    # -- streaming ----------------------------------------------------------
+
+    def stream_run(self, x, half_window, poly_order, derivative=0,
+                   time_step=1.0):
+        """Run the reference's streaming API (push_full per sample + flush)
+        over x; returns the emitted samples."""
+        lib = self.lib
+        lib.savgol_stream_create.restype = ctypes.c_void_p
+        lib.savgol_stream_create.argtypes = [ctypes.POINTER(SavgolConfigC)]
+        lib.savgol_stream_destroy.argtypes = [ctypes.c_void_p]
+        lib.savgol_stream_push_full.restype = ctypes.c_int
+        lib.savgol_stream_push_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.savgol_stream_flush.restype = ctypes.c_int
+        lib.savgol_stream_flush.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        cfg = SavgolConfigC(half_window, poly_order, derivative,
+                            time_step, 0)
+        s = lib.savgol_stream_create(ctypes.byref(cfg))
+        assert s, "reference stream create failed"
+        buf = np.empty(half_window + 1, dtype=np.float32)
+        out = []
+        for v in np.asarray(x, dtype=np.float32):
+            c = lib.savgol_stream_push_full(
+                s, float(v), buf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)), buf.size)
+            out.extend(buf[:c].tolist())
+        fbuf = np.empty(half_window, dtype=np.float32)
+        c = lib.savgol_stream_flush(
+            s, fbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fbuf.size)
+        out.extend(fbuf[:c].tolist())
+        lib.savgol_stream_destroy(s)
+        return np.array(out, dtype=np.float32)
+
     # -- 2D ----------------------------------------------------------------
 
     def apply2d(self, img, half_window_x, half_window_y, poly_order,

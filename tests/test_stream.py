@@ -228,7 +228,9 @@ class TestChunkedStreaming:
 
     @pytest.mark.parametrize("n,m,T,C", [(6, 3, 200, 32), (5, 2, 101, 17),
                                          (12, 4, 500, 128), (3, 2, 25, 7),
-                                         (1, 1, 10, 3), (32, 6, 300, 70)])
+                                         (1, 1, 10, 3), (32, 6, 300, 70),
+                                         (6, 3, 100, 5), (12, 4, 80, 3),
+                                         (6, 3, 40, 1)])
     def test_matches_batch(self, n, m, T, C):
         rng = np.random.default_rng(0)
         f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
@@ -319,3 +321,47 @@ class TestModelChunked:
         np.testing.assert_allclose(
             outs, np.asarray(f.apply(jnp.asarray(x, dtype=F64))),
             atol=1e-9)
+
+
+class TestReferenceStreamDifferential:
+    @pytest.mark.parametrize("n,m,d", [(1, 1, 0), (5, 3, 0), (6, 3, 1),
+                                       (12, 4, 2), (32, 10, 0)])
+    def test_push_full_flush_vs_reference_stream(self, ref, n, m, d):
+        """Differential test against the reference's OWN streaming API
+        (savgol_stream_push_full + savgol_stream_flush), not just its batch
+        path — with reference edge sign for bit-level protocol parity."""
+        rng = np.random.default_rng(n * 100 + m)
+        x = rng.standard_normal(120).astype(np.float32)
+        theirs = ref.stream_run(x, n, m, d)
+        st = fs.stream_init(n, dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+        ours = []
+        for v in x:
+            st, o, c = fs.stream_push_full(
+                st, float(v), f.center_weights, f.edge_weights, f.dt_inv,
+                lead_sign=1.0)   # reference convention
+            ours.extend(np.asarray(o)[:int(c)].tolist())
+        st, o, c = fs.stream_flush(st, f.center_weights, f.edge_weights,
+                                   f.dt_inv)
+        ours.extend(np.asarray(o)[:int(c)].tolist())
+        assert len(ours) == len(theirs) == x.size
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(np.array(ours) - theirs).max() <= 2e-5 * scale
+
+    def test_chunked_vs_reference_stream(self, ref):
+        n, m = 8, 3
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(143).astype(np.float32)
+        theirs = ref.stream_run(x, n, m)
+        st = fs.chunk_init(n, dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+        ours = []
+        for i in range(0, x.size, 17):
+            st, o, c = fs.stream_process_chunk(
+                st, jnp.asarray(x[i:i + 17], dtype=F64),
+                f.center_weights, f.edge_weights, f.dt_inv)
+            ours.extend(np.asarray(o)[:int(c)].tolist())
+        st, o, c = fs.stream_flush_chunked(st, f.edge_weights, f.dt_inv)
+        ours.extend(np.asarray(o)[:int(c)].tolist())
+        assert len(ours) == x.size
+        assert np.abs(np.array(ours) - theirs).max() <= 1e-5
