@@ -56,6 +56,17 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _check_tile(rows: int, cols: int, row_quantum: int = _SUBLANES):
+    """Validate caller-supplied tile shapes up front — misaligned tiles
+    otherwise surface as opaque Mosaic lowering errors."""
+    if rows <= 0 or rows % row_quantum:
+        raise ValueError(
+            f"rows must be a positive multiple of {row_quantum}, got {rows}")
+    if cols <= 0 or cols % _LANES:
+        raise ValueError(
+            f"cols must be a positive multiple of {_LANES}, got {cols}")
+
+
 def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
@@ -111,6 +122,7 @@ def correlate_valid_pallas(x: jax.Array, w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    _check_tile(rows, cols)
     ws = w.shape[0]
     if ws > _LANES + 1:
         raise ValueError(f"window size {ws} exceeds kernel halo limit")
@@ -337,6 +349,7 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    _check_tile(rows, cols if cols is not None else _COLS)
     ws = 2 * n + 1
     batch_shape = x.shape[:-1]
     N = x.shape[-1]
@@ -470,6 +483,7 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    _check_tile(rows, cols, row_quantum=_HALO_R)
     wh, ww = w.shape
     if wh > _HALO_R + 1 or ww > _LANES + 1:
         raise ValueError(f"stencil {w.shape} exceeds kernel halo limits")

@@ -215,3 +215,16 @@ class TestPallas2DIntegration:
             jnp.asarray(X ** 2 + 3 * Y ** 2, dtype=F32), 4, 4, 2,
             boundary=sg.Boundary2D.VALID, use_pallas=True)
         np.testing.assert_allclose(np.asarray(lap), 8.0, atol=2e-3)
+
+
+class TestTileValidation:
+    def test_bad_rows_rejected(self):
+        with pytest.raises(ValueError, match="rows"):
+            pc.correlate_valid_pallas(rand((8, 256)), rand((5,)), rows=7,
+                                      interpret=True)
+
+    def test_bad_cols_rejected(self):
+        with pytest.raises(ValueError, match="cols"):
+            pc.savgol_polynomial_pallas(
+                rand((8, 256)), rand((11,)), rand((5, 11)), 5, cols=100,
+                interpret=True)
