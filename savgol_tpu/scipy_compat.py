@@ -49,9 +49,12 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     """
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
+    n = window_length // 2
+    if deriv > polyorder:
+        # scipy semantics: the fitted polynomial's higher derivatives vanish
+        return np.zeros(window_length, dtype=np.float64)
     if deriv > 4:
         raise ValueError("derivative orders above 4 are not supported")
-    n = window_length // 2
     cfg = SavgolConfig(n, polyorder, deriv)
     center, edge = savgol_weights_np(cfg, dtype=np.float64)
     if pos is None or pos == n:
@@ -81,10 +84,15 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
     n = window_length // 2
+    x = jnp.asarray(x)
+    if deriv > polyorder:
+        # scipy semantics: output is identically zero
+        out_dtype = (x.dtype if jnp.issubdtype(x.dtype, jnp.inexact)
+                     else jnp.float32)
+        return jnp.zeros(x.shape, dtype=out_dtype)
     cfg = SavgolConfig(n, polyorder, deriv,
                        time_step=delta if delta > 0 else 1.0)
     center, edge = savgol_weights_np(cfg, dtype=np.float64)
-    x = jnp.asarray(x)
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float32
     cw = jnp.asarray(center, dtype=dtype)
     ew = jnp.asarray(edge, dtype=dtype)

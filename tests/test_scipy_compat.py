@@ -93,3 +93,13 @@ class TestFilter:
             use_pallas=True))
         ref = sp_filter(x.astype(np.float64), 11, 3, mode="mirror")
         assert np.abs(ours - ref).max() < 1e-5
+
+
+class TestScipyCorners:
+    def test_deriv_above_polyorder_gives_zeros(self, x):
+        """scipy semantics: the fit's higher derivatives vanish."""
+        np.testing.assert_array_equal(savgol_coeffs(11, 3, deriv=4),
+                                      np.zeros(11))
+        y = np.asarray(savgol_filter(jnp.asarray(x, dtype=F64), 11, 3,
+                                     deriv=4))
+        np.testing.assert_array_equal(y, np.zeros_like(x))
