@@ -161,7 +161,7 @@ def _pallas_poly_diff(n: int, lead_sign: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_corr_diff(precision_unused=None):
+def _pallas_corr_diff():
     """Differentiable wrapper for the Pallas valid correlation."""
 
     @jax.custom_vjp
