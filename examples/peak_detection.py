@@ -64,6 +64,21 @@ def main():
     print(f"throughput: {iters * N / dt / 1e6:.1f} Msamples/s "
           f"({iters} x {N} samples, {jax.default_backend()})")
 
+    # The host C++ engine serves the reference's own small-signal/embedded
+    # scenario (single trace, low latency) without device dispatch:
+    try:
+        from savgol_tpu.native import HostSavgol1D
+        hf = HostSavgol1D(sg.SavgolConfig(6, 3))
+        hf.apply(noisy)
+        t0 = time.perf_counter()
+        for _ in range(2000):
+            hf.apply(noisy)
+        dtn = time.perf_counter() - t0
+        print(f"native host engine: {2000 * N / dtn / 1e6:.1f} Msamples/s "
+              f"(single {N}-pt trace per call)")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()
