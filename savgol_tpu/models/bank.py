@@ -82,13 +82,24 @@ class SavgolBank:
         return self.configs[0].half_window
 
     def apply(self, x: jax.Array, *, axis: int = -1,
-              reference_edge_sign: bool = False) -> jax.Array:
-        """Apply all K filters; output shape (K,) + x.shape."""
+              reference_edge_sign: bool = False,
+              use_pallas: bool = False) -> jax.Array:
+        """Apply all K filters; output shape (K,) + x.shape.
+
+        ``use_pallas=True`` routes the shared center pass through the
+        K-stencil bank kernel (ONE input read for all K filters)."""
         n = self.half_window
         boundary = self.configs[0].boundary
         moved = axis % x.ndim != x.ndim - 1
         if moved:
             x = jnp.moveaxis(x, axis, -1)
+
+        if use_pallas:
+            out = self._apply_bank_pallas(x, reference_edge_sign)
+            if moved:
+                target = axis + 1 if axis >= 0 else axis
+                out = jnp.moveaxis(out, -1, target)
+            return out
 
         def one(cw, ew, dt, sign):
             # fold the per-filter leading-edge sign into the edge matrix the
@@ -111,6 +122,42 @@ class SavgolBank:
             target = axis + 1 if axis >= 0 else axis
             out = jnp.moveaxis(out, -1, target)
         return out
+
+    def _apply_bank_pallas(self, x: jax.Array,
+                           reference_edge_sign: bool) -> jax.Array:
+        """Shared-input-pass bank: Pallas K-stencil center kernel + XLA
+        edge fixups (POLYNOMIAL) or pad modes."""
+        from savgol_tpu.config import BoundaryMode
+        from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas
+
+        n = self.half_window
+        ws = 2 * n + 1
+        N = x.shape[-1]
+        boundary = self.configs[0].boundary
+        x = x.astype(self.center_weights.dtype) if not jnp.issubdtype(
+            x.dtype, jnp.inexact) else x
+        wdt = self.center_weights * self.dt_inv[:, None]   # fold dt
+
+        if boundary is not BoundaryMode.POLYNOMIAL:
+            mode = {BoundaryMode.REFLECT: "symmetric",
+                    BoundaryMode.PERIODIC: "wrap",
+                    BoundaryMode.CONSTANT: "edge"}[boundary]
+            pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
+            xp = jnp.pad(x, pad, mode=mode)
+            return correlate_valid_bank_pallas(xp, wdt)
+
+        center = correlate_valid_bank_pallas(x, wdt)       # (K, ..., N-2n)
+        ew = self.edge_weights.astype(x.dtype)             # (K, n, ws)
+        signs = jnp.where(reference_edge_sign, 1.0,
+                          self.lead_signs).astype(x.dtype)
+        scale = (self.dt_inv * signs)[:, None]
+        lead = jnp.einsum("kew,...w->k...e", ew,
+                          x[..., :ws][..., ::-1]) * scale.reshape(
+            (ew.shape[0],) + (1,) * (x.ndim - 1) + (1,))
+        trail = jnp.einsum("kew,...w->k...e", ew, x[..., N - ws:])
+        trail = (trail * self.dt_inv.reshape(
+            (ew.shape[0],) + (1,) * (x.ndim - 1) + (1,)))[..., ::-1]
+        return jnp.concatenate([lead, center, trail], axis=-1)
 
     def __call__(self, x: jax.Array, **kw) -> jax.Array:
         return self.apply(x, **kw)

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "correlate_valid_pallas",
+    "correlate_valid_bank_pallas",
     "correlate2d_valid_pallas",
     "savgol_polynomial_pallas",
 ]
@@ -503,3 +504,79 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
     out = _corr2d_call(xp, w, rows, cols, interpret)
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
+
+
+# ---------------------------------------------------------------------------
+# K-stencil bank kernel: one input read, K outputs
+# ---------------------------------------------------------------------------
+
+
+def _bank_kernel(w_ref, x_ref, halo_ref, o_ref, *, ws: int, K: int):
+    """out[k, :, j] = sum_t w[k, t] * xw[:, j + t] for all K stencils.
+
+    The input tile is read from HBM ONCE and reused across the K stencils —
+    a K-filter bank costs one data pass instead of K."""
+    xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    cols = o_ref.shape[2]
+    for k in range(K):
+        acc = w_ref[k, 0] * xw[:, 0:cols]
+        for t in range(1, ws):
+            acc += w_ref[k, t] * xw[:, t:t + cols]
+        o_ref[k] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def _bank_call(xpad, w, rows, cols, interpret):
+    B, Npad = xpad.shape
+    n_out = Npad - _LANES
+    K, ws = w.shape
+    grid = (B // rows, n_out // cols)
+    kernel = functools.partial(_bank_kernel, ws=ws, K=K)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, rows, cols),
+                               lambda bi, ci: (0, bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, B, n_out), xpad.dtype),
+        interpret=interpret,
+    )(w, xpad, xpad)
+
+
+def correlate_valid_bank_pallas(x: jax.Array, w: jax.Array,
+                                rows: int = _ROWS, cols: int = _COLS,
+                                interpret: bool | None = None) -> jax.Array:
+    """Valid correlation with a STACK of stencils sharing one input pass.
+
+    ``x``: (..., N); ``w``: (K, ws). Output (K, ..., N - ws + 1).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    _check_tile(rows, cols)
+    K, ws = w.shape
+    if ws > _LANES + 1:
+        raise ValueError(f"window size {ws} exceeds kernel halo limit")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    n_out = N - ws + 1
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+    w = w.astype(x.dtype)
+
+    rows = min(rows, _round_up(B, _SUBLANES))
+    cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    Bp = _round_up(B, rows)
+    n_out_p = _round_up(n_out, cols)
+    Np = n_out_p + _LANES
+    xp = jnp.pad(xb, ((0, Bp - B), (0, Np - N)))
+    out = _bank_call(xp, w, rows, cols, interpret)
+    return out[:, :B, :n_out].reshape((K,) + batch_shape + (n_out,))

@@ -93,3 +93,38 @@ class TestBankAxis:
         np.testing.assert_allclose(np.asarray(out[1]),
                                    np.asarray(f.apply(x, axis=-2)),
                                    atol=1e-12)
+
+
+class TestBankPallas:
+    @pytest.mark.parametrize("boundary", [None, sg.BoundaryMode.REFLECT,
+                                          sg.BoundaryMode.PERIODIC,
+                                          sg.BoundaryMode.CONSTANT])
+    def test_bank_pallas_matches_xla(self, boundary):
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((3, 300)), dtype=F64)
+        if boundary is None:
+            bank = sg.SavgolBank.smooth_and_derivatives(8, 4, 2,
+                                                        time_step=0.5,
+                                                        dtype=F64)
+        else:
+            bank = sg.SavgolBank.create(
+                [sg.SavgolConfig(6, 3, d, boundary=boundary)
+                 for d in (0, 1)], dtype=F64)
+        a = np.asarray(bank.apply(x))
+        b = np.asarray(bank.apply(x, use_pallas=True))
+        np.testing.assert_allclose(b, a, atol=1e-12)
+
+    def test_bank_pallas_reference_sign(self):
+        x = jnp.asarray(3.0 * np.arange(50), dtype=F64)
+        bank = sg.SavgolBank.create([sg.SavgolConfig(5, 2, 1)], dtype=F64)
+        y = np.asarray(bank.apply(x, use_pallas=True,
+                                  reference_edge_sign=True))[0]
+        np.testing.assert_allclose(y[:5], -3.0, atol=1e-9)
+
+    def test_bank_pallas_axis(self):
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((150, 4)), dtype=F64)
+        bank = sg.SavgolBank.smooth_and_derivatives(5, 3, 1, dtype=F64)
+        a = np.asarray(bank.apply(x, axis=0))
+        b = np.asarray(bank.apply(x, axis=0, use_pallas=True))
+        np.testing.assert_allclose(b, a, atol=1e-12)
