@@ -151,10 +151,13 @@ class SavgolBank:
         signs = jnp.where(reference_edge_sign, 1.0,
                           self.lead_signs).astype(x.dtype)
         scale = (self.dt_inv * signs)[:, None]
+        hp = jax.lax.Precision.HIGHEST
         lead = jnp.einsum("kew,...w->k...e", ew,
-                          x[..., :ws][..., ::-1]) * scale.reshape(
+                          x[..., :ws][..., ::-1],
+                          precision=hp) * scale.reshape(
             (ew.shape[0],) + (1,) * (x.ndim - 1) + (1,))
-        trail = jnp.einsum("kew,...w->k...e", ew, x[..., N - ws:])
+        trail = jnp.einsum("kew,...w->k...e", ew, x[..., N - ws:],
+                           precision=hp)
         trail = (trail * self.dt_inv.reshape(
             (ew.shape[0],) + (1,) * (x.ndim - 1) + (1,)))[..., ::-1]
         return jnp.concatenate([lead, center, trail], axis=-1)

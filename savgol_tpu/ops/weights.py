@@ -132,10 +132,13 @@ def _weights_from_table(G, factors, n: int, d: int, xp):
     basis = G[:, 0, :]                       # (m+1, 2n+1)
     # F_k^{(d)}(t) at targets t = 0 and t = n-e  (columns n and 2n-e):
     center_t = G[:, d, n]                    # (m+1,)
-    center = xp.einsum("k,ki->i", factors * center_t, basis)
+    # On-device (jnp) einsums must pin HIGHEST precision — TPU would
+    # otherwise run them in bf16 and corrupt the weights themselves.
+    kw = {} if xp is np else {"precision": jax.lax.Precision.HIGHEST}
+    center = xp.einsum("k,ki->i", factors * center_t, basis, **kw)
     edge_cols = G[:, d, :][:, ::-1][:, : n]  # columns 2n, 2n-1, ..., n+1
     # edge_cols[k, e] = F_k^{(d)}(n - e)
-    edge = xp.einsum("ke,ki->ei", factors[:, None] * edge_cols, basis)
+    edge = xp.einsum("ke,ki->ei", factors[:, None] * edge_cols, basis, **kw)
     return center, edge
 
 
