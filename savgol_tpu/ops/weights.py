@@ -254,11 +254,12 @@ def savgol2d_weights(half_window_x: int, half_window_y: int, poly_order: int,
     dtype, solved with a Cholesky factorization on device.
     """
     nx, ny, order = half_window_x, half_window_y, poly_order
+    hp = jax.lax.Precision.HIGHEST
     A = jnp.asarray(_design_matrix_np(nx, ny, order), dtype=dtype)
-    ata = A.T @ A
+    ata = jnp.matmul(A.T, A, precision=hp)
     e = jnp.zeros((A.shape[1],), dtype=dtype).at[
         monomial_index(deriv_x, deriv_y)].set(1.0)
     c = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(ata), e)
     scale = float(math.factorial(deriv_x) * math.factorial(deriv_y))
-    w = (A @ c) * scale
+    w = jnp.matmul(A, c, precision=hp) * scale
     return w.reshape(2 * ny + 1, 2 * nx + 1)
