@@ -174,3 +174,37 @@ class TestBatching:
         for b in range(5):
             single = np.asarray(f.apply(jnp.asarray(imgs[b], dtype=F64)))
             np.testing.assert_allclose(batched[b], single, atol=1e-12)
+
+
+class TestReference2DFuzz:
+    def test_random_2d_grid(self, ref):
+        """25 random (nx, ny, order, dx, dy, boundary, shape) draws vs the
+        compiled reference C 2D path."""
+        rng = np.random.default_rng(777)
+        trials = 0
+        while trials < 25:
+            nx = int(rng.integers(1, 9))
+            ny = int(rng.integers(1, 9))
+            order = int(rng.integers(0, 5))
+            if (2 * nx + 1) * (2 * ny + 1) < sg.num_terms_2d(order):
+                continue
+            dtot = int(rng.integers(0, order + 1))
+            dx = int(rng.integers(0, dtot + 1))
+            dy = dtot - dx
+            boundary = str(rng.choice(["valid", "constant", "reflect"]))
+            R = int(rng.integers(2 * ny + 1, 40))
+            C = int(rng.integers(2 * nx + 1, 40))
+            img = rng.standard_normal((R, C)).astype(np.float32)
+            theirs = ref.apply2d(img, nx, ny, order, dx, dy,
+                                 boundary=boundary)
+            f = sg.Savgol2D.create(
+                sg.Savgol2DConfig(nx, ny, order, deriv_x=dx, deriv_y=dy),
+                dtype=F64)
+            ours = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                                      boundary=sg.Boundary2D(boundary)))
+            scale = max(1.0, np.abs(theirs).max())
+            err = np.abs(ours - theirs).max()
+            assert err <= 5e-5 * scale, (
+                f"nx={nx} ny={ny} o={order} d=({dx},{dy}) {boundary} "
+                f"{R}x{C}: err {err:.2e} scale {scale:.2e}")
+            trials += 1

@@ -362,3 +362,17 @@ class TestReferenceFuzz:
         assert np.abs(np.asarray(y, dtype=np.float64) - ref).max() < tol
         yv = f.apply_valid(jnp.asarray(x64, dtype=dt))
         assert yv.dtype == dt
+
+    def test_valid_mode_fuzz(self, ref):
+        rng = np.random.default_rng(31337)
+        for _ in range(15):
+            n = int(rng.integers(1, 33))
+            m = int(rng.integers(0, min(2 * n, 10) + 1))
+            N = int(rng.integers(2 * n + 1, 300))
+            x = rng.standard_normal(N).astype(np.float32)
+            theirs = ref.apply_valid(x, n, m)
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F64)
+            ours = np.asarray(f.apply_valid(jnp.asarray(x, dtype=F64)))
+            assert ours.shape == theirs.shape
+            scale = max(1.0, np.abs(theirs).max())
+            assert np.abs(ours - theirs).max() <= 2e-5 * scale
