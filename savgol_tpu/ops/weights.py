@@ -236,8 +236,24 @@ def savgol2d_weights_np(config: Savgol2DConfig, dtype=np.float32) -> np.ndarray:
     ata = A.T @ A
     e = np.zeros(A.shape[1], dtype=np.float64)
     e[monomial_index(dx, dy)] = 1.0
-    L = np.linalg.cholesky(ata)
-    c = np.linalg.solve(L.T, np.linalg.solve(L, e))
+    try:
+        L = np.linalg.cholesky(ata)
+        c = np.linalg.solve(L.T, np.linalg.solve(L, e))
+    except np.linalg.LinAlgError:
+        c = None
+    # Degenerate window geometries make monomial columns coincide on the
+    # grid (e.g. half_window_y=1 with order 3: y^3 == y on {-1,0,1}), so
+    # the normal matrix is singular. LAPACK's Cholesky can "succeed" on
+    # such systems by rounding luck where the reference's refuses
+    # (src/savgol2d.c:144-148); verify the solve residual to reject them
+    # deterministically.
+    if c is None or not np.isfinite(c).all() or (
+            np.abs(ata @ c - e).max() > 1e-6 * max(1.0, np.abs(c).max())):
+        raise np.linalg.LinAlgError(
+            f"degenerate 2D window: the order-{order} monomial basis is "
+            f"rank-deficient on a {config.window_height}x"
+            f"{config.window_width} grid (coincident monomial columns); "
+            "increase the half-windows or lower poly_order")
     scale = math.factorial(dx) * math.factorial(dy)
     w = (A @ c) * scale
     return w.reshape(config.window_height, config.window_width).astype(dtype)

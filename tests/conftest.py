@@ -199,7 +199,8 @@ class ReferenceOracle:
         cfg = Savgol2DConfigC(half_window_x, half_window_y, poly_order,
                               deriv_x, deriv_y, delta_x, delta_y)
         f = self.lib.savgol2d_create(ctypes.byref(cfg))
-        assert f, "reference savgol2d_create failed"
+        if not f:
+            return None   # degenerate geometry (singular normal matrix)
         img = np.ascontiguousarray(img, dtype=np.float32)
         rows, cols = img.shape
         if boundary == "valid":

@@ -197,6 +197,34 @@ class TestReference2DFuzz:
             img = rng.standard_normal((R, C)).astype(np.float32)
             theirs = ref.apply2d(img, nx, ny, order, dx, dy,
                                  boundary=boundary)
+            if theirs is None:
+                # The reference's pivoting-free Cholesky refused this
+                # config. Two legitimate outcomes for us: (a) genuinely
+                # degenerate geometry (coincident monomial columns, e.g.
+                # ny=1 with order 3) -> we must also raise; (b) merely
+                # ill-conditioned -> LAPACK solves it where the reference's
+                # fragile solver gave up, and our weights must then satisfy
+                # the defining monomial-reproduction property.
+                try:
+                    f = sg.Savgol2D.create(
+                        sg.Savgol2DConfig(nx, ny, order,
+                                          deriv_x=dx, deriv_y=dy),
+                        dtype=F64)
+                except np.linalg.LinAlgError:
+                    trials += 1
+                    continue
+                w = np.asarray(f.weights)
+                xs = np.arange(-nx, nx + 1, dtype=np.float64)
+                ys = np.arange(-ny, ny + 1, dtype=np.float64)
+                X, Y = np.meshgrid(xs, ys)
+                import math as _math
+                expect = (_math.factorial(dx) * _math.factorial(dy))
+                got = float((w * X**dx * Y**dy).sum())
+                assert abs(got - expect) < 1e-6 * max(1.0, abs(expect)), (
+                    f"robust-solve weights broken for nx={nx} ny={ny} "
+                    f"order={order} d=({dx},{dy}): {got} != {expect}")
+                trials += 1
+                continue
             f = sg.Savgol2D.create(
                 sg.Savgol2DConfig(nx, ny, order, deriv_x=dx, deriv_y=dy),
                 dtype=F64)
