@@ -2,12 +2,20 @@
 
 Headline: batched 1D Savitzky-Golay throughput (half_window=12,
 poly_order=4, POLYNOMIAL boundary, f32) in Gsamples/s on one chip — the
-BASELINE.json north-star config. ``vs_baseline`` is the ratio against the
-5 Gsamples/s/chip target (the reference publishes no absolute numbers;
-BASELINE.md).
+BASELINE.json north-star config, measured on the DEFAULT code path
+(``Savgol1D.apply`` with no flags; method="auto" resolves to the fastest
+hardware path). ``vs_baseline`` is the ratio against the 5 Gsamples/s/chip
+target (the reference publishes no absolute numbers; BASELINE.md).
 
-Extras carried in the same JSON object: 2D throughput (2048x2048, 11x11
-window, order 3) in Gpix/s, accuracy vs scipy, and the path used.
+Correctness gate: the default (Pallas/MXU) output is compared against the
+XLA HIGHEST-precision path on the same data ON HARDWARE and the max abs
+error is emitted as ``max_abs_err_default_vs_xla`` — a miscompiled kernel
+cannot post a fast headline silently (CPU tests run the kernels in
+interpreter mode only).
+
+Extras carried in the same JSON object: explicitly-forced per-path
+timings, 2D throughput (2048x2048, 11x11 window, order 3) in Gpix/s with
+its own parity gate, and accuracy vs a scipy f64 oracle.
 """
 
 from __future__ import annotations
@@ -44,17 +52,20 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # ---- headline: batched 1D, n=12, m=4 --------------------------------
+    # ---- headline: batched 1D, n=12, m=4, DEFAULT path -------------------
     B, N = 128, 1_048_576
     x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
     flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
 
     candidates = {}
 
-    fn_xla = jax.jit(lambda v: flt.apply(v))
+    fn_default = jax.jit(lambda v: flt.apply(v))      # method="auto"
+    candidates["default"] = _bench(fn_default, x)
+
+    fn_xla = jax.jit(lambda v: flt.apply(v, method="xla"))
     candidates["xla"] = _bench(fn_xla, x)
 
-    for name, kw in (("pallas", dict(use_pallas=True)),
+    for name, kw in (("pallas", dict(method="pallas")),
                      ("mxu", dict(method="mxu"))):
         try:
             fn_c = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
@@ -62,40 +73,58 @@ def main():
         except Exception:
             pass
 
-    path, secs = min(candidates.items(), key=lambda kv: kv[1])
+    secs = candidates["default"]
     gsps = B * N / secs / 1e9
+
+    # ---- on-hardware parity gate: default path vs XLA HIGHEST ------------
+    # (same data, same device — catches Mosaic lowering divergences that
+    # interpreter-mode CPU tests cannot see)
+    xg = x[:4]
+    y_default = np.asarray(fn_default(xg))
+    y_xla = np.asarray(fn_xla(xg))
+    err_gate = float(np.abs(y_default - y_xla).max())
+    scale = float(np.abs(y_xla).max())
+    assert err_gate <= 1e-5 * max(1.0, scale), (
+        f"default-path output diverges from XLA HIGHEST on hardware: "
+        f"max abs err {err_gate:.3e} (scale {scale:.3e})")
 
     # ---- extras: 2D 2048x2048, 11x11 window, order 3 ---------------------
     img = jnp.asarray(rng.standard_normal((4, 2048, 2048)),
                       dtype=jnp.float32)
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
-    try:
-        fn2 = jax.jit(lambda v: f2.apply(v, use_pallas=True))
-        secs2 = _bench(fn2, img, iters=10)
-    except Exception:
-        fn2 = jax.jit(lambda v: f2.apply(v))
-        secs2 = _bench(fn2, img, iters=10)
+    fn2_default = jax.jit(lambda v: f2.apply(v))      # method="auto"
+    secs2 = _bench(fn2_default, img, iters=10)
     gpixps = img.shape[0] * 2048 * 2048 / secs2 / 1e9
 
-    # ---- accuracy: f32 pipeline vs scipy f64 oracle ----------------------
+    fn2_xla = jax.jit(lambda v: f2.apply(v, method="xla"))
+    y2_default = np.asarray(fn2_default(img[:1, :256, :256]))
+    y2_xla = np.asarray(fn2_xla(img[:1, :256, :256]))
+    err2_gate = float(np.abs(y2_default - y2_xla).max())
+    scale2 = float(np.abs(y2_xla).max())
+    assert err2_gate <= 1e-5 * max(1.0, scale2), (
+        f"2D default-path output diverges from XLA HIGHEST on hardware: "
+        f"max abs err {err2_gate:.3e}")
+
+    # ---- accuracy: DEFAULT f32 pipeline vs scipy f64 oracle --------------
     try:
         from scipy.signal import savgol_filter
         xs = rng.standard_normal(10_000).astype(np.float32)
-        ours = np.asarray(fn_xla(jnp.asarray(xs)[None, :]))[0]
+        ours = np.asarray(fn_default(jnp.asarray(xs)[None, :]))[0]
         ref = savgol_filter(xs.astype(np.float64), 25, 4, mode="interp")
         max_err = float(np.abs(ours - ref).max())
     except Exception:
         max_err = None
 
     result = {
-        "metric": "1d_batch_throughput_n12_m4",
+        "metric": "1d_batch_throughput_n12_m4_default_path",
         "value": round(gsps, 3),
         "unit": "Gsamples/s",
         "vs_baseline": round(gsps / 5.0, 3),
         "extras": {
-            "path": path,
             "candidates_s": {k: round(v, 6) for k, v in candidates.items()},
+            "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
+            "max_abs_err_2d_default_vs_xla": err2_gate,
             "max_abs_err_vs_scipy_f64": max_err,
             "device": str(jax.devices()[0]),
             "batch": B,

@@ -55,7 +55,8 @@ def bench_1(quick):
     x = (np.sin(t) + 0.1 * rng.standard_normal(N)).astype(np.float32)
     flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
     res = {}
-    for path, kw in [("xla", {}), ("pallas", {"use_pallas": True})]:
+    for path, kw in [("default", {}), ("xla", {"method": "xla"}),
+                     ("pallas", {"method": "pallas"})]:
         fn = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
         secs = _t(fn, jnp.asarray(x)[None, :], iters=5 if quick else 20)
         res[path] = N / secs / 1e9
@@ -134,9 +135,29 @@ def bench_3(quick):
         return outs
 
     secs = _t(run_chunks, chunks, iters=3 if quick else 10)
+
+    # correctness gate: concatenated chunk outputs must equal the batch
+    # apply's first (total - n) outputs (the stream's emission schedule:
+    # lead edge + all centers; the trailing n arrive only at flush)
+    small = jnp.asarray(rng.standard_normal((4, 1024)), dtype=jnp.float32)
+    step = jax.jit(lambda st, ch: fstream.stream_process_chunk(
+        st, ch, flt.center_weights, flt.edge_weights, flt.dt_inv))
+    st = fstream.chunk_init(n, jnp.float32)
+    got = []
+    for i in range(small.shape[0]):
+        st, o, c = step(st, small[i])
+        got.append(np.asarray(o)[:int(c)])
+    got = np.concatenate(got)
+    flat = small.reshape(-1)
+    want = np.asarray(jax.jit(flt.apply)(flat))[:flat.size - n]
+    chunk_err = float(np.abs(got - want).max())
+    assert got.size == flat.size - n, (got.size, flat.size - n)
+    assert chunk_err <= 1e-5, f"chunked stream diverges: {chunk_err:.3e}"
+
     _emit("3b_streaming_chunked",
           msamples_s=round(64 * C / secs / 1e6, 3),
-          chunk_size=C, latency_samples=C + n)
+          chunk_size=C, latency_samples=C + n,
+          max_abs_err_vs_batch=chunk_err)
 
 
 def bench_4(quick):
@@ -151,7 +172,12 @@ def bench_4(quick):
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
     res = {}
     fn = jax.jit(lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT))
-    res["xla"] = B * 2048 * 2048 / _t(fn, img, iters=3 if quick else 10) / 1e9
+    res["default"] = (B * 2048 * 2048
+                      / _t(fn, img, iters=3 if quick else 10) / 1e9)
+    fnx = jax.jit(lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT,
+                                     method="xla"))
+    res["xla"] = (B * 2048 * 2048
+                  / _t(fnx, img, iters=3 if quick else 10) / 1e9)
     imgp = jnp.asarray(rng.standard_normal((B, 2058, 2058)),
                        dtype=jnp.float32)
     fnp = jax.jit(lambda v: pc.correlate2d_valid_pallas(v, f2.weights))

@@ -48,18 +48,22 @@ class Savgol2D:
 
     def apply(self, x: jax.Array, *,
               boundary: Boundary2D = Boundary2D.CONSTANT,
-              use_pallas: bool = False) -> jax.Array:
+              use_pallas: bool = False,
+              method: str = "auto") -> jax.Array:
         """Filter the last two axes of ``x``
         (ref: savgol2d_apply, src/savgol2d.c:398-456)."""
         return savgol2d_apply(x, self.weights, boundary=boundary,
-                              scale=self.scale, use_pallas=use_pallas)
+                              scale=self.scale, use_pallas=use_pallas,
+                              method=method)
 
     def apply_valid(self, x: jax.Array, *,
-                    use_pallas: bool = False) -> jax.Array:
+                    use_pallas: bool = False,
+                    method: str = "auto") -> jax.Array:
         """VALID-mode 2D filter (ref: savgol2d_apply_valid,
         src/savgol2d.c:356-396)."""
         return savgol2d_apply(x, self.weights, boundary=Boundary2D.VALID,
-                              scale=self.scale, use_pallas=use_pallas)
+                              scale=self.scale, use_pallas=use_pallas,
+                              method=method)
 
     def __call__(self, x: jax.Array, **kw) -> jax.Array:
         return self.apply(x, **kw)

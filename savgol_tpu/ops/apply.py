@@ -204,7 +204,7 @@ def savgol_apply_core(
     derivative: int = 0,
     reference_edge_sign: bool = False,
     use_pallas: bool = False,
-    method: str = "xla",
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Filter the last axis of ``x``; same-length output.
@@ -214,10 +214,11 @@ def savgol_apply_core(
     ``derivative`` must be Python ints (static). Fully differentiable and
     vmappable.
 
-    ``method`` selects the compute path: "xla" (conv, HIGHEST precision),
-    "pallas" (fused VPU kernel — fastest exact-f32), or "mxu" (banded
-    matmuls on the systolic array). ``use_pallas=True`` is an alias for
-    method="pallas".
+    ``method`` selects the compute path: "auto" (the default — fastest
+    path for the hardware: Pallas/MXU on TPU, XLA elsewhere), "xla" (conv,
+    HIGHEST precision), "pallas" (fused VPU kernel — fastest exact-f32), or
+    "mxu" (banded matmuls on the systolic array). ``use_pallas=True`` is an
+    alias for method="pallas".
     """
     if use_pallas:
         method = "pallas"
@@ -284,7 +285,7 @@ def savgol_apply(
     reference_edge_sign: bool = False,
     axis: int = -1,
     use_pallas: bool = False,
-    method: str = "xla",
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Apply a precomputed Savitzky-Golay filter along ``axis`` of ``x``.
@@ -309,7 +310,7 @@ def savgol_apply_valid(
     dt_inv: float | jax.Array = 1.0,
     axis: int = -1,
     use_pallas: bool = False,
-    method: str = "xla",
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """VALID-mode apply: only positions with a full window; output length

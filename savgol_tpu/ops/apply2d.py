@@ -44,6 +44,19 @@ _PAD_MODE_2D = {
 }
 
 
+def _resolve_method2d(method: str, use_pallas: bool) -> str:
+    """'auto' -> the VPU stencil kernel on TPU (exact f32, ~5x the XLA
+    HIGHEST conv), plain XLA elsewhere (Pallas would run interpreted)."""
+    if use_pallas:
+        method = "pallas"
+    if method == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method not in ("xla", "pallas"):
+        raise ValueError(
+            f"method must be 'auto', 'xla' or 'pallas', got {method!r}")
+    return method
+
+
 def correlate2d_valid(x: jax.Array, w: jax.Array,
                       precision=lax.Precision.HIGHEST) -> jax.Array:
     """Valid 2D cross-correlation over the last two axes.
@@ -111,20 +124,22 @@ def savgol2d_apply(
     boundary: Boundary2D = Boundary2D.CONSTANT,
     scale: float | jax.Array = 1.0,
     use_pallas: bool = False,
+    method: str = "auto",
 ) -> jax.Array:
     """Apply a (H, W) 2D stencil over the last two axes of ``x``.
 
     VALID shrinks the output; CONSTANT/REFLECT keep the input shape.
     Mirrors ``savgol2d_apply`` / ``savgol2d_apply_valid``
-    (src/savgol2d.c:356-456). ``use_pallas`` routes the correlation through
-    the VPU stencil kernel (exact f32; forward-only autodiff via the XLA
-    twin's VJP).
+    (src/savgol2d.c:356-456). ``method="auto"`` (default) picks the VPU
+    stencil kernel on TPU (exact f32; autodiff via the XLA twin's VJP)
+    and the XLA conv elsewhere; ``use_pallas=True`` forces the kernel.
     """
+    method = _resolve_method2d(method, use_pallas)
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
-    if use_pallas:
+    if method == "pallas":
         y = _pallas_corr2d_diff()(x, weights)
     else:
         y = correlate2d_valid(x, weights)
@@ -138,13 +153,15 @@ def savgol2d_apply_stack(
     boundary: Boundary2D = Boundary2D.CONSTANT,
     scales: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    method: str = "auto",
 ) -> jax.Array:
     """Apply K stencils (K, H, W) in one conv; output (..., K, R', C')."""
+    method = _resolve_method2d(method, use_pallas)
     H, W = weight_stack.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
-    if use_pallas:
+    if method == "pallas":
         op = _pallas_corr2d_diff()
         y = jnp.stack([op(x, weight_stack[k])
                        for k in range(weight_stack.shape[0])], axis=-3)
@@ -174,12 +191,14 @@ def savgol2d_gradient(
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
     use_pallas: bool = False,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """(dI/dx, dI/dy) via one stacked conv (ref: src/savgol2d.c:462-499)."""
     W, s = _stencil_stack(half_window_x, half_window_y, poly_order,
                           [(1, 0), (0, 1)], delta_x, delta_y)
     y = savgol2d_apply_stack(x, jnp.asarray(W), boundary=boundary,
-                             scales=jnp.asarray(s), use_pallas=use_pallas)
+                             scales=jnp.asarray(s), use_pallas=use_pallas,
+                             method=method)
     return y[..., 0, :, :], y[..., 1, :, :]
 
 
@@ -188,6 +207,7 @@ def savgol2d_hessian(
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
     use_pallas: bool = False,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(d2I/dx2, d2I/dxdy, d2I/dy2); requires poly_order >= 2
     (ref: src/savgol2d.c:501-558)."""
@@ -196,7 +216,8 @@ def savgol2d_hessian(
     W, s = _stencil_stack(half_window_x, half_window_y, poly_order,
                           [(2, 0), (1, 1), (0, 2)], delta_x, delta_y)
     y = savgol2d_apply_stack(x, jnp.asarray(W), boundary=boundary,
-                             scales=jnp.asarray(s), use_pallas=use_pallas)
+                             scales=jnp.asarray(s), use_pallas=use_pallas,
+                             method=method)
     return y[..., 0, :, :], y[..., 1, :, :], y[..., 2, :, :]
 
 
@@ -205,6 +226,7 @@ def savgol2d_laplacian(
     *, delta_x: float = 1.0, delta_y: float = 1.0,
     boundary: Boundary2D = Boundary2D.CONSTANT,
     use_pallas: bool = False,
+    method: str = "auto",
 ) -> jax.Array:
     """Laplacian d2I/dx2 + d2I/dy2; since both stencils share the window the
     sum is folded into ONE stencil before the conv — one pass instead of the
@@ -215,4 +237,4 @@ def savgol2d_laplacian(
                           [(2, 0), (0, 2)], delta_x, delta_y)
     fused = W[0] * s[0] + W[1] * s[1]
     return savgol2d_apply(x, jnp.asarray(fused), boundary=boundary,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, method=method)

@@ -142,7 +142,8 @@ _PAD_MODE = {
 
 
 def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
-                      dt_inv, dtype, method: str = "auto"):
+                      dt_inv, dtype, method: str = "auto",
+                      reference_edge_sign: bool = False):
     """Apply a traced-(n, m) filter to x (..., N); same-length output."""
     d = int(derivative)
     center, lead_w, trail_w = savgol_weights_masked(n, m, d, dtype)
@@ -168,6 +169,10 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
         win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
         lead = jnp.einsum("ek,...k->...e", lead_w, win0,
                           precision=jax.lax.Precision.HIGHEST)  # (..., 32)
+        if reference_edge_sign and d % 2 == 1:
+            # reproduce the C's reversed-data leading edge, which negates
+            # odd derivatives (src/savgolFilter.c:773-777)
+            lead = -lead
         # trail window centered at x[N-1-n] -> xp start N-1-n
         startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
         winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
@@ -183,7 +188,18 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
 
 
 @functools.partial(jax.jit, static_argnames=("derivative", "boundary",
-                                             "dtype", "method"))
+                                             "dtype", "method",
+                                             "reference_edge_sign"))
+def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
+                     method, reference_edge_sign):
+    def one(n, m):
+        return _apply_masked_one(x, n, m, derivative, boundary, dt_inv,
+                                 dtype, method,
+                                 reference_edge_sign=reference_edge_sign)
+
+    return jax.vmap(one)(hw, po)
+
+
 def savgol_apply_sweep(
     x: jax.Array,
     half_windows: jax.Array,
@@ -194,20 +210,35 @@ def savgol_apply_sweep(
     dt_inv=1.0,
     dtype=jnp.float32,
     method: str = "auto",
+    reference_edge_sign: bool = False,
 ) -> jax.Array:
     """Filter ``x`` (..., N) under EVERY config (half_windows[c],
     poly_orders[c]) in one fused, vmapped computation.
 
     Returns (C, ..., N). Weight generation happens on device inside the
     same executable — nothing is retraced or transferred per config. The
-    leading edge uses the correct-sign convention (negative targets), not
-    the reference's reversed-data flip.
+    leading edge defaults to the correct-sign convention (negative
+    targets); pass ``reference_edge_sign=True`` for the C's reversed-data
+    flip (src/savgolFilter.c:773-777), as on the static-config paths.
+
+    The data must cover every window: ``N >= 2*max(half_windows) + 1``
+    (checked here when the half-windows are concrete; under an outer trace
+    the conservative bound ``N >= 2*MAX_HALF_WINDOW + 1 = 65`` is
+    required, since ``lax.dynamic_slice`` would otherwise clamp the edge
+    windows and silently corrupt edge outputs).
     """
     hw = jnp.asarray(half_windows)
     po = jnp.asarray(poly_orders)
-
-    def one(n, m):
-        return _apply_masked_one(x, n, m, derivative, boundary, dt_inv,
-                                 dtype, method)
-
-    return jax.vmap(one)(hw, po)
+    N = x.shape[-1]
+    try:
+        max_n = int(jnp.max(hw))
+    except jax.errors.TracerArrayConversionError:
+        max_n = _M
+    except jax.errors.ConcretizationTypeError:
+        max_n = _M
+    if N < 2 * max_n + 1:
+        raise ValueError(
+            f"data length ({N}) must be >= the widest window "
+            f"(2*{max_n}+1 = {2 * max_n + 1})")
+    return _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
+                            method, reference_edge_sign)

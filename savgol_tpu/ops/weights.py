@@ -259,6 +259,38 @@ def savgol2d_weights_np(config: Savgol2DConfig, dtype=np.float32) -> np.ndarray:
     return w.reshape(config.window_height, config.window_width).astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _validate_2d_geometry(nx: int, ny: int, order: int,
+                          np_dtype=np.float32) -> None:
+    """Trace-time degeneracy check for the on-device generator.
+
+    Whether the device Cholesky can factor the normal matrix is a function
+    of the STATIC geometry (nx, ny, order) and working dtype only, so the
+    check runs once at trace time; without it, ``cho_solve`` on a singular
+    system silently returns NaN weights on device. Rejects (a) geometries
+    with coincident monomial columns (rank-deficient — e.g. half_window_y=1
+    with order 3, where y^3 == y on {-1,0,1}; the reference also refuses
+    these, src/savgol2d.c:144-148) and (b) systems whose working-dtype
+    factorization fails even though f64 LAPACK would cope — for those, use
+    the host generator ``savgol2d_weights_np``."""
+    A = _design_matrix_np(nx, ny, order)
+    ata = A.T @ A
+    ok = np.linalg.matrix_rank(ata) == A.shape[1]
+    if ok:
+        try:
+            np.linalg.cholesky(ata.astype(np_dtype))
+        except np.linalg.LinAlgError:
+            ok = False
+    if not ok:
+        raise np.linalg.LinAlgError(
+            f"degenerate 2D window for the on-device generator: the "
+            f"order-{order} monomial normal matrix is singular (or not "
+            f"factorable in the working dtype) on a "
+            f"{2 * ny + 1}x{2 * nx + 1} grid; increase the half-windows, "
+            "lower poly_order, or use the host generator "
+            "savgol2d_weights_np")
+
+
 @functools.partial(jax.jit, static_argnames=(
     "half_window_x", "half_window_y", "poly_order", "deriv_x", "deriv_y",
     "dtype"))
@@ -267,9 +299,13 @@ def savgol2d_weights(half_window_x: int, half_window_y: int, poly_order: int,
     """On-device 2D weight generation (jittable).
 
     Same normal-equations construction as the host path, in the working
-    dtype, solved with a Cholesky factorization on device.
+    dtype, solved with a Cholesky factorization on device. Degenerate
+    window geometries raise ``numpy.linalg.LinAlgError`` at trace time
+    (the singularity is knowable from the static args alone).
     """
     nx, ny, order = half_window_x, half_window_y, poly_order
+    np_dtype = np.float64 if jnp.dtype(dtype).itemsize >= 8 else np.float32
+    _validate_2d_geometry(nx, ny, order, np_dtype)
     hp = jax.lax.Precision.HIGHEST
     A = jnp.asarray(_design_matrix_np(nx, ny, order), dtype=dtype)
     ata = jnp.matmul(A.T, A, precision=hp)

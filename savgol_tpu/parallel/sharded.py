@@ -72,9 +72,22 @@ def _halo_exchange(x_local: jax.Array, n: int, axis_name: str):
 
 
 def _local_apply(x_local, center_w, edge_w, n, boundary, dt_inv, lead_sign,
-                 axis_name, precision):
-    """Per-shard body: halo exchange + local correlation + end-shard fixes."""
-    from savgol_tpu.ops.apply import correlate_valid
+                 axis_name, precision, method="xla"):
+    """Per-shard body: halo exchange + local correlation + end-shard fixes.
+
+    ``method`` is pre-resolved by the caller (no "auto" here): the local
+    center correlation runs on the same fast path as the single-chip apply
+    (Pallas VPU kernel / banded-MXU on TPU), so per-chip throughput inside
+    ``shard_map`` matches single-chip."""
+    from savgol_tpu.ops.apply import (_pallas_corr_diff, correlate_valid,
+                                      correlate_valid_mxu)
+
+    def corr(v, w):
+        if method == "pallas":
+            return _pallas_corr_diff()(v, w.astype(v.dtype))
+        if method == "mxu":
+            return correlate_valid_mxu(v, w, precision)
+        return correlate_valid(v, w, precision)
 
     ws = 2 * n + 1
     nloc = x_local.shape[-1]
@@ -104,7 +117,7 @@ def _local_apply(x_local, center_w, edge_w, n, boundary, dt_inv, lead_sign,
         right = jnp.where(is_last, vright, right)
 
     xp = jnp.concatenate([left, x_local, right], axis=-1)
-    y = correlate_valid(xp, center_w, precision)        # (..., nloc)
+    y = corr(xp, center_w)                              # (..., nloc)
 
     if boundary is BoundaryMode.POLYNOMIAL:
         ew = edge_w.astype(x_local.dtype)
@@ -138,6 +151,7 @@ def apply_sharded(
     seq_axis: str = "seq",
     batch_axis: Optional[str] = "batch",
     precision=lax.Precision.HIGHEST,
+    method: str = "auto",
 ) -> jax.Array:
     """Same-length filter of ``x`` (shape ``(..., N)`` or ``(N,)``) sharded
     along the sample axis over ``mesh[seq_axis]`` (and optionally along the
@@ -145,9 +159,17 @@ def apply_sharded(
 
     Semantics identical to :func:`savgol_tpu.ops.apply.savgol_apply`;
     communication is two neighbor ``ppermute`` sends of ``half_window``
-    samples per shard.
+    samples per shard. ``method="auto"`` (default) runs each shard's local
+    correlation on the fast single-chip path (Pallas/MXU on TPU).
     """
+    from savgol_tpu.ops.apply import _resolve_method
+
     n = int(half_window)
+    method = _resolve_method(method, 2 * n + 1)
+    if method not in ("xla", "pallas", "mxu"):
+        raise ValueError(
+            f"method must be 'auto', 'xla', 'pallas' or 'mxu', "
+            f"got {method!r}")
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
@@ -168,7 +190,7 @@ def apply_sharded(
     fn = functools.partial(
         _local_apply, center_w=center_w, edge_w=edge_w, n=n,
         boundary=boundary, dt_inv=dt_inv, lead_sign=lead_sign,
-        axis_name=seq_axis, precision=precision)
+        axis_name=seq_axis, precision=precision, method=method)
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False)

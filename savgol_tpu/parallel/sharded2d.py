@@ -33,8 +33,8 @@ def _halo_rows(x_local, ny: int, axis_name: str):
     return top_halo, bot_halo
 
 
-def _local2d(x_local, weights, scale, boundary, axis_name):
-    from savgol_tpu.ops.apply2d import correlate2d_valid
+def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
+    from savgol_tpu.ops.apply2d import _pallas_corr2d_diff, correlate2d_valid
 
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
@@ -65,7 +65,10 @@ def _local2d(x_local, weights, scale, boundary, axis_name):
         mode = "symmetric" if boundary is Boundary2D.REFLECT else "edge"
         pad = [(0, 0)] * (xr.ndim - 1) + [(nx, nx)]
         xr = jnp.pad(xr, pad, mode=mode)
-    y = correlate2d_valid(xr, weights)   # rows: rloc, cols: C or C-2nx
+    if method == "pallas":
+        y = _pallas_corr2d_diff()(xr, weights.astype(xr.dtype))
+    else:
+        y = correlate2d_valid(xr, weights)  # rows: rloc, cols: C or C-2nx
     return y * jnp.asarray(scale, dtype=y.dtype)
 
 
@@ -78,6 +81,7 @@ def apply2d_sharded(
     scale: float | jax.Array = 1.0,
     seq_axis: str = "seq",
     batch_axis: Optional[str] = "batch",
+    method: str = "auto",
 ) -> jax.Array:
     """2D filter with rows sharded over ``mesh[seq_axis]``.
 
@@ -87,6 +91,9 @@ def apply2d_sharded(
     [ny : R-ny] afterwards — done here automatically for unsharded-row
     semantics parity).
     """
+    from savgol_tpu.ops.apply2d import _resolve_method2d
+
+    method = _resolve_method2d(method, use_pallas=False)
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     squeeze = x.ndim == 2
@@ -104,7 +111,8 @@ def apply2d_sharded(
     in_spec = P(*([bspec] + [None] * (x.ndim - 3) + [seq_axis, None]))
 
     fn = functools.partial(_local2d, weights=weights, scale=scale,
-                           boundary=boundary, axis_name=seq_axis)
+                           boundary=boundary, axis_name=seq_axis,
+                           method=method)
     y = jax.shard_map(fn, mesh=mesh, in_specs=(in_spec,),
                       out_specs=in_spec, check_vma=False)(x)
     if boundary is Boundary2D.VALID:

@@ -26,9 +26,11 @@ import numpy as np
 
 from savgol_tpu.config import BoundaryMode, SavgolConfig
 from savgol_tpu.ops.apply import (_ensure_float, _move_axis_last,
-                                  _restore_axis, correlate_valid,
+                                  _resolve_method, _restore_axis,
+                                  correlate_valid, correlate_valid_mxu,
                                   savgol_apply_core)
-from savgol_tpu.ops.weights import savgol_weights_np
+from savgol_tpu.ops.weights import (_gram_table, _norm_factors,
+                                    savgol_weights_np)
 
 __all__ = ["savgol_coeffs", "savgol_filter"]
 
@@ -59,15 +61,26 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     center, edge = savgol_weights_np(cfg, dtype=np.float64)
     if pos is None or pos == n:
         w = center
-    else:
-        # weight row evaluating the fit at window position `pos`
-        # (reference edge rows cover pos > n; mirror for pos < n)
-        if not 0 <= pos < window_length:
-            raise ValueError("pos must be within the window")
+    elif float(pos) == int(pos) and 0 <= int(pos) < window_length:
+        # integer positions map to the reference's precomputed edge rows
+        # (pos > n directly; pos < n by mirror symmetry)
+        pos = int(pos)
         if pos > n:
             w = edge[2 * n - pos]
         else:
             w = edge[pos][::-1] * ((-1.0) ** deriv)
+    else:
+        # fractional pos: evaluate the Gram fit at the arbitrary target
+        # t = pos - n (the three-term recurrence holds at non-integer
+        # points), matching scipy's float-pos semantics
+        if not 0 <= float(pos) < window_length:
+            raise ValueError("pos must be within the window")
+        t = np.asarray([float(pos) - n], dtype=np.float64)
+        pts = np.arange(-n, n + 1, dtype=np.float64)
+        G = _gram_table(pts, n, polyorder, deriv, np)
+        Gt = _gram_table(t, n, polyorder, deriv, np)
+        factors = _norm_factors(n, polyorder)
+        w = np.einsum("k,ki->i", factors * Gt[:, deriv, 0], G[:, 0, :])
     w = w / (delta ** deriv)
     if use == "conv":
         return w[::-1]
@@ -79,7 +92,7 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
 def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
                   delta: float = 1.0, axis: int = -1, mode: str = "interp",
                   cval: float = 0.0, *, use_pallas: bool = False,
-                  method: str = "xla") -> jax.Array:
+                  method: str = "auto") -> jax.Array:
     """scipy.signal.savgol_filter equivalent on the savgol_tpu stack."""
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
@@ -122,10 +135,17 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     else:
         xp = jnp.pad(xl, pad, mode="constant",
                      constant_values=jnp.asarray(cval, dtype=xl.dtype))
-    if use_pallas or method == "pallas":
+    m = "pallas" if use_pallas else method
+    m = _resolve_method(m, window_length)
+    if m == "pallas":
         from savgol_tpu.ops.apply import _pallas_corr_diff
         y = _pallas_corr_diff()(xp, cw)
-    else:
+    elif m == "mxu":
+        y = correlate_valid_mxu(xp, cw)
+    elif m == "xla":
         y = correlate_valid(xp, cw)
+    else:
+        raise ValueError(
+            f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
     y = y * jnp.asarray(dt_inv, dtype=xl.dtype)
     return _restore_axis(y, moved)

@@ -103,3 +103,39 @@ class TestScipyCorners:
         y = np.asarray(savgol_filter(jnp.asarray(x, dtype=F64), 11, 3,
                                      deriv=4))
         np.testing.assert_array_equal(y, np.zeros_like(x))
+
+
+class TestFractionalPos:
+    @pytest.mark.parametrize("pos", [0.5, 2.25, 5.0, 7.75, 9.5])
+    @pytest.mark.parametrize("deriv", [0, 1, 2])
+    def test_fractional_pos_matches_scipy(self, pos, deriv):
+        ours = savgol_coeffs(11, 3, deriv=deriv, pos=pos)
+        ref = sp_coeffs(11, 3, deriv=deriv, pos=pos)
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+    def test_fractional_pos_delta_and_dot(self):
+        ours = savgol_coeffs(9, 4, deriv=1, pos=3.5, delta=0.25, use="dot")
+        ref = sp_coeffs(9, 4, deriv=1, pos=3.5, delta=0.25, use="dot")
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+    def test_out_of_window_pos_rejected(self):
+        with pytest.raises(ValueError, match="pos"):
+            savgol_coeffs(11, 3, pos=11.5)
+
+
+class TestExtensionModeMethods:
+    """mirror/constant modes must honor every method, not just pallas."""
+
+    @pytest.mark.parametrize("mode", ["mirror", "constant"])
+    @pytest.mark.parametrize("method", ["xla", "mxu", "pallas", "auto"])
+    def test_methods_agree(self, x, mode, method):
+        base = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), 11, 3, mode=mode, method="xla"))
+        got = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), 11, 3, mode=mode, method=method))
+        np.testing.assert_allclose(got, base, atol=1e-9)
+
+    @pytest.mark.parametrize("mode", ["mirror", "constant"])
+    def test_unknown_method_rejected(self, x, mode):
+        with pytest.raises(ValueError, match="method"):
+            savgol_filter(jnp.asarray(x), 11, 3, mode=mode, method="cuda")

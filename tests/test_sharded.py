@@ -142,3 +142,64 @@ class TestSharded2D:
         with pytest.raises(ValueError, match="window height"):
             apply2d_sharded(jnp.zeros((16, 40), dtype=F64), f2.weights,
                             mesh=mesh8, scale=f2.scale)
+
+
+class TestShardedFastPaths:
+    """The per-shard local correlation must run on the same fast kernels as
+    the single-chip path (VERDICT: the multi-chip story must compose the
+    fast path). On CPU the Pallas route runs interpreted — semantics
+    identical."""
+
+    @pytest.mark.parametrize("method", ["pallas", "mxu", "xla"])
+    @pytest.mark.parametrize("boundary", [sg.BoundaryMode.POLYNOMIAL,
+                                          sg.BoundaryMode.PERIODIC])
+    def test_methods_match_single_device(self, mesh8, method, boundary):
+        rng = np.random.default_rng(7)
+        n, m, d = 6, 3, 1
+        x = jnp.asarray(rng.standard_normal((4, 512)), dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+        got = np.asarray(apply_sharded(
+            x, f.center_weights, f.edge_weights, half_window=n,
+            mesh=mesh8, boundary=boundary, dt_inv=f.dt_inv, derivative=d,
+            method=method))
+        want = _single(f, x, boundary)
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   err_msg=f"method={method}")
+
+    def test_gradient_flows_through_pallas_shards(self, mesh8):
+        """value_and_grad through the sharded Pallas route (the dryrun's
+        training step shape)."""
+        import jax
+
+        rng = np.random.default_rng(8)
+        n = 4
+        x = jnp.asarray(rng.standard_normal((2, 256)), dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, 2), dtype=F64)
+
+        def loss(v):
+            y = apply_sharded(v, f.center_weights, f.edge_weights,
+                              half_window=n, mesh=mesh8, method="pallas")
+            return jnp.sum(y ** 2)
+
+        g_sharded = np.asarray(jax.grad(loss)(x))
+        g_single = np.asarray(jax.grad(
+            lambda v: jnp.sum(f.apply(v) ** 2))(x))
+        np.testing.assert_allclose(g_sharded, g_single, atol=1e-9)
+
+    def test_invalid_method_rejected(self, mesh8):
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
+        with pytest.raises(ValueError, match="method"):
+            apply_sharded(jnp.zeros((2, 256), dtype=F64),
+                          f.center_weights, f.edge_weights,
+                          half_window=4, mesh=mesh8, method="cuda")
+
+    def test_2d_pallas_matches_single_device(self, mesh8):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.standard_normal((2, 64, 96)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            img, f2.weights, mesh=mesh8, scale=f2.scale, method="pallas"))
+        want = np.asarray(f2.apply(img))
+        np.testing.assert_allclose(got, want, atol=1e-9)

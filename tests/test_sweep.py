@@ -107,3 +107,36 @@ class TestSweepApply:
         np.testing.assert_allclose(np.asarray(out),
                                    np.broadcast_to(np.arange(100.0),
                                                    (8, 100)), atol=1e-7)
+
+    def test_reference_edge_sign_matches_static_path(self):
+        """reference_edge_sign=True reproduces the C's negated leading edge
+        for odd derivatives, exactly as on the static-config path."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal(200), dtype=F64)
+        ns, ms = [5, 12], [3, 4]
+        out = np.asarray(savgol_apply_sweep(
+            x, jnp.asarray(ns), jnp.asarray(ms), derivative=1,
+            reference_edge_sign=True, dtype=F64))
+        for c, (n, m) in enumerate(zip(ns, ms)):
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m, 1), dtype=F64)
+            want = np.asarray(f.apply(x, reference_edge_sign=True))
+            np.testing.assert_allclose(out[c], want, atol=1e-8)
+
+    def test_too_short_input_raises_concrete(self):
+        x = jnp.asarray(np.arange(20.0), dtype=F64)
+        with pytest.raises(ValueError, match="widest window"):
+            savgol_apply_sweep(x, jnp.asarray([12]), jnp.asarray([3]),
+                               dtype=F64)
+
+    def test_too_short_input_raises_traced(self):
+        """Under an outer jit the half-windows are tracers; the conservative
+        N >= 65 bound must still reject."""
+        import jax
+
+        x = jnp.asarray(np.arange(40.0), dtype=F64)
+
+        def run(hw, po):
+            return savgol_apply_sweep(x, hw, po, dtype=F64)
+
+        with pytest.raises(ValueError, match="widest window"):
+            jax.jit(run)(jnp.asarray([3]), jnp.asarray([2]))

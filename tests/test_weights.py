@@ -235,3 +235,17 @@ class Test2DWeights:
         wh = savgol2d_weights_np(cfg, dtype=np.float64)
         wd = savgol2d_weights(4, 3, 3, 1, 1, dtype=jnp.float64)
         np.testing.assert_allclose(np.asarray(wd), wh, atol=1e-9)
+
+
+class TestOnDevice2DDegeneracy:
+    """The jitted 2D generator must reject singular window geometries at
+    trace time instead of silently returning NaN weights (cho_solve on a
+    singular normal matrix; host path raises — src/savgol2d.c:144-148)."""
+
+    def test_degenerate_geometry_raises(self):
+        with pytest.raises(np.linalg.LinAlgError, match="degenerate"):
+            savgol2d_weights(5, 1, 3)
+
+    def test_valid_geometry_still_works(self):
+        w = savgol2d_weights(3, 3, 2)
+        assert np.isfinite(np.asarray(w)).all()
