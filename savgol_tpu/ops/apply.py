@@ -146,7 +146,7 @@ def _pallas_poly_diff(n: int, lead_sign: float):
     @jax.custom_vjp
     def op(x, cw, ew, dt_inv):
         from savgol_tpu.ops import pallas_conv
-        return pallas_conv.savgol_polynomial_pallas(
+        return pallas_conv.savgol_polynomial_pallas_auto(
             x, cw, ew, n, dt_inv, lead_sign=lead_sign)
 
     def fwd(x, cw, ew, dt_inv):
@@ -167,7 +167,7 @@ def _pallas_corr_diff():
     @jax.custom_vjp
     def op(x, w):
         from savgol_tpu.ops import pallas_conv
-        return pallas_conv.correlate_valid_pallas(x, w)
+        return pallas_conv.correlate_valid_pallas_auto(x, w)
 
     def fwd(x, w):
         return op(x, w), (x, w)

@@ -37,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "correlate_valid_pallas",
+    "correlate_valid_pallas_mxu",
     "correlate_valid_bank_pallas",
     "correlate2d_valid_pallas",
     "savgol_polynomial_pallas",
+    "savgol_polynomial_pallas_mxu",
 ]
 
 # f32 tiling: sublane x lane = 8 x 128.
@@ -165,6 +167,7 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
     + sign folded into column order) and ``ewt = ew[::-1, :]`` (output
     order n-1..0 folded into row order)."""
     ci = pl.program_id(1)
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
     xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
     cols = o_ref.shape[1]
 
@@ -181,7 +184,7 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
             first, ewl_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )                                          # (rows, n)
         o_ref[:, 0:n] = lead.astype(o_ref.dtype)
 
@@ -193,7 +196,7 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
             last, ewt_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
         o_ref[:, tail_out:tail_out + n] = trail.astype(o_ref.dtype)
 
@@ -206,6 +209,7 @@ def _sg1d_poly_kernel_v2(w_ref, ewl_ref, ewt_ref, left_ref, x_ref,
     edge matmuls then overwrite the affected outputs exactly as in v1."""
     ci = pl.program_id(1)
     n_ci = pl.num_programs(1)
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
     cols = o_ref.shape[1]
     left = jnp.where(ci == 0, 0.0, left_ref[:, :])
     right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
@@ -224,7 +228,7 @@ def _sg1d_poly_kernel_v2(w_ref, ewl_ref, ewt_ref, left_ref, x_ref,
             first, ewl_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_t)
         o_ref[:, 0:n] = lead.astype(o_ref.dtype)
 
     @pl.when(ci == n_ci - 1)
@@ -234,7 +238,7 @@ def _sg1d_poly_kernel_v2(w_ref, ewl_ref, ewt_ref, left_ref, x_ref,
             last, ewt_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_t)
         o_ref[:, cols - n:cols] = trail.astype(o_ref.dtype)
 
 
@@ -401,6 +405,348 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Fused polynomial-boundary 1D apply — banded-MXU variant
+# ---------------------------------------------------------------------------
+#
+# The VPU tap loop costs several vector ops per tap (each shifted slice is a
+# lane-rotate + select before the FMA), putting the n=12 kernel ~3x under
+# the HBM roofline. The systolic array does the same correlation as dense
+# matmuls against STATIONARY banded matrices: an output 128-block j reads
+# input lane-blocks j-1, j, j+1 (any window up to 129 taps), so
+#
+#     out_block = xl @ WL + xc @ WC + xr @ WR
+#     WC[q, p] = w[q - p + n]          (|q - p| <= n)
+#     WL[q, p] = w[q - p + n - 128]    (upper-right corner)
+#     WR[q, p] = w[q - p + n + 128]    (lower-left corner)
+#
+# i.e. 3 MACs/sample/tap-independent ~ 768 flops/sample — at the MXU's f32
+# (6-pass bf16) rate that is ~8 ps/sample, vs ~45 ps for the 25-tap VPU
+# loop. The polynomial edges are fused exactly as in the VPU kernel.
+
+
+def _band_matrices_np(w, n: int):
+    """Host-side (3, 128, 128) stationary band stack [WL, WC, WR] (f64 in,
+    caller casts)."""
+    import numpy as np
+    q = np.arange(_LANES)[:, None]
+    p = np.arange(_LANES)[None, :]
+    ws = w.shape[0]
+    out = []
+    for off in (-_LANES, 0, _LANES):
+        k = q - p + n + off
+        valid = (k >= 0) & (k < ws)
+        out.append(np.where(valid, np.asarray(w)[np.clip(k, 0, ws - 1)], 0.0))
+    return np.stack(out)
+
+
+def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
+                          right_ref, o_ref, *, ws: int, n: int, cb: int,
+                          mxu_precision, stacked: bool):
+    """Banded-MXU fused polynomial apply: per inner 128-block, either three
+    (rows, 128) @ (128, 128) matmuls against the stationary band stack
+    (``stacked=False``) or one (rows, 384) @ (384, 128) matmul against the
+    vertically stacked bands (``stacked=True`` — a single K=384 pass
+    streams better through the systolic array at the cost of one lane
+    concat). Same halo-view scheme as the VPU v2 kernel (left/right
+    128-col views, masked to zero at the global edges — those outputs are
+    then overwritten by the edge matmuls)."""
+    ci = pl.program_id(1)
+    n_ci = pl.num_programs(1)
+    left = jnp.where(ci == 0, 0.0, left_ref[:, :])
+    right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
+
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for i in range(cb):
+        xl = left if i == 0 else x_ref[:, (i - 1) * _LANES:i * _LANES]
+        xc = x_ref[:, i * _LANES:(i + 1) * _LANES]
+        xr = (right if i == cb - 1
+              else x_ref[:, (i + 1) * _LANES:(i + 2) * _LANES])
+        if stacked:
+            x3 = jnp.concatenate([xl, xc, xr], axis=1)
+            acc = mm(x3, bands_ref[:, :])
+        else:
+            acc = (mm(xl, bands_ref[0:_LANES])
+                   + mm(xc, bands_ref[_LANES:2 * _LANES])
+                   + mm(xr, bands_ref[2 * _LANES:3 * _LANES]))
+        o_ref[:, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
+
+    cols = cb * _LANES
+
+    @pl.when(ci == 0)
+    def _():
+        first = x_ref[:, 0:ws]
+        lead = jax.lax.dot_general(
+            first, ewl_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc_t)
+        o_ref[:, 0:n] = lead.astype(o_ref.dtype)
+
+    @pl.when(ci == n_ci - 1)
+    def _():
+        last = x_ref[:, cols - ws:cols]
+        trail = jax.lax.dot_general(
+            last, ewt_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc_t)
+        o_ref[:, cols - n:cols] = trail.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n",
+                                             "interpret", "mxu_precision",
+                                             "stacked"))
+def _sg1d_poly_mxu_call(x, bands, ewl, ewt, rows, cols, n, interpret,
+                        mxu_precision, stacked=False):
+    B, N = x.shape
+    ws = 2 * n + 1
+    cb = cols // _LANES
+    last128 = N // _LANES - 1
+    grid = (B // rows, N // cols)
+    kernel = functools.partial(_sg1d_poly_mxu_kernel, ws=ws, n=n, cb=cb,
+                               mxu_precision=mxu_precision, stacked=stacked)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3 * _LANES, _LANES), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, jnp.maximum(ci * (cols // _LANES)
+                                                         - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi,
+                                         jnp.minimum((ci + 1)
+                                                     * (cols // _LANES),
+                                                     last128)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        interpret=interpret,
+    )(bands, ewl, ewt, x, x, x)
+
+
+def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
+                                 edge_w: jax.Array, n: int,
+                                 dt_inv=1.0, lead_sign: float = 1.0,
+                                 rows: int = 128, cols: int = 2048,
+                                 interpret: bool | None = None,
+                                 mxu_precision=None,
+                                 stacked: bool = False) -> jax.Array:
+    """Same-length POLYNOMIAL apply, banded-MXU fused kernel.
+
+    Semantics of savgol_apply_core(.., BoundaryMode.POLYNOMIAL). Requires
+    window size <= 129 (always true: savgolFilter.h:39 caps n at 32).
+    Shapes are padded to tile multiples; edge regions must land in the
+    first/last column block (cols >= ws).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    ws = 2 * n + 1
+    if ws > _LANES + 1:
+        raise ValueError(f"window size {ws} exceeds the 3-band structure")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    if N < ws:
+        raise ValueError(f"data length ({N}) must be >= window size ({ws})")
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+
+    import numpy as np
+    dt = jnp.asarray(dt_inv, dtype=x.dtype)
+    w64 = np.asarray(center_w, dtype=np.float64)
+    bands = jnp.asarray(
+        _band_matrices_np(w64, n).reshape(3 * _LANES, _LANES),
+        dtype=x.dtype) * dt
+    ew = edge_w.astype(x.dtype) * dt
+    ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
+    ewt = ew[::-1, :]
+
+    rows = min(rows, _round_up(B, _SUBLANES))
+    # Column padding would corrupt the trailing-edge fixup (it assumes the
+    # real data ends at the last block edge), so the block width must
+    # divide N exactly; otherwise fall back to the VPU kernel, whose padded
+    # path handles arbitrary N.
+    pick = None
+    for c2 in (cols, 4096, 2048, 1024, 512, 384, 256, 128):
+        if c2 >= ws and c2 % _LANES == 0 and N % c2 == 0:
+            pick = c2
+            break
+    if pick is None:
+        return savgol_polynomial_pallas(
+            x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
+            interpret=interpret)
+    Bp = _round_up(B, rows)
+    if Bp != B:                           # batch padding is semantics-free
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    out = _sg1d_poly_mxu_call(xb, bands, ewl, ewt, rows, pick, n,
+                              interpret, mxu_precision, stacked)
+    return out[:B, :N].reshape(batch_shape + (N,))
+
+
+# Crossover between the VPU tap-loop kernels and the banded-MXU kernels:
+# the matmul M dimension is the flattened batch, so the MXU path needs wide
+# batches to stream (measured on v5e: MXU 28.6 vs VPU 16.3 Gs/s at B=128).
+_MXU_MIN_BATCH = 64
+
+
+def savgol_polynomial_pallas_auto(x, center_w, edge_w, n, dt_inv=1.0,
+                                  lead_sign: float = 1.0,
+                                  interpret: bool | None = None):
+    """Hardware pick between the VPU and banded-MXU fused kernels."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B = 1
+    for s in x.shape[:-1]:
+        B *= s
+    if not interpret and B >= _MXU_MIN_BATCH:
+        return savgol_polynomial_pallas_mxu(
+            x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
+            interpret=interpret)
+    return savgol_polynomial_pallas(
+        x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
+        interpret=interpret)
+
+
+def correlate_valid_pallas_auto(x, w, interpret: bool | None = None):
+    """Hardware pick between the VPU and banded-MXU valid correlations."""
+    if interpret is None:
+        interpret = _interpret_default()
+    B = 1
+    for s in x.shape[:-1]:
+        B *= s
+    if not interpret and B >= _MXU_MIN_BATCH:
+        return correlate_valid_pallas_mxu(x, w, interpret=interpret)
+    return correlate_valid_pallas(x, w, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Valid correlation — banded-MXU variant
+# ---------------------------------------------------------------------------
+#
+# out[j] = sum_k w[k] x[j+k] aligns the band to q - p >= 0, so only TWO
+# stationary matrices are needed (current block + right neighbor):
+#     V0[q, p] = w[q - p]          (0 <= q - p < ws)
+#     V1[q, p] = w[q + 128 - p]    (bottom-left corner)
+
+
+def _valid_band_matrices_np(w):
+    import numpy as np
+    q = np.arange(_LANES)[:, None]
+    p = np.arange(_LANES)[None, :]
+    ws = w.shape[0]
+    out = []
+    for off in (0, _LANES):
+        k = q - p + off
+        valid = (k >= 0) & (k < ws)
+        out.append(np.where(valid, np.asarray(w)[np.clip(k, 0, ws - 1)], 0.0))
+    return np.stack(out)       # (2, 128, 128)
+
+
+def _corr1d_mxu_kernel(bands_ref, x_ref, halo_ref, o_ref, *, cb: int,
+                       mxu_precision):
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    V0 = bands_ref[0:_LANES]
+    V1 = bands_ref[_LANES:2 * _LANES]
+    for i in range(cb):
+        xc = x_ref[:, i * _LANES:(i + 1) * _LANES]
+        xr = (halo_ref[:, :] if i == cb - 1
+              else x_ref[:, (i + 1) * _LANES:(i + 2) * _LANES])
+        acc = mm(xc, V0) + mm(xr, V1)
+        o_ref[:, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
+                                             "mxu_precision"))
+def _corr1d_mxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
+    B, Npad = xpad.shape
+    n_out = Npad - _LANES
+    cb = cols // _LANES
+    grid = (B // rows, n_out // cols)
+    kernel = functools.partial(_corr1d_mxu_kernel, cb=cb,
+                               mxu_precision=mxu_precision)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * _LANES, _LANES), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_out), xpad.dtype),
+        interpret=interpret,
+    )(bands, xpad, xpad)
+
+
+def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
+                               rows: int = 128, cols: int = _COLS,
+                               interpret: bool | None = None,
+                               mxu_precision=None) -> jax.Array:
+    """Valid cross-correlation along the last axis on the systolic array.
+
+    Same contract as :func:`correlate_valid_pallas`; two stationary banded
+    (128, 128) matmuls per output block instead of a ws-tap VPU loop —
+    faster for wide batches (matmul M dimension = batch rows)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    _check_tile(rows, cols)
+    ws = w.shape[0]
+    if ws > _LANES + 1:
+        raise ValueError(f"window size {ws} exceeds kernel halo limit")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    n_out = N - ws + 1
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+
+    import numpy as np
+    w64 = np.asarray(w, dtype=np.float64)
+    bands = jnp.asarray(
+        _valid_band_matrices_np(w64).reshape(2 * _LANES, _LANES),
+        dtype=x.dtype)
+
+    rows = min(rows, _round_up(B, _SUBLANES))
+    cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    Bp = _round_up(B, rows)
+    n_out_p = _round_up(n_out, cols)
+    Np = n_out_p + _LANES
+    xp = jnp.pad(xb, ((0, Bp - B), (0, Np - N)))
+    out = _corr1d_mxu_call(xp, bands, rows, cols, interpret, mxu_precision)
+    return out[:B, :n_out].reshape(batch_shape + (n_out,))
+
+
+# ---------------------------------------------------------------------------
 # 2D valid correlation
 # ---------------------------------------------------------------------------
 
@@ -412,41 +758,55 @@ _HALO_R = 32   # >= 2 * MAX_HALF_WINDOW_2D (16), multiple of 8 sublanes
 
 
 def _corr2d_kernel(w_ref, x_ref, right_ref, bot_ref, corner_ref, o_ref,
-                   *, wh: int, ww: int):
+                   *, wh: int, ww: int, row_group: int):
     top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
     bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
     xw = jnp.concatenate([top, bottom], axis=0)
     r, c = o_ref.shape[1], o_ref.shape[2]
 
-    # Accumulate through the output ref one stencil row at a time: a fully
-    # unrolled 33x33 expression tree keeps ~1000 live tile temporaries and
-    # blows the 16 MB scoped-VMEM limit (and Mosaic cannot lower
-    # dynamic_slice on values, so no fori_loop over rows either). Per-row
-    # expressions hold at most ``ww`` temporaries. The sublane (row) shift
+    # Accumulate ``row_group`` stencil rows into a value between o_ref
+    # writes: Mosaic keeps every product of an expression tree live in
+    # scoped VMEM (a fully unrolled chain costs ~wh*ww live tile
+    # temporaries and blows the scoped limit — verified on hardware), so
+    # the group size trades VMEM (~row_group*ww live tiles) against o_ref
+    # round trips (wh / row_group instead of wh). The sublane (row) shift
     # is hoisted out of the tap loop — one shifted slab per stencil row,
-    # then lane-only shifts per tap.
+    # then lane-only shifts per tap. (Mosaic cannot lower dynamic_slice on
+    # values, so no fori_loop over rows.)
+    acc = None
     for wy in range(wh):
         slab = xw[wy:wy + r, :]
         row = w_ref[wy, 0] * slab[:, 0:c]
         for wx in range(1, ww):
             row = row + w_ref[wy, wx] * slab[:, wx:wx + c]
-        if wy == 0:
-            o_ref[0] = row
-        else:
-            o_ref[0] = o_ref[0] + row
+        acc = row if acc is None else acc + row
+        if (wy + 1) % row_group == 0 or wy == wh - 1:
+            if wy + 1 <= row_group:
+                o_ref[0] = acc
+            else:
+                o_ref[0] = o_ref[0] + acc
+            acc = None
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
-def _corr2d_call(xpad, w, rows, cols, interpret):
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
+                                             "row_group", "vmem_limit"))
+def _corr2d_call(xpad, w, rows, cols, interpret, row_group=1,
+                 vmem_limit=None):
     B, Rp, Cp = xpad.shape
     out_r = Rp - _HALO_R
     out_c = Cp - _LANES
     wh, ww = w.shape
     grid = (B, out_r // rows, out_c // cols)
-    kernel = functools.partial(_corr2d_kernel, wh=wh, ww=ww)
+    kernel = functools.partial(_corr2d_kernel, wh=wh, ww=ww,
+                               row_group=row_group)
+    params = {}
+    if vmem_limit is not None and not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit))
     return pl.pallas_call(
         kernel,
         grid=grid,
+        **params,
         in_specs=[
             pl.BlockSpec((wh, ww), lambda b, ri, ci: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -476,11 +836,17 @@ def _corr2d_call(xpad, w, rows, cols, interpret):
 
 def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
                              rows: int = _ROWS2D, cols: int = _COLS2D,
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             row_group: int | None = None,
+                             vmem_limit: int | None = None) -> jax.Array:
     """Valid 2D cross-correlation over the last two axes (single stencil).
 
     ``x``: (..., R, C); ``w``: (H, W) with H <= 33, W <= 33 (reference 2D
     limit is half_window 16 -> 33; savgol2d.h:63-73). Exact f32 on the VPU.
+
+    ``row_group`` stencil rows accumulate in registers between output
+    round trips (default picked to fit the scoped-VMEM budget);
+    ``vmem_limit`` raises Mosaic's scoped-VMEM cap for larger groups.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -502,7 +868,13 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     Rp = out_r_p + _HALO_R
     Cp = out_c_p + _LANES
     xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
-    out = _corr2d_call(xp, w, rows, cols, interpret)
+    if row_group is None:
+        # Measured on v5e: grouping does not beat the rmw baseline (2.26 vs
+        # 2.28 Gpix/s at group 8 with a raised scoped-VMEM cap) — the o_ref
+        # round trips hide behind the tap loop — so default to the proven
+        # minimal-VMEM configuration; the knob stays for tuning.
+        row_group = 1
+    out = _corr2d_call(xp, w, rows, cols, interpret, row_group, vmem_limit)
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 

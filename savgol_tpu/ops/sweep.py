@@ -141,50 +141,19 @@ _PAD_MODE = {
 }
 
 
-def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
-                      dt_inv, dtype, method: str = "auto",
-                      reference_edge_sign: bool = False):
-    """Apply a traced-(n, m) filter to x (..., N); same-length output."""
-    d = int(derivative)
-    center, lead_w, trail_w = savgol_weights_masked(n, m, d, dtype)
-    N = x.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 1) + [(_M, _M)]
-    if boundary is BoundaryMode.POLYNOMIAL:
-        xp = jnp.pad(x, pad)                        # zeros; edges fixed below
-    else:
-        xp = jnp.pad(x, pad, mode=_PAD_MODE[boundary])
-
-    from savgol_tpu.ops.apply import correlate_valid, correlate_valid_mxu
-    if method == "auto":
-        method = "mxu" if jax.default_backend() == "tpu" else "xla"
-    # The masked stencil is always 65 taps wide, so on TPU the banded-MXU
-    # formulation wins (and vmaps over configs as plain batched matmuls —
-    # the XLA conv would retrace/lower per vmap lane far less efficiently).
-    corr = correlate_valid_mxu if method == "mxu" else correlate_valid
-    y = corr(xp, center)                            # (..., N)
-
-    if boundary is BoundaryMode.POLYNOMIAL:
-        # lead window: xp slice centered at x[n] -> start n (in xp coords)
-        start = (0,) * (x.ndim - 1) + (n,)
-        win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
-        lead = jnp.einsum("ek,...k->...e", lead_w, win0,
-                          precision=jax.lax.Precision.HIGHEST)  # (..., 32)
-        if reference_edge_sign and d % 2 == 1:
-            # reproduce the C's reversed-data leading edge, which negates
-            # odd derivatives (src/savgolFilter.c:773-777)
-            lead = -lead
-        # trail window centered at x[N-1-n] -> xp start N-1-n
-        startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
-        winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
-        trail = jnp.einsum("ek,...k->...e", trail_w, winT,
-                           precision=jax.lax.Precision.HIGHEST)
-        pos = jnp.arange(N)
-        lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1), axis=-1)
-        trail_vals = jnp.take(trail, jnp.clip(N - 1 - pos, 0, _M - 1),
-                              axis=-1)
-        y = jnp.where(pos < n, lead_vals, y)
-        y = jnp.where(pos >= N - n, trail_vals, y)
-    return y * jnp.asarray(dt_inv, dtype=x.dtype)
+def _bank_conv_xla(x, w_stack, precision=jax.lax.Precision.HIGHEST):
+    """Valid correlation of x (..., Np) with a (C, ws) stencil stack as ONE
+    conv with C output channels; returns (C, ..., Np - ws + 1)."""
+    C, ws = w_stack.shape
+    batch_shape = x.shape[:-1]
+    Np = x.shape[-1]
+    xb = x.reshape((-1, 1, Np))
+    out = lax.conv_general_dilated(
+        xb, w_stack.reshape((C, 1, ws)).astype(x.dtype),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision)
+    out = jnp.moveaxis(out, 1, 0)             # (C, B, n_out)
+    return out.reshape((C,) + batch_shape + (Np - ws + 1,))
 
 
 @functools.partial(jax.jit, static_argnames=("derivative", "boundary",
@@ -192,12 +161,60 @@ def _apply_masked_one(x, n, m, derivative: int, boundary: BoundaryMode,
                                              "reference_edge_sign"))
 def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
                      method, reference_edge_sign):
-    def one(n, m):
-        return _apply_masked_one(x, n, m, derivative, boundary, dt_inv,
-                                 dtype, method,
-                                 reference_edge_sign=reference_edge_sign)
+    """All C configs in one pass: the center correlation runs as a K-stencil
+    BANK (one read of the data for every config — the Pallas bank kernel on
+    TPU, a C-output-channel conv elsewhere) instead of per-config vmap
+    lanes; only the tiny edge fixups are vmapped."""
+    d = int(derivative)
+    hp = jax.lax.Precision.HIGHEST
+    center, lead_w, trail_w = jax.vmap(
+        lambda n, m: savgol_weights_masked(n, m, d, dtype))(hw, po)
+    if reference_edge_sign and d % 2 == 1:
+        # reproduce the C's reversed-data leading edge, which negates odd
+        # derivatives (src/savgolFilter.c:773-777)
+        lead_w = -lead_w
+    N = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(_M, _M)]
+    if boundary is BoundaryMode.POLYNOMIAL:
+        xp = jnp.pad(x, pad)                        # zeros; edges fixed below
+    else:
+        xp = jnp.pad(x, pad, mode=_PAD_MODE[boundary])
 
-    return jax.vmap(one)(hw, po)
+    m = method
+    if m == "auto":
+        m = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if m == "pallas":
+        from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas
+        y = correlate_valid_bank_pallas(xp, center)      # (C, ..., N)
+    elif m == "xla":
+        y = _bank_conv_xla(xp, center)
+    elif m == "mxu":
+        from savgol_tpu.ops.apply import correlate_valid_mxu
+        y = jax.vmap(lambda w: correlate_valid_mxu(xp, w))(center)
+    else:
+        raise ValueError(
+            f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
+
+    if boundary is BoundaryMode.POLYNOMIAL:
+        pos = jnp.arange(N)
+
+        def fix(yc, n, lw, tw):
+            # lead window: xp slice centered at x[n] -> start n (xp coords)
+            start = (0,) * (x.ndim - 1) + (n,)
+            win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
+            lead = jnp.einsum("ek,...k->...e", lw, win0, precision=hp)
+            # trail window centered at x[N-1-n] -> xp start N-1-n
+            startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
+            winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
+            trail = jnp.einsum("ek,...k->...e", tw, winT, precision=hp)
+            lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1), axis=-1)
+            trail_vals = jnp.take(trail, jnp.clip(N - 1 - pos, 0, _M - 1),
+                                  axis=-1)
+            yc = jnp.where(pos < n, lead_vals, yc)
+            return jnp.where(pos >= N - n, trail_vals, yc)
+
+        y = jax.vmap(fix)(y, hw, lead_w, trail_w)
+    return y * jnp.asarray(dt_inv, dtype=x.dtype)
 
 
 def savgol_apply_sweep(

@@ -228,3 +228,58 @@ class TestTileValidation:
             pc.savgol_polynomial_pallas(
                 rand((8, 256)), rand((11,)), rand((5, 11)), 5, cols=100,
                 interpret=True)
+
+
+class TestFusedPolynomialMXU:
+    """Banded-MXU fused kernel: three stationary (128,128) band matrices
+    per inner block; same fused-edge semantics as the VPU kernel."""
+
+    @pytest.mark.parametrize("N,n", [(2048, 12), (1024, 6), (128, 12),
+                                     (640, 32), (300, 4), (4000, 12)])
+    @pytest.mark.parametrize("d", [0, 1])
+    def test_matches_xla(self, N, n, d):
+        m = max(min(4, 2 * n), d)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F32)
+        x = rand((3, N))
+        lead_sign = -1.0 if d % 2 else 1.0
+        got = np.asarray(pc.savgol_polynomial_pallas_mxu(
+            x, f.center_weights, f.edge_weights, n,
+            dt_inv=f.dt_inv, lead_sign=lead_sign, interpret=True))
+        want = np.asarray(f.apply(x, method="xla"))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_band_matrices_partition_the_window(self):
+        """Every tap lands in exactly one of WL/WC/WR."""
+        n = 32
+        w = np.arange(1.0, 2 * n + 2)
+        WL, WC, WR = pc._band_matrices_np(w, n)
+        # reconstruct out[j] = sum_k w[k] x[j+k-n] for a ramp input
+        x = np.random.default_rng(0).standard_normal(384)
+        j = 150                       # block 1, p = 22
+        want = sum(w[k] * x[j + k - n] for k in range(2 * n + 1))
+        p = j - 128
+        got = (x[0:128] @ WL[:, p] + x[128:256] @ WC[:, p]
+               + x[256:384] @ WR[:, p])
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_indivisible_length_falls_back(self):
+        """N with no admissible block width routes to the VPU kernel."""
+        n = 4
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, 2), dtype=F32)
+        x = rand((2, 127))
+        got = np.asarray(pc.savgol_polynomial_pallas_mxu(
+            x, f.center_weights, f.edge_weights, n, dt_inv=f.dt_inv,
+            interpret=True))
+        np.testing.assert_allclose(got, np.asarray(f.apply(x, method="xla")),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_f64_exact(self):
+        jax.config.update("jax_enable_x64", True)
+        f = sg.Savgol1D.create(sg.SavgolConfig(8, 3, 1), dtype=jnp.float64)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 512)),
+                        dtype=jnp.float64)
+        got = np.asarray(pc.savgol_polynomial_pallas_mxu(
+            x, f.center_weights, f.edge_weights, 8, dt_inv=f.dt_inv,
+            lead_sign=-1.0, interpret=True))
+        want = np.asarray(f.apply(x, method="xla"))
+        np.testing.assert_allclose(got, want, atol=1e-12)

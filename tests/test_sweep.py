@@ -140,3 +140,17 @@ class TestSweepApply:
 
         with pytest.raises(ValueError, match="widest window"):
             jax.jit(run)(jnp.asarray([3]), jnp.asarray([2]))
+
+    @pytest.mark.parametrize("method", ["pallas", "mxu", "xla"])
+    def test_center_paths_agree(self, method):
+        """The bank-kernel / banded-MXU / conv center paths are
+        interchangeable."""
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal(300), dtype=F64)
+        ns = jnp.asarray([2, 5, 12, 32])
+        ms = jnp.asarray([2, 3, 4, 6])
+        got = np.asarray(savgol_apply_sweep(x, ns, ms, method=method,
+                                            dtype=F64))
+        want = np.asarray(savgol_apply_sweep(x, ns, ms, method="xla",
+                                             dtype=F64))
+        np.testing.assert_allclose(got, want, atol=1e-9)
