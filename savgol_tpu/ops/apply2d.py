@@ -19,6 +19,7 @@ Hessian costs a single fused conv pass over the image.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -46,15 +47,56 @@ _PAD_MODE_2D = {
 
 def _resolve_method2d(method: str, use_pallas: bool) -> str:
     """'auto' -> the VPU stencil kernel on TPU (exact f32, ~5x the XLA
-    HIGHEST conv), plain XLA elsewhere (Pallas would run interpreted)."""
+    HIGHEST conv), plain XLA elsewhere (Pallas would run interpreted).
+    'sep' runs the SVD rank-decomposed kernel (r*(H+W) taps instead of
+    H*W; exact for polynomial stencils) — requires concrete weights."""
     if use_pallas:
         method = "pallas"
     if method == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
-    if method not in ("xla", "pallas"):
+    if method not in ("xla", "pallas", "sep"):
         raise ValueError(
-            f"method must be 'auto', 'xla' or 'pallas', got {method!r}")
+            f"method must be 'auto', 'xla', 'pallas' or 'sep', "
+            f"got {method!r}")
     return method
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_sep_diff(w_key):
+    """Differentiable (in x) wrapper for the separable 2D kernel; the
+    stencil is baked in as a static constant (its SVD happens on the
+    host), so this route requires concrete weights."""
+    w = np.asarray(w_key.array)
+
+    @jax.custom_vjp
+    def op(x):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.correlate2d_valid_pallas_sep(x, w)
+
+    def fwd(x):
+        return op(x), x
+
+    def bwd(x, g):
+        _, vjp = jax.vjp(
+            lambda v: correlate2d_valid(v, jnp.asarray(w, dtype=v.dtype)), x)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+class _WeightKey:
+    """Hashable identity wrapper so lru_cache can key on a numpy stencil."""
+
+    def __init__(self, array):
+        self.array = array
+        self._key = array.tobytes(), array.shape
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _WeightKey) and self._key == other._key
 
 
 def correlate2d_valid(x: jax.Array, w: jax.Array,
@@ -85,9 +127,6 @@ def correlate2d_valid(x: jax.Array, w: jax.Array,
     if single:
         out = out[..., 0, :, :]
     return out
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -139,6 +178,15 @@ def savgol2d_apply(
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
+    if method == "sep":
+        try:
+            w_np = np.asarray(weights)
+        except jax.errors.TracerArrayConversionError:
+            w_np = None          # traced weights: no host SVD possible
+        if w_np is not None:
+            y = _pallas_sep_diff(_WeightKey(w_np))(x)
+            return y * jnp.asarray(scale, dtype=x.dtype)
+        method = "pallas"
     if method == "pallas":
         y = _pallas_corr2d_diff()(x, weights)
     else:
@@ -161,11 +209,21 @@ def savgol2d_apply_stack(
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
+    if method == "sep":
+        try:
+            w_np = np.asarray(weight_stack)
+        except jax.errors.TracerArrayConversionError:
+            w_np = None
+        if w_np is not None:
+            y = jnp.stack([_pallas_sep_diff(_WeightKey(w_np[k]))(x)
+                           for k in range(w_np.shape[0])], axis=-3)
+        else:
+            method = "pallas"
     if method == "pallas":
         op = _pallas_corr2d_diff()
         y = jnp.stack([op(x, weight_stack[k])
                        for k in range(weight_stack.shape[0])], axis=-3)
-    else:
+    elif method == "xla":
         y = correlate2d_valid(x, weight_stack)
     if scales is not None:
         y = y * jnp.asarray(scales, dtype=x.dtype)[..., :, None, None]

@@ -74,6 +74,31 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+# Thin inputs (few batch rows) waste the 8-sublane tile height (a single
+# sequence uses 1/8 of the VPU and gives the MXU an M of 1). Folding the
+# sample axis into rows fixes that: reshape each sequence into (R, S)
+# chunks and append a 128-column halo copied from the next chunk's head —
+# two reshaped slices and a concat, one extra data pass. Valid outputs per
+# folded row: S; garbage past the true end is sliced off by the caller.
+_FOLD_S = 2048
+_FOLD_MAX_B = 16
+_FOLD_MIN_OUT = 4 * _FOLD_S
+
+
+def _fold_rows(xb: jax.Array, n_out: int, s: int = _FOLD_S):
+    """(B, N) -> (B * R, S + 128) with inter-chunk halo; R = ceil(n_out/S).
+
+    Row b*R + r covers outputs [r*S, (r+1)*S) of sequence b (tail garbage
+    in the last chunk — slice to n_out after the kernel)."""
+    B, N = xb.shape
+    R = -(-n_out // s)
+    total = R * s
+    xpad = jnp.pad(xb, ((0, 0), (0, total + s - N)))
+    a = xpad[:, :total].reshape(B, R, s)
+    b = xpad[:, s:s + total].reshape(B, R, s)[:, :, :_LANES]
+    return jnp.concatenate([a, b], axis=2).reshape(B * R, s + _LANES), R
+
+
 # ---------------------------------------------------------------------------
 # 1D valid correlation
 # ---------------------------------------------------------------------------
@@ -135,6 +160,15 @@ def correlate_valid_pallas(x: jax.Array, w: jax.Array,
     xb = x.reshape((-1, N))
     B = xb.shape[0]
     w = w.astype(x.dtype)
+
+    if B <= _FOLD_MAX_B and n_out >= _FOLD_MIN_OUT:
+        xh, R = _fold_rows(xb, n_out)
+        BR = xh.shape[0]
+        rows_f = min(rows, _round_up(BR, _SUBLANES))
+        xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
+        out = _corr1d_call(xh, w, rows_f, _FOLD_S, interpret)
+        out = out[:BR].reshape(B, R * _FOLD_S)[:, :n_out]
+        return out.reshape(batch_shape + (n_out,))
 
     rows = min(rows, _round_up(B, _SUBLANES))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
@@ -424,9 +458,27 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # loop. The polynomial edges are fused exactly as in the VPU kernel.
 
 
+def _band_matrices(w: jax.Array, n: int) -> jax.Array:
+    """(3*128, 128) stationary band stack [WL; WC; WR].
+
+    Built with jnp gathers so it works on TRACED weights (the custom_vjp
+    apply wrappers trace them); entries are pure copies of w — no
+    arithmetic — so exactness is preserved in any dtype."""
+    q = jnp.arange(_LANES)[:, None]
+    p = jnp.arange(_LANES)[None, :]
+    ws = w.shape[0]
+    out = []
+    for off in (-_LANES, 0, _LANES):
+        k = q - p + n + off
+        valid = (k >= 0) & (k < ws)
+        out.append(jnp.where(valid, w[jnp.clip(k, 0, ws - 1)],
+                             jnp.zeros((), dtype=w.dtype)))
+    return jnp.concatenate(out, axis=0)
+
+
 def _band_matrices_np(w, n: int):
-    """Host-side (3, 128, 128) stationary band stack [WL, WC, WR] (f64 in,
-    caller casts)."""
+    """Host-side twin of :func:`_band_matrices`, reshaped (3, 128, 128)
+    (kept for tests/diagnostics on concrete f64 weights)."""
     import numpy as np
     q = np.arange(_LANES)[:, None]
     p = np.arange(_LANES)[None, :]
@@ -569,12 +621,8 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     xb = x.reshape((-1, N))
     B = xb.shape[0]
 
-    import numpy as np
     dt = jnp.asarray(dt_inv, dtype=x.dtype)
-    w64 = np.asarray(center_w, dtype=np.float64)
-    bands = jnp.asarray(
-        _band_matrices_np(w64, n).reshape(3 * _LANES, _LANES),
-        dtype=x.dtype) * dt
+    bands = _band_matrices(center_w.astype(x.dtype), n) * dt
     ew = edge_w.astype(x.dtype) * dt
     ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
     ewt = ew[::-1, :]
@@ -610,12 +658,33 @@ _MXU_MIN_BATCH = 64
 def savgol_polynomial_pallas_auto(x, center_w, edge_w, n, dt_inv=1.0,
                                   lead_sign: float = 1.0,
                                   interpret: bool | None = None):
-    """Hardware pick between the VPU and banded-MXU fused kernels."""
+    """Hardware pick between the VPU and banded-MXU fused kernels.
+
+    Thin batches with long sequences take a split path: the center region
+    through the FOLDED banded-MXU valid correlation (sample axis folded
+    into matmul rows, so a single sequence still drives the full MXU) and
+    the 2n edge outputs via XLA einsums."""
     if interpret is None:
         interpret = _interpret_default()
     B = 1
     for s in x.shape[:-1]:
         B *= s
+    ws = 2 * n + 1
+    N = x.shape[-1]
+    if (not interpret and B <= _FOLD_MAX_B
+            and N - 2 * n >= _FOLD_MIN_OUT):
+        xb = x.reshape((-1, N))
+        dt = jnp.asarray(dt_inv, dtype=x.dtype)
+        w = center_w.astype(x.dtype) * dt
+        ew = edge_w.astype(x.dtype) * dt
+        center = correlate_valid_pallas_mxu(xb, w, interpret=interpret)
+        hp = jax.lax.Precision.HIGHEST
+        lead = jnp.einsum("ek,bk->be", ew, xb[:, :ws][:, ::-1],
+                          precision=hp) * lead_sign
+        trail = jnp.einsum("ek,bk->be", ew, xb[:, -ws:],
+                           precision=hp)[:, ::-1]
+        out = jnp.concatenate([lead, center, trail], axis=-1)
+        return out.reshape(x.shape)
     if not interpret and B >= _MXU_MIN_BATCH:
         return savgol_polynomial_pallas_mxu(
             x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
@@ -647,17 +716,18 @@ def correlate_valid_pallas_auto(x, w, interpret: bool | None = None):
 #     V1[q, p] = w[q + 128 - p]    (bottom-left corner)
 
 
-def _valid_band_matrices_np(w):
-    import numpy as np
-    q = np.arange(_LANES)[:, None]
-    p = np.arange(_LANES)[None, :]
+def _valid_band_matrices(w: jax.Array) -> jax.Array:
+    """(2*128, 128) band stack [V0; V1] (jnp — works on traced weights)."""
+    q = jnp.arange(_LANES)[:, None]
+    p = jnp.arange(_LANES)[None, :]
     ws = w.shape[0]
     out = []
     for off in (0, _LANES):
         k = q - p + off
         valid = (k >= 0) & (k < ws)
-        out.append(np.where(valid, np.asarray(w)[np.clip(k, 0, ws - 1)], 0.0))
-    return np.stack(out)       # (2, 128, 128)
+        out.append(jnp.where(valid, w[jnp.clip(k, 0, ws - 1)],
+                             jnp.zeros((), dtype=w.dtype)))
+    return jnp.concatenate(out, axis=0)
 
 
 def _corr1d_mxu_kernel(bands_ref, x_ref, halo_ref, o_ref, *, cb: int,
@@ -730,11 +800,17 @@ def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
     xb = x.reshape((-1, N))
     B = xb.shape[0]
 
-    import numpy as np
-    w64 = np.asarray(w, dtype=np.float64)
-    bands = jnp.asarray(
-        _valid_band_matrices_np(w64).reshape(2 * _LANES, _LANES),
-        dtype=x.dtype)
+    bands = _valid_band_matrices(w.astype(x.dtype))
+
+    if B <= _FOLD_MAX_B and n_out >= _FOLD_MIN_OUT:
+        xh, R = _fold_rows(xb, n_out)
+        BR = xh.shape[0]
+        rows_f = min(rows, _round_up(BR, _SUBLANES))
+        xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
+        out = _corr1d_mxu_call(xh, bands, rows_f, _FOLD_S, interpret,
+                               mxu_precision)
+        out = out[:BR].reshape(B, R * _FOLD_S)[:, :n_out]
+        return out.reshape(batch_shape + (n_out,))
 
     rows = min(rows, _round_up(B, _SUBLANES))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
@@ -879,6 +955,251 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# 2D valid correlation — separable (SVD rank-decomposed) variant
+# ---------------------------------------------------------------------------
+#
+# A 2D Savitzky-Golay stencil w(x, y) is a bivariate polynomial of total
+# degree <= order sampled on the grid, so its matrix rank is EXACTLY at
+# most order+1: w = sum_k s_k u_k v_k^T (f64 SVD on the host, truncated at
+# numerical rank). The correlation then factors into rank passes
+#
+#     out = sum_k colcorr(rowcorr(x, s_k * v_k), u_k)
+#
+# fused in ONE kernel per tile: the row pass costs ww lane-shift FMAs over
+# the (rows + wh - 1)-tall slab, the column pass wh sublane-shift FMAs —
+# r*(ww + wh) taps/pixel instead of wh*ww (11x11 order-3: 88 vs 121, and
+# far fewer of the expensive shifted reads). o_ref accumulates between
+# ranks to bound Mosaic's live-value set.
+
+
+def _svd_stencil_np(w, rtol: float = 1e-9):
+    """(H, W) stencil -> (u (r, H), v (r, W)) with w ~= sum_k outer(u_k, v_k)
+    exactly to f64 rounding (r = numerical rank <= order+1)."""
+    import numpy as np
+    U, s, Vt = np.linalg.svd(np.asarray(w, dtype=np.float64))
+    r = int(np.sum(s > rtol * s[0])) if s[0] > 0 else 1
+    r = max(1, r)
+    sq = np.sqrt(s[:r])
+    return (U[:, :r] * sq).T, (Vt[:r, :] * sq[:, None])
+
+
+def _corr2d_sep_kernel(u_ref, v_ref, x_ref, right_ref, bot_ref, corner_ref,
+                       o_ref, *, wh: int, ww: int, rank: int):
+    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+    xw = jnp.concatenate([top, bottom], axis=0)
+    r, c = o_ref.shape[1], o_ref.shape[2]
+
+    for k in range(rank):
+        row = v_ref[k, 0] * xw[:, 0:c]            # (rows + HALO_R, c)
+        for wx in range(1, ww):
+            row = row + v_ref[k, wx] * xw[:, wx:wx + c]
+        col = u_ref[k, 0] * row[0:r, :]
+        for wy in range(1, wh):
+            col = col + u_ref[k, wy] * row[wy:wy + r, :]
+        if k == 0:
+            o_ref[0] = col
+        else:
+            o_ref[0] = o_ref[0] + col
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def _corr2d_sep_call(xpad, u, v, rows, cols, interpret):
+    B, Rp, Cp = xpad.shape
+    out_r = Rp - _HALO_R
+    out_c = Cp - _LANES
+    rank, wh = u.shape
+    ww = v.shape[1]
+    grid = (B, out_r // rows, out_c // cols)
+    kernel = functools.partial(_corr2d_sep_kernel, wh=wh, ww=ww, rank=rank)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rank, wh), lambda b, ri, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rank, ww), lambda b, ri, ci: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, cols),
+                         lambda b, ri, ci: (b, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda b, ri, ci: (b, ri,
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, cols),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, _LANES),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cols),
+                               lambda b, ri, ci: (b, ri, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+        interpret=interpret,
+    )(u, v, xpad, xpad, xpad, xpad)
+
+
+def _corr2d_sep_mxu_kernel(ub_ref, vb_ref, x_ref, right_ref, bot_ref,
+                           corner_ref, o_ref, *, rank: int, cb: int,
+                           mxu_precision):
+    """Both separable passes as banded matmuls — NO shifted reads at all.
+
+    Column pass: out_rows = U_k @ slab with the stationary band
+    U_k[i, q] = u_k[q - i] (0 <= q - i < wh), a LEFT matmul contracting the
+    sublane axis. Row pass: the 1D valid band pair [V0_k; V1_k] applied per
+    128-column block (RIGHT matmuls). The VPU variant's per-tap lane/sublane
+    relayouts — the actual cost driver, measured ~3 VPU ops per tap — are
+    replaced by r*(wh + 2*128) MACs/pixel on the systolic array."""
+    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+    xw = jnp.concatenate([top, bottom], axis=0)   # (rows+HALO_R, cols+128)
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for k in range(rank):
+        t = mm(ub_ref[k], xw)                     # (rows, cols+128)
+        V0 = vb_ref[k, 0:_LANES]
+        V1 = vb_ref[k, _LANES:2 * _LANES]
+        for i in range(cb):
+            tc = t[:, i * _LANES:(i + 1) * _LANES]
+            tr = t[:, (i + 1) * _LANES:(i + 2) * _LANES]
+            blk = (mm(tc, V0) + mm(tr, V1)).astype(o_ref.dtype)
+            if k == 0:
+                o_ref[0, :, i * _LANES:(i + 1) * _LANES] = blk
+            else:
+                o_ref[0, :, i * _LANES:(i + 1) * _LANES] = (
+                    o_ref[0, :, i * _LANES:(i + 1) * _LANES] + blk)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
+                                             "mxu_precision"))
+def _corr2d_sep_mxu_call(xpad, ub, vb, rows, cols, interpret, mxu_precision):
+    B, Rp, Cp = xpad.shape
+    out_r = Rp - _HALO_R
+    out_c = Cp - _LANES
+    rank = ub.shape[0]
+    grid = (B, out_r // rows, out_c // cols)
+    kernel = functools.partial(_corr2d_sep_mxu_kernel, rank=rank,
+                               cb=cols // _LANES,
+                               mxu_precision=mxu_precision)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rank, rows, rows + _HALO_R),
+                         lambda b, ri, ci: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rank, 2 * _LANES, _LANES),
+                         lambda b, ri, ci: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, cols),
+                         lambda b, ri, ci: (b, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda b, ri, ci: (b, ri,
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, cols),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, _LANES),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cols),
+                               lambda b, ri, ci: (b, ri, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+        interpret=interpret,
+    )(ub, vb, xpad, xpad, xpad, xpad)
+
+
+def _sep_mxu_bands_np(u, v, rows: int):
+    """Stationary bands for the double-banded kernel: U (r, rows, rows+32)
+    with U[k, i, q] = u[k, q-i], and V (r, 2*128, 128) valid band pairs."""
+    import numpy as np
+    r, wh = u.shape
+    ww = v.shape[1]
+    q = np.arange(rows + _HALO_R)[None, :]
+    i = np.arange(rows)[:, None]
+    kidx = q - i
+    valid = (kidx >= 0) & (kidx < wh)
+    U = np.where(valid[None], u[:, np.clip(kidx, 0, wh - 1)], 0.0)
+    qq = np.arange(_LANES)[:, None]
+    pp = np.arange(_LANES)[None, :]
+    Vs = []
+    for off in (0, _LANES):
+        kk = qq - pp + off
+        vv = (kk >= 0) & (kk < ww)
+        Vs.append(np.where(vv[None], v[:, np.clip(kk, 0, ww - 1)], 0.0))
+    V = np.concatenate(Vs, axis=1)            # (r, 2*128, 128)
+    return U, V
+
+
+def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
+                                 cols: int = _COLS2D,
+                                 interpret: bool | None = None,
+                                 engine: str = "auto",
+                                 mxu_precision=None) -> jax.Array:
+    """Valid 2D cross-correlation via the rank decomposition of ``w``.
+
+    ``w`` must be a CONCRETE (host) array — the SVD happens at trace time.
+    Exact for polynomial-least-squares stencils (their rank is structural,
+    order+1 at most) up to f64 SVD rounding.
+
+    ``engine``: "mxu" (double-banded matmuls — default on TPU), "vpu"
+    (shifted tap loops), or "auto".
+    """
+    import numpy as np
+    if interpret is None:
+        interpret = _interpret_default()
+    _check_tile(rows, cols, row_quantum=_HALO_R)
+    if engine == "auto":
+        engine = "vpu" if interpret else "mxu"
+    if engine not in ("vpu", "mxu"):
+        raise ValueError(f"engine must be 'auto', 'vpu' or 'mxu', "
+                         f"got {engine!r}")
+    w = np.asarray(w)
+    wh, ww = w.shape
+    if wh > _HALO_R + 1 or ww > _LANES + 1:
+        raise ValueError(f"stencil {w.shape} exceeds kernel halo limits")
+    u, v = _svd_stencil_np(w)
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    out_r, out_c = R - wh + 1, C - ww + 1
+    xb = x.reshape((-1, R, C))
+
+    rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
+    cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
+    Rp = _round_up(out_r, rows) + _HALO_R
+    Cp = _round_up(out_c, cols) + _LANES
+    xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
+    if engine == "mxu":
+        if mxu_precision is None:
+            mxu_precision = jax.lax.Precision.HIGHEST
+        U, V = _sep_mxu_bands_np(u, v, rows)
+        out = _corr2d_sep_mxu_call(
+            xp, jnp.asarray(U, dtype=x.dtype), jnp.asarray(V, dtype=x.dtype),
+            rows, cols, interpret, mxu_precision)
+    else:
+        out = _corr2d_sep_call(xp, jnp.asarray(u, dtype=x.dtype),
+                               jnp.asarray(v, dtype=x.dtype),
+                               rows, cols, interpret)
+    return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
+
+
+# ---------------------------------------------------------------------------
 # K-stencil bank kernel: one input read, K outputs
 # ---------------------------------------------------------------------------
 
@@ -943,6 +1264,15 @@ def correlate_valid_bank_pallas(x: jax.Array, w: jax.Array,
     xb = x.reshape((-1, N))
     B = xb.shape[0]
     w = w.astype(x.dtype)
+
+    if B <= _FOLD_MAX_B and n_out >= _FOLD_MIN_OUT:
+        xh, R = _fold_rows(xb, n_out)
+        BR = xh.shape[0]
+        rows_f = min(rows, _round_up(BR, _SUBLANES))
+        xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
+        out = _bank_call(xh, w, rows_f, _FOLD_S, interpret)
+        out = out[:, :BR].reshape(K, B, R * _FOLD_S)[:, :, :n_out]
+        return out.reshape((K,) + batch_shape + (n_out,))
 
     rows = min(rows, _round_up(B, _SUBLANES))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))

@@ -283,3 +283,65 @@ class TestFusedPolynomialMXU:
             lead_sign=-1.0, interpret=True))
         want = np.asarray(f.apply(x, method="xla"))
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+class TestSeparable2D:
+    """SVD rank-decomposed 2D kernel: exact for polynomial stencils."""
+
+    @pytest.mark.parametrize("shape,win", [((2, 256, 256), (5, 5, 3)),
+                                           ((1, 100, 200), (3, 2, 2)),
+                                           ((2, 67, 130), (16, 16, 4))])
+    def test_matches_xla(self, shape, win):
+        nx, ny, o = win
+        x = rand(shape)
+        w = sg.Savgol2D.create(sg.Savgol2DConfig(nx, ny, o),
+                               dtype=F32).weights
+        got = np.asarray(pc.correlate2d_valid_pallas_sep(
+            x, np.asarray(w), interpret=True))
+        want = np.asarray(correlate2d_valid(x, w))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_rank_bounded_by_order(self):
+        for nx, ny, o in [(5, 5, 3), (10, 8, 4), (16, 16, 4)]:
+            w = sg.Savgol2D.create(sg.Savgol2DConfig(nx, ny, o),
+                                   dtype=jnp.float64).weights
+            u, v = pc._svd_stencil_np(np.asarray(w))
+            assert u.shape[0] <= o + 1, (nx, ny, o, u.shape)
+            np.testing.assert_allclose(
+                (u.T @ v), np.asarray(w), atol=1e-12)
+
+    def test_derivative_stencils(self):
+        from savgol_tpu.ops.weights import savgol2d_weights_np
+        from savgol_tpu.config import Savgol2DConfig
+        x = rand((1, 128, 128), seed=4)
+        for dx, dy in [(1, 0), (1, 1), (0, 2)]:
+            w = savgol2d_weights_np(
+                Savgol2DConfig(5, 5, 3, deriv_x=dx, deriv_y=dy),
+                dtype=np.float64).astype(np.float32)
+            got = np.asarray(pc.correlate2d_valid_pallas_sep(
+                x, w, interpret=True))
+            want = np.asarray(correlate2d_valid(x, jnp.asarray(w)))
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+class TestFoldedThinBatch:
+    """Thin-batch inputs fold the sample axis into tile rows; results are
+    identical to the unfolded path."""
+
+    @pytest.mark.parametrize("B,N", [(1, 20000), (3, 16400), (16, 8217)])
+    def test_valid_paths(self, B, N):
+        x = rand((B, N), seed=5)
+        w = rand((25,), seed=6)
+        want = np.asarray(correlate_valid(x, w))
+        for fn in (pc.correlate_valid_pallas, pc.correlate_valid_pallas_mxu):
+            got = np.asarray(fn(x, w, interpret=True))
+            np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_bank_folded(self):
+        x = rand((1, 30000), seed=7)
+        wk = rand((4, 17), seed=8)
+        got = np.asarray(pc.correlate_valid_bank_pallas(x, wk,
+                                                        interpret=True))
+        for k in range(4):
+            want = np.asarray(correlate_valid(x, wk[k]))
+            np.testing.assert_allclose(got[k], want, atol=2e-5, rtol=1e-5)
