@@ -183,6 +183,11 @@ def bench_4(quick):
     fnp = jax.jit(lambda v: pc.correlate2d_valid_pallas(v, f2.weights))
     res["pallas"] = (B * 2048 * 2048
                      / _t(fnp, imgp, iters=3 if quick else 10) / 1e9)
+    import numpy as _np
+    w_np = _np.asarray(f2.weights)
+    fns = jax.jit(lambda v: pc.correlate2d_valid_pallas_sep(v, w_np))
+    res["sep"] = (B * 2048 * 2048
+                  / _t(fns, imgp, iters=3 if quick else 10) / 1e9)
     _emit("4_2d_2048_11x11_order3", gpix_s={k: round(v, 3)
                                             for k, v in res.items()})
 
