@@ -910,6 +910,98 @@ def _corr2d_call(xpad, w, rows, cols, interpret, row_group=1,
     )(w, xpad, xpad, xpad, xpad)
 
 
+class _WKey:
+    """Hashable wrapper keying kernel caches on concrete weight bytes."""
+
+    __slots__ = ("array", "_k")
+
+    def __init__(self, array):
+        import numpy as np
+        self.array = np.asarray(array, dtype=np.float64)
+        self._k = (self.array.tobytes(), self.array.shape)
+
+    def __hash__(self):
+        return hash(self._k)
+
+    def __eq__(self, other):
+        return isinstance(other, _WKey) and other._k == self._k
+
+
+def _concrete_np(a):
+    """numpy f64 view of ``a`` if concrete, else None (traced)."""
+    import numpy as np
+    try:
+        return np.asarray(a, dtype=np.float64)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        return None
+
+
+@functools.lru_cache(maxsize=256)
+def _corr2d_const_call(wkey: _WKey, rows: int, cols: int, interpret: bool):
+    """Dense 2D kernel with the stencil baked as COMPILE-TIME immediates.
+
+    Runtime SMEM scalar taps keep Mosaic from strength-reducing the
+    stencil (measured 3.55 Gpix/s chained on v5e); constants let it emit
+    the fast form (5.52 Gpix/s, exact f32). Cached per weight bytes — each
+    distinct stencil costs one Mosaic compile, amortized by the
+    persistent compilation cache."""
+    w = wkey.array
+    wh, ww = w.shape
+
+    def kernel(x_ref, right_ref, bot_ref, corner_ref, o_ref):
+        top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+        bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+        xw = jnp.concatenate([top, bottom], axis=0)
+        r, c = o_ref.shape[1], o_ref.shape[2]
+        for wy in range(wh):
+            slab = xw[wy:wy + r, :]
+            row = float(w[wy, 0]) * slab[:, 0:c]
+            for wx in range(1, ww):
+                row = row + float(w[wy, wx]) * slab[:, wx:wx + c]
+            if wy == 0:
+                o_ref[0] = row
+            else:
+                o_ref[0] = o_ref[0] + row
+
+    @jax.jit
+    def call(xpad):
+        B, Rp, Cp = xpad.shape
+        out_r = Rp - _HALO_R
+        out_c = Cp - _LANES
+        grid = (B, out_r // rows, out_c // cols)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows, cols),
+                             lambda b, ri, ci: (b, ri, ci),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, _LANES),
+                             lambda b, ri, ci: (b, ri,
+                                                (ci + 1) * (cols // _LANES)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _HALO_R, cols),
+                             lambda b, ri, ci: (b,
+                                                (ri + 1) * (rows // _HALO_R),
+                                                ci),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _HALO_R, _LANES),
+                             lambda b, ri, ci: (b,
+                                                (ri + 1) * (rows // _HALO_R),
+                                                (ci + 1) * (cols // _LANES)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, cols),
+                                   lambda b, ri, ci: (b, ri, ci),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+            interpret=interpret,
+        )(xpad, xpad, xpad, xpad)
+
+    return call
+
+
 def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
                              rows: int = _ROWS2D, cols: int = _COLS2D,
                              interpret: bool | None = None,
@@ -937,6 +1029,11 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     B = xb.shape[0]
     w = w.astype(x.dtype)
 
+    if ww > 17 and cols == _COLS2D:
+        # per-stencil-row liveness is ~ww tile temporaries; wide windows
+        # need narrower tiles to stay inside the scoped-VMEM budget
+        # (33x33 at 128x1024 f32 = ~17 MB > the 16 MB cap)
+        cols = 512
     rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
     cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
     out_r_p = _round_up(out_r, rows)
@@ -944,6 +1041,18 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     Rp = out_r_p + _HALO_R
     Cp = out_c_p + _LANES
     xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
+    w_np = _concrete_np(w)
+    if w_np is not None and row_group is None and vmem_limit is None:
+        if max(wh, ww) > 17:
+            # wide stencils blow the dense kernel's scoped-VMEM liveness
+            # even at narrow tiles; the rank-decomposed kernel both fits
+            # and does ~3x fewer taps (r*(wh+ww) vs wh*ww)
+            return correlate2d_valid_pallas_sep(x, w_np,
+                                                interpret=interpret)
+        # Concrete stencil: bake it into the kernel as immediates — Mosaic
+        # emits a ~1.6x faster form than with runtime SMEM taps.
+        out = _corr2d_const_call(_WKey(w_np), rows, cols, interpret)(xp)
+        return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
     if row_group is None:
         # Measured on v5e: grouping does not beat the rmw baseline (2.26 vs
         # 2.28 Gpix/s at group 8 with a raised scoped-VMEM cap) — the o_ref
@@ -983,65 +1092,70 @@ def _svd_stencil_np(w, rtol: float = 1e-9):
     return (U[:, :r] * sq).T, (Vt[:r, :] * sq[:, None])
 
 
-def _corr2d_sep_kernel(u_ref, v_ref, x_ref, right_ref, bot_ref, corner_ref,
-                       o_ref, *, wh: int, ww: int, rank: int):
-    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
-    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
-    xw = jnp.concatenate([top, bottom], axis=0)
-    r, c = o_ref.shape[1], o_ref.shape[2]
-
-    for k in range(rank):
-        row = v_ref[k, 0] * xw[:, 0:c]            # (rows + HALO_R, c)
-        for wx in range(1, ww):
-            row = row + v_ref[k, wx] * xw[:, wx:wx + c]
-        col = u_ref[k, 0] * row[0:r, :]
-        for wy in range(1, wh):
-            col = col + u_ref[k, wy] * row[wy:wy + r, :]
-        if k == 0:
-            o_ref[0] = col
-        else:
-            o_ref[0] = o_ref[0] + col
-
-
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
-def _corr2d_sep_call(xpad, u, v, rows, cols, interpret):
-    B, Rp, Cp = xpad.shape
-    out_r = Rp - _HALO_R
-    out_c = Cp - _LANES
+@functools.lru_cache(maxsize=256)
+def _corr2d_sep_const_call(ukey: _WKey, vkey: _WKey, rows: int, cols: int,
+                           interpret: bool):
+    """Separable 2D kernel with the rank factors baked as compile-time
+    immediates (the SVD factors are always concrete — the decomposition
+    happens on the host)."""
+    u = ukey.array
+    v = vkey.array
     rank, wh = u.shape
     ww = v.shape[1]
-    grid = (B, out_r // rows, out_c // cols)
-    kernel = functools.partial(_corr2d_sep_kernel, wh=wh, ww=ww, rank=rank)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rank, wh), lambda b, ri, ci: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((rank, ww), lambda b, ri, ci: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rows, cols),
-                         lambda b, ri, ci: (b, ri, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, _LANES),
-                         lambda b, ri, ci: (b, ri,
-                                            (ci + 1) * (cols // _LANES)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _HALO_R, cols),
-                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
-                                            ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _HALO_R, _LANES),
-                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
-                                            (ci + 1) * (cols // _LANES)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rows, cols),
-                               lambda b, ri, ci: (b, ri, ci),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
-        interpret=interpret,
-    )(u, v, xpad, xpad, xpad, xpad)
+
+    def kernel(x_ref, right_ref, bot_ref, corner_ref, o_ref):
+        top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+        bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+        xw = jnp.concatenate([top, bottom], axis=0)
+        r, c = o_ref.shape[1], o_ref.shape[2]
+        for k in range(rank):
+            row = float(v[k, 0]) * xw[:, 0:c]     # (rows + HALO_R, c)
+            for wx in range(1, ww):
+                row = row + float(v[k, wx]) * xw[:, wx:wx + c]
+            col = float(u[k, 0]) * row[0:r, :]
+            for wy in range(1, wh):
+                col = col + float(u[k, wy]) * row[wy:wy + r, :]
+            if k == 0:
+                o_ref[0] = col
+            else:
+                o_ref[0] = o_ref[0] + col
+
+    @jax.jit
+    def call(xpad):
+        B, Rp, Cp = xpad.shape
+        out_r = Rp - _HALO_R
+        out_c = Cp - _LANES
+        grid = (B, out_r // rows, out_c // cols)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, rows, cols),
+                             lambda b, ri, ci: (b, ri, ci),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, _LANES),
+                             lambda b, ri, ci: (b, ri,
+                                                (ci + 1) * (cols // _LANES)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _HALO_R, cols),
+                             lambda b, ri, ci: (b,
+                                                (ri + 1) * (rows // _HALO_R),
+                                                ci),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _HALO_R, _LANES),
+                             lambda b, ri, ci: (b,
+                                                (ri + 1) * (rows // _HALO_R),
+                                                (ci + 1) * (cols // _LANES)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, cols),
+                                   lambda b, ri, ci: (b, ri, ci),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+            interpret=interpret,
+        )(xpad, xpad, xpad, xpad)
+
+    return call
 
 
 def _corr2d_sep_mxu_kernel(ub_ref, vb_ref, x_ref, right_ref, bot_ref,
@@ -1166,7 +1280,7 @@ def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
         interpret = _interpret_default()
     _check_tile(rows, cols, row_quantum=_HALO_R)
     if engine == "auto":
-        engine = "vpu" if interpret else "mxu"
+        engine = "vpu"
     if engine not in ("vpu", "mxu"):
         raise ValueError(f"engine must be 'auto', 'vpu' or 'mxu', "
                          f"got {engine!r}")
@@ -1180,6 +1294,8 @@ def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
     out_r, out_c = R - wh + 1, C - ww + 1
     xb = x.reshape((-1, R, C))
 
+    if max(wh, ww) > 17 and cols == _COLS2D:
+        cols = 512              # scoped-VMEM liveness guard (see dense)
     rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
     cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
     Rp = _round_up(out_r, rows) + _HALO_R
@@ -1193,9 +1309,8 @@ def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
             xp, jnp.asarray(U, dtype=x.dtype), jnp.asarray(V, dtype=x.dtype),
             rows, cols, interpret, mxu_precision)
     else:
-        out = _corr2d_sep_call(xp, jnp.asarray(u, dtype=x.dtype),
-                               jnp.asarray(v, dtype=x.dtype),
-                               rows, cols, interpret)
+        out = _corr2d_sep_const_call(_WKey(u), _WKey(v), rows, cols,
+                                     interpret)(xp)
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 

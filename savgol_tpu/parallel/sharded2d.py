@@ -34,7 +34,8 @@ def _halo_rows(x_local, ny: int, axis_name: str):
 
 
 def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
-    from savgol_tpu.ops.apply2d import _pallas_corr2d_diff, correlate2d_valid
+    from savgol_tpu.ops.apply2d import (_corr2d_pallas_dispatch,
+                                        correlate2d_valid)
 
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
@@ -66,7 +67,7 @@ def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
         pad = [(0, 0)] * (xr.ndim - 1) + [(nx, nx)]
         xr = jnp.pad(xr, pad, mode=mode)
     if method == "pallas":
-        y = _pallas_corr2d_diff()(xr, weights.astype(xr.dtype))
+        y = _corr2d_pallas_dispatch(xr, weights.astype(xr.dtype))
     else:
         y = correlate2d_valid(xr, weights)  # rows: rloc, cols: C or C-2nx
     return y * jnp.asarray(scale, dtype=y.dtype)
