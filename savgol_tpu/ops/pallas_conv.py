@@ -104,14 +104,25 @@ def _fold_rows(xb: jax.Array, n_out: int, s: int = _FOLD_S):
 # ---------------------------------------------------------------------------
 
 
+_TAP_GROUP = 16   # taps accumulated in registers between o_ref writes:
+                  # Mosaic keeps every product of a value chain live in
+                  # scoped VMEM, so a 65-tap chain at a 32x2048 tile is
+                  # ~16.6 MB — right at the cap (verified failing on
+                  # hardware); grouping bounds liveness at ~16 tiles.
+
+
 def _corr1d_kernel(w_ref, x_ref, halo_ref, o_ref, *, ws: int):
     """out[:, j] = sum_k w[k] * xw[:, j + k], xw = [main | halo]."""
     xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
     cols = o_ref.shape[1]
-    acc = w_ref[0, 0] * xw[:, 0:cols]
-    for k in range(1, ws):
-        acc += w_ref[0, k] * xw[:, k:k + cols]
-    o_ref[:, :] = acc
+    for g in range(0, ws, _TAP_GROUP):
+        acc = w_ref[0, g] * xw[:, g:g + cols]
+        for k in range(g + 1, min(g + _TAP_GROUP, ws)):
+            acc += w_ref[0, k] * xw[:, k:k + cols]
+        if g == 0:
+            o_ref[:, :] = acc
+        else:
+            o_ref[:, :] = o_ref[:, :] + acc
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
@@ -1323,14 +1334,19 @@ def _bank_kernel(w_ref, x_ref, halo_ref, o_ref, *, ws: int, K: int):
     """out[k, :, j] = sum_t w[k, t] * xw[:, j + t] for all K stencils.
 
     The input tile is read from HBM ONCE and reused across the K stencils —
-    a K-filter bank costs one data pass instead of K."""
+    a K-filter bank costs one data pass instead of K. Taps accumulate in
+    _TAP_GROUP-sized register groups (scoped-VMEM liveness bound)."""
     xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
     cols = o_ref.shape[2]
     for k in range(K):
-        acc = w_ref[k, 0] * xw[:, 0:cols]
-        for t in range(1, ws):
-            acc += w_ref[k, t] * xw[:, t:t + cols]
-        o_ref[k] = acc
+        for g in range(0, ws, _TAP_GROUP):
+            acc = w_ref[k, g] * xw[:, g:g + cols]
+            for t in range(g + 1, min(g + _TAP_GROUP, ws)):
+                acc += w_ref[k, t] * xw[:, t:t + cols]
+            if g == 0:
+                o_ref[k] = acc
+            else:
+                o_ref[k] = o_ref[k] + acc
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))

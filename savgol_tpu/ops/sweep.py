@@ -182,7 +182,10 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
 
     m = method
     if m == "auto":
-        m = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # measured on v5e (chained): banded-MXU einsums 1.10 Gs/s/config vs
+        # the bank kernel's 0.51 (traced weights keep the bank off the
+        # fast const-tap form)
+        m = "mxu" if jax.default_backend() == "tpu" else "xla"
     if m == "pallas":
         from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas
         y = correlate_valid_bank_pallas(xp, center)      # (C, ..., N)
@@ -196,22 +199,27 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
             f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
 
     if boundary is BoundaryMode.POLYNOMIAL:
-        pos = jnp.arange(N)
+        pos32 = jnp.arange(_M)
 
         def fix(yc, n, lw, tw):
-            # lead window: xp slice centered at x[n] -> start n (xp coords)
+            # Edge outputs live in the first/last _M positions only, so the
+            # fix touches two static 32-wide windows (dynamic_update_slice)
+            # instead of gathering over the whole length.
             start = (0,) * (x.ndim - 1) + (n,)
             win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
             lead = jnp.einsum("ek,...k->...e", lw, win0, precision=hp)
-            # trail window centered at x[N-1-n] -> xp start N-1-n
             startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
             winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
             trail = jnp.einsum("ek,...k->...e", tw, winT, precision=hp)
-            lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1), axis=-1)
-            trail_vals = jnp.take(trail, jnp.clip(N - 1 - pos, 0, _M - 1),
-                                  axis=-1)
-            yc = jnp.where(pos < n, lead_vals, yc)
-            return jnp.where(pos >= N - n, trail_vals, yc)
+            zeros = (0,) * (x.ndim - 1)
+            head = lax.dynamic_slice(yc, zeros + (0,),
+                                     x.shape[:-1] + (_M,))
+            head = jnp.where(pos32 < n, lead, head)
+            yc = lax.dynamic_update_slice(yc, head, zeros + (0,))
+            tail = lax.dynamic_slice(yc, zeros + (N - _M,),
+                                     x.shape[:-1] + (_M,))
+            tail = jnp.where(_M - 1 - pos32 < n, trail[..., ::-1], tail)
+            return lax.dynamic_update_slice(yc, tail, zeros + (N - _M,))
 
         y = jax.vmap(fix)(y, hw, lead_w, trail_w)
     return y * jnp.asarray(dt_inv, dtype=x.dtype)
