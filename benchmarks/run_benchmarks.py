@@ -1,6 +1,8 @@
 """Benchmark harness: the five BASELINE.json configs on real hardware.
 
-Prints one JSON line per config. Run on the TPU host:
+Prints one JSON line per config; throughput figures use a chained
+(8-deep, single-dispatch) protocol so they reflect on-device rates rather
+than the dev tunnel's per-dispatch RTT. Run on the TPU host:
 
     python benchmarks/run_benchmarks.py [--configs 1,2,3,4,5] [--quick]
 
@@ -41,6 +43,26 @@ def _t(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+_CHAIN = 8
+
+
+def _t_chain(one, x, iters=5, warmup=2):
+    """Per-call time of ``one`` measured as a _CHAIN-deep composition
+    inside ONE jitted dispatch. Through the dev-TPU tunnel each dispatch
+    carries ~2-6 ms of RTT; chaining amortizes it so the number reflects
+    on-device throughput (what a fused production pipeline sees). ``one``
+    must map an array to a same-shaped array."""
+    import jax
+
+    def chain(v):
+        y = one(v)
+        for _ in range(_CHAIN - 1):
+            y = one(y)
+        return y
+
+    return _t(jax.jit(chain), x, iters=iters, warmup=warmup) / _CHAIN
+
+
 def _emit(name, **kw):
     print(json.dumps({"config": name, **kw}), flush=True)
 
@@ -57,8 +79,9 @@ def bench_1(quick):
     res = {}
     for path, kw in [("default", {}), ("xla", {"method": "xla"}),
                      ("pallas", {"method": "pallas"})]:
-        fn = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
-        secs = _t(fn, jnp.asarray(x)[None, :], iters=5 if quick else 20)
+        secs = _t_chain(lambda v, kw=kw: flt.apply(v, **kw),
+                        jnp.asarray(x)[None, :],
+                        iters=3 if quick else 10)
         res[path] = N / secs / 1e9
     err = None
     try:
@@ -86,8 +109,8 @@ def bench_2(quick):
             flt = sg.Savgol1D.create(
                 sg.SavgolConfig(12, 4, d, time_step=0.01, boundary=bm),
                 dtype=jnp.float32)
-            fn = jax.jit(lambda v, flt=flt: flt.apply(v, use_pallas=True))
-            secs = _t(fn, x, iters=3 if quick else 10)
+            secs = _t_chain(lambda v, flt=flt: flt.apply(v), x,
+                            iters=2 if quick else 5)
             out[f"d{d}_{bm.value}"] = round(B * N / secs / 1e9, 3)
     _emit("2_derivatives_boundaries", gsamples_s=out)
 
@@ -171,23 +194,30 @@ def bench_4(quick):
                       dtype=jnp.float32)
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
     res = {}
-    fn = jax.jit(lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT))
-    res["default"] = (B * 2048 * 2048
-                      / _t(fn, img, iters=3 if quick else 10) / 1e9)
-    fnx = jax.jit(lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT,
-                                     method="xla"))
-    res["xla"] = (B * 2048 * 2048
-                  / _t(fnx, img, iters=3 if quick else 10) / 1e9)
-    imgp = jnp.asarray(rng.standard_normal((B, 2058, 2058)),
-                       dtype=jnp.float32)
-    fnp = jax.jit(lambda v: pc.correlate2d_valid_pallas(v, f2.weights))
-    res["pallas"] = (B * 2048 * 2048
-                     / _t(fnp, imgp, iters=3 if quick else 10) / 1e9)
+    res["default_api"] = (B * 2048 * 2048 / _t_chain(
+        lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT), img,
+        iters=2 if quick else 5) / 1e9)
+    res["xla"] = (B * 2048 * 2048 / _t_chain(
+        lambda v: f2.apply(v, boundary=sg.Boundary2D.CONSTANT,
+                           method="xla"), img, iters=2 if quick else 3) / 1e9)
     import numpy as _np
     w_np = _np.asarray(f2.weights)
-    fns = jax.jit(lambda v: pc.correlate2d_valid_pallas_sep(v, w_np))
-    res["sep"] = (B * 2048 * 2048
-                  / _t(fns, imgp, iters=3 if quick else 10) / 1e9)
+    imgp = jnp.asarray(rng.standard_normal((B, 2058, 2058)),
+                       dtype=jnp.float32)
+
+    def valid_same(one):
+        # keep shapes fixed across the chain by re-padding the valid output
+        def wrapped(v):
+            y = one(v)
+            return jnp.pad(y, ((0, 0), (5, 5), (5, 5)))
+        return wrapped
+
+    res["pallas_valid"] = (B * 2048 * 2048 / _t_chain(
+        valid_same(lambda v: pc.correlate2d_valid_pallas(v, f2.weights)),
+        imgp, iters=2 if quick else 5) / 1e9)
+    res["sep_valid"] = (B * 2048 * 2048 / _t_chain(
+        valid_same(lambda v: pc.correlate2d_valid_pallas_sep(v, w_np)),
+        imgp, iters=2 if quick else 5) / 1e9)
     _emit("4_2d_2048_11x11_order3", gpix_s={k: round(v, 3)
                                             for k, v in res.items()})
 
@@ -205,8 +235,8 @@ def bench_5(quick):
     total_channels = 512 if quick else 8192
     x = jnp.asarray(rng.standard_normal((chan_chunk, N)), dtype=jnp.float32)
     flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
-    fn = jax.jit(lambda v: flt.apply(v, use_pallas=True))
-    secs_chunk = _t(fn, x, iters=3 if quick else 10)
+    secs_chunk = _t_chain(lambda v: flt.apply(v), x,
+                          iters=2 if quick else 5)
     n_chunks = total_channels // chan_chunk
     total_s = secs_chunk * n_chunks
     gsps = total_channels * N / total_s / 1e9
@@ -215,8 +245,12 @@ def bench_5(quick):
     xs = jnp.asarray(rng.standard_normal(N // 8), dtype=jnp.float32)
     ns = jnp.asarray([4, 8, 12, 16, 24, 32])
     ms = jnp.asarray([2, 3, 4, 4, 5, 6])
-    fsw = jax.jit(lambda v: savgol_apply_sweep(v, ns, ms))
-    secs_sw = _t(fsw, xs, iters=3 if quick else 10)
+
+    def sweep_one(v):
+        y = savgol_apply_sweep(v, ns, ms)
+        return y.sum(axis=0) * 1e-3 + v      # same shape for chaining
+
+    secs_sw = _t_chain(sweep_one, xs, iters=2 if quick else 5)
     _emit("5_multichannel_8192x1M", gsamples_s=round(gsps, 3),
           chunk=[chan_chunk, N], chunks=n_chunks,
           sweep_6cfg_gsamples_s=round(6 * xs.size / secs_sw / 1e9, 3))
