@@ -107,6 +107,46 @@ def main():
         f"2D default-path output diverges from XLA HIGHEST on hardware: "
         f"max abs err {err2_gate:.3e}")
 
+    # ---- secondary on-hardware parity gates ------------------------------
+    # every fast path vs the XLA HIGHEST twin, on the same data on-chip
+    gates = {}
+    xs_small = jnp.asarray(rng.standard_normal((2, 20_000)),
+                           dtype=jnp.float32)
+    y_fold = np.asarray(jax.jit(
+        lambda v: flt.apply(v))(xs_small))          # thin batch -> folded
+    y_ref = np.asarray(jax.jit(
+        lambda v: flt.apply(v, method="xla"))(xs_small))
+    gates["fold_thin_batch"] = float(np.abs(y_fold - y_ref).max())
+
+    from savgol_tpu.ops.sweep import savgol_apply_sweep
+    xsw = jnp.asarray(rng.standard_normal(8192), dtype=jnp.float32)
+    ns_ = jnp.asarray([4, 12, 32])
+    ms_ = jnp.asarray([2, 4, 6])
+    ysw = np.asarray(jax.jit(
+        lambda v: savgol_apply_sweep(v, ns_, ms_))(xsw))
+    ysw_ref = np.asarray(jax.jit(
+        lambda v: savgol_apply_sweep(v, ns_, ms_, method="xla"))(xsw))
+    gates["sweep_vs_xla"] = float(np.abs(ysw - ysw_ref).max())
+
+    bank = sg.SavgolBank.smooth_and_derivatives(12, 4, 2)
+    xbk = jnp.asarray(rng.standard_normal((8, 8192)), dtype=jnp.float32)
+    ybk = np.asarray(jax.jit(lambda v: bank.apply(v))(xbk))
+    ybk_ref = np.stack([np.asarray(
+        sg.Savgol1D.create(sg.SavgolConfig(12, 4, d)).apply(
+            xbk, method="xla")) for d in range(3)])
+    gates["bank_vs_xla"] = float(np.abs(ybk - ybk_ref).max())
+
+    from savgol_tpu.ops.pallas_conv import correlate2d_valid_pallas_sep
+    from savgol_tpu.ops.apply2d import correlate2d_valid
+    ysep = np.asarray(jax.jit(lambda v: correlate2d_valid_pallas_sep(
+        v, np.asarray(f2.weights)))(img[:1, :256, :256]))
+    ysep_ref = np.asarray(jax.jit(lambda v: correlate2d_valid(
+        v, f2.weights))(img[:1, :256, :256]))
+    gates["sep2d_vs_xla"] = float(np.abs(ysep - ysep_ref).max())
+
+    for k, v in gates.items():
+        assert v <= 2e-5, f"hardware parity gate failed: {k} err {v:.3e}"
+
     # ---- accuracy: DEFAULT f32 pipeline vs scipy f64 oracle --------------
     try:
         from scipy.signal import savgol_filter
@@ -127,6 +167,8 @@ def main():
             "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
             "max_abs_err_2d_default_vs_xla": err2_gate,
+            "hardware_parity_gates": {k: round(v, 10)
+                                      for k, v in gates.items()},
             "max_abs_err_vs_scipy_f64": max_err,
             "device": str(jax.devices()[0]),
             "batch": B,

@@ -83,18 +83,29 @@ class SavgolBank:
 
     def apply(self, x: jax.Array, *, axis: int = -1,
               reference_edge_sign: bool = False,
-              use_pallas: bool = False) -> jax.Array:
+              use_pallas: bool = False,
+              method: str = "auto") -> jax.Array:
         """Apply all K filters; output shape (K,) + x.shape.
 
-        ``use_pallas=True`` routes the shared center pass through the
-        K-stencil bank kernel (ONE input read for all K filters)."""
+        ``method="auto"`` (default) routes the shared center pass through
+        the K-stencil bank kernel on TPU — ONE input read for all K
+        filters; ``"xla"`` forces the vmapped conv path, ``"pallas"`` (or
+        ``use_pallas=True``) forces the bank kernel."""
+        if use_pallas:
+            method = "pallas"
+        if method == "auto":
+            method = ("pallas" if jax.default_backend() == "tpu"
+                      else "xla")
+        if method not in ("xla", "pallas"):
+            raise ValueError(
+                f"method must be 'auto', 'xla' or 'pallas', got {method!r}")
         n = self.half_window
         boundary = self.configs[0].boundary
         moved = axis % x.ndim != x.ndim - 1
         if moved:
             x = jnp.moveaxis(x, axis, -1)
 
-        if use_pallas:
+        if method == "pallas":
             out = self._apply_bank_pallas(x, reference_edge_sign)
             if moved:
                 target = axis + 1 if axis >= 0 else axis
