@@ -85,6 +85,34 @@ def _pallas_dense_const_diff(w_key):
     return op
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_same_const_diff(w_key, pad_mode: str, ny: int, nx: int):
+    """Differentiable (in x) same-size 2D apply with boundary pad, tile
+    pad, and (pre-folded) scale fused into one kernel invocation."""
+    w = np.asarray(w_key.array)
+
+    @jax.custom_vjp
+    def op(x):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.savgol2d_same_pallas(x, w, pad_mode)
+
+    def fwd(x):
+        return op(x), x
+
+    def bwd(x, g):
+        def xla_twin(v):
+            mode = pad_mode
+            pad = [(0, 0)] * (v.ndim - 2) + [(ny, ny), (nx, nx)]
+            return correlate2d_valid(jnp.pad(v, pad, mode=mode),
+                                     jnp.asarray(w, dtype=v.dtype))
+
+        _, vjp = jax.vjp(xla_twin, x)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def _corr2d_pallas_dispatch(x, weights):
     """Pallas dense 2D correlation: baked-constant kernel when the stencil
     is concrete (the common precomputed-filter case), runtime-SMEM kernel
@@ -211,6 +239,19 @@ def savgol2d_apply(
     method = _resolve_method2d(method, use_pallas)
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
+    if method == "pallas" and boundary is not Boundary2D.VALID:
+        # fused same-size path: ONE pad (boundary + tile alignment) and the
+        # scale folded into the baked stencil when both are concrete
+        try:
+            w_np = np.asarray(weights)
+            s_np = float(np.asarray(scale))
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            w_np = None
+        if w_np is not None:
+            mode = _PAD_MODE_2D[boundary]
+            op = _pallas_same_const_diff(_WeightKey(w_np * s_np), mode,
+                                         ny, nx)
+            return op(x)
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
     if method == "sep":

@@ -1074,6 +1074,54 @@ def correlate2d_valid_pallas(x: jax.Array, w: jax.Array,
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 
+def savgol2d_same_pallas(x: jax.Array, w, pad_mode: str,
+                         rows: int = _ROWS2D, cols: int = _COLS2D,
+                         interpret: bool | None = None) -> jax.Array:
+    """Same-size 2D apply with the boundary pad FUSED into the tile pad.
+
+    The split path (boundary jnp.pad, then the valid wrapper's tile-align
+    pad) copies the image twice before the kernel; here ONE ``jnp.pad``
+    provides both, extending with the boundary mode all the way to the
+    tile-aligned size — the outputs beyond the true boundary ring are
+    sliced away, so over-extension is harmless. ``w`` must be concrete
+    (the stencil is baked into the kernel). ``pad_mode``: "edge" or
+    "symmetric" (the CONSTANT / REFLECT boundary modes)."""
+    import numpy as np
+    if interpret is None:
+        interpret = _interpret_default()
+    _check_tile(rows, cols, row_quantum=_HALO_R)
+    w = np.asarray(w)
+    wh, ww = w.shape
+    ny, nx = (wh - 1) // 2, (ww - 1) // 2
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    xb = x.reshape((-1, R, C))
+    if max(wh, ww) > 17:
+        # wide stencils: fall back to pad + separable (scoped-VMEM limits)
+        pad = ((0, 0), (ny, ny), (nx, nx))
+        xp = jnp.pad(xb, pad, mode=pad_mode)
+        out = correlate2d_valid_pallas_sep(xp, w, interpret=interpret)
+        return out.reshape(batch_shape + (R, C))
+
+    rows = min(rows, _round_up(max(R, _HALO_R), _HALO_R))
+    cols_eff = min(cols, _round_up(max(C, _LANES), _LANES))
+    Rp = _round_up(R, rows) + _HALO_R
+    Cp = _round_up(C, cols_eff) + _LANES
+    # one pad supplies boundary ring + tile alignment + kernel halo;
+    # jnp.pad's symmetric/edge modes require pad <= dim, which holds for
+    # any image at least HALO_R + ny tall (tiny images take the split path)
+    pr, pc = Rp - R - ny, Cp - C - nx
+    if pr > R or pc > C:
+        pad = ((0, 0), (ny, ny), (nx, nx))
+        xp = jnp.pad(xb, pad, mode=pad_mode)
+        out = correlate2d_valid_pallas(xp, jnp.asarray(w, dtype=x.dtype),
+                                       interpret=interpret)
+        return out.reshape(batch_shape + (R, C))
+    xp = jnp.pad(xb, ((0, 0), (ny, pr), (nx, pc)), mode=pad_mode)
+    out = _corr2d_const_call(_WKey(w), rows, cols_eff, interpret)(xp)
+    return out[:, :R, :C].reshape(batch_shape + (R, C))
+
+
 # ---------------------------------------------------------------------------
 # 2D valid correlation — separable (SVD rank-decomposed) variant
 # ---------------------------------------------------------------------------
