@@ -363,13 +363,20 @@ def stream_process_chunk(
 
     # Assemble: out[j] = lead[j] for j < n_lead, else
     # centers[coff + j - n_lead] where coff maps first_center into centers.
+    # The center block is an affine re-index — ONE dynamic_slice of a
+    # zero-guarded buffer instead of a full-length gather (the start can
+    # be as low as coff - n, hence the n-zero left guard); the lead values
+    # only ever touch the first n positions, a static window.
     coff = first_center - (t0 - n - 1)
     idx = jnp.arange(C + n + 1)
-    src = jnp.clip(coff + idx - n_lead, 0, C)
-    vals = jnp.take(centers, src)
-    lead_pad = jnp.concatenate([lead, jnp.zeros((C + 1,), dtype=ext.dtype)])
-    out = jnp.where(idx < n_lead, lead_pad[jnp.clip(idx, 0, n - 1) if n > 0
-                                           else idx], vals)
+    # left guard n (start >= coff - n_lead + n >= 1 - n + n); right guard
+    # 3n+2 (start can reach 3n+1 when the fill point was just crossed)
+    buf = jnp.concatenate([jnp.zeros((n,), dtype=ext.dtype), centers,
+                           jnp.zeros((3 * n + 2,), dtype=ext.dtype)])
+    out = lax.dynamic_slice(buf, (coff - n_lead + n,), (C + n + 1,))
+    if n > 0:
+        head = jnp.where(jnp.arange(n) < n_lead, lead, out[:n])
+        out = lax.dynamic_update_slice(out, head, (0,))
     out = jnp.where(idx < count, out, 0.0)
 
     state = ChunkState(
