@@ -65,21 +65,23 @@ def main():
     fn_xla = jax.jit(lambda v: flt.apply(v, method="xla"))
     candidates["xla"] = _bench(fn_xla, x)
 
+    path_errors = {}
     for name, kw in (("pallas", dict(method="pallas")),
                      ("mxu", dict(method="mxu"))):
         try:
             fn_c = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
             candidates[name] = _bench(fn_c, x)
-        except Exception:
-            pass
+        except Exception as e:            # surfaced in the JSON, not hidden
+            path_errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     secs = candidates["default"]
     gsps = B * N / secs / 1e9
 
     # ---- on-hardware parity gate: default path vs XLA HIGHEST ------------
     # (same data, same device — catches Mosaic lowering divergences that
-    # interpreter-mode CPU tests cannot see)
-    xg = x[:4]
+    # interpreter-mode CPU tests cannot see). 64 rows keeps the gate on the
+    # SAME banded-MXU kernel that produces the headline (4 rows would fold)
+    xg = x[:64]
     y_default = np.asarray(fn_default(xg))
     y_xla = np.asarray(fn_xla(xg))
     err_gate = float(np.abs(y_default - y_xla).max())
@@ -170,6 +172,7 @@ def main():
             "hardware_parity_gates": {k: round(v, 10)
                                       for k, v in gates.items()},
             "max_abs_err_vs_scipy_f64": max_err,
+            "path_errors": path_errors,
             "device": str(jax.devices()[0]),
             "batch": B,
             "samples": N,

@@ -28,6 +28,9 @@ import numpy as np
 from jax import lax
 
 from savgol_tpu.config import Boundary2D, Savgol2DConfig
+# hashable stencil-bytes key shared with the kernel caches (normalizes
+# dtype to f64 and copies, so distinct-dtype aliases cannot collide)
+from savgol_tpu.ops.pallas_conv import _WKey as _WeightKey
 from savgol_tpu.ops.weights import savgol2d_weights_np
 
 __all__ = [
@@ -61,7 +64,7 @@ def _resolve_method2d(method: str, use_pallas: bool) -> str:
     return method
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)
 def _pallas_dense_const_diff(w_key):
     """Differentiable (in x) dense 2D kernel with the stencil baked as
     compile-time constants (~1.6x the runtime-SMEM-taps form on v5e)."""
@@ -85,7 +88,7 @@ def _pallas_dense_const_diff(w_key):
     return op
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)
 def _pallas_same_const_diff(w_key, pad_mode: str, ny: int, nx: int):
     """Differentiable (in x) same-size 2D apply with boundary pad, tile
     pad, and (pre-folded) scale fused into one kernel invocation."""
@@ -124,7 +127,7 @@ def _corr2d_pallas_dispatch(x, weights):
     return _pallas_dense_const_diff(_WeightKey(w_np))(x)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)
 def _pallas_sep_diff(w_key):
     """Differentiable (in x) wrapper for the separable 2D kernel; the
     stencil is baked in as a static constant (its SVD happens on the
@@ -146,20 +149,6 @@ def _pallas_sep_diff(w_key):
 
     op.defvjp(fwd, bwd)
     return op
-
-
-class _WeightKey:
-    """Hashable identity wrapper so lru_cache can key on a numpy stencil."""
-
-    def __init__(self, array):
-        self.array = array
-        self._key = array.tobytes(), array.shape
-
-    def __hash__(self):
-        return hash(self._key)
-
-    def __eq__(self, other):
-        return isinstance(other, _WeightKey) and self._key == other._key
 
 
 def correlate2d_valid(x: jax.Array, w: jax.Array,

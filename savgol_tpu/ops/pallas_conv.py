@@ -216,10 +216,14 @@ def _sg1d_poly_kernel(w_ref, ewl_ref, ewt_ref, x_ref, halo_ref, o_ref,
     xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
     cols = o_ref.shape[1]
 
-    acc = w_ref[0, 0] * xw[:, 0:cols]
-    for k in range(1, ws):
-        acc += w_ref[0, k] * xw[:, k:k + cols]
-    o_ref[:, :] = acc
+    for g in range(0, ws, _TAP_GROUP):
+        acc = w_ref[0, g] * xw[:, g:g + cols]
+        for k in range(g + 1, min(g + _TAP_GROUP, ws)):
+            acc += w_ref[0, k] * xw[:, k:k + cols]
+        if g == 0:
+            o_ref[:, :] = acc
+        else:
+            o_ref[:, :] = o_ref[:, :] + acc
 
     # Leading edge: out[e] = sum_j ewl[e,j] * x_raw[j]; x_raw[i]==xpad[n+i].
     @pl.when(ci == 0)
@@ -260,11 +264,16 @@ def _sg1d_poly_kernel_v2(w_ref, ewl_ref, ewt_ref, left_ref, x_ref,
     right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
     xw = jnp.concatenate([left, x_ref[:, :], right], axis=1)
 
-    # out col j: taps x[ci*cols + j - n + k] = xw[:, _LANES + j - n + k]
-    acc = w_ref[0, 0] * xw[:, _LANES - n:_LANES - n + cols]
-    for k in range(1, ws):
-        acc += w_ref[0, k] * xw[:, _LANES - n + k:_LANES - n + k + cols]
-    o_ref[:, :] = acc
+    # out col j: taps x[ci*cols + j - n + k] = xw[:, _LANES + j - n + k];
+    # taps accumulate in _TAP_GROUP register groups (scoped-VMEM liveness)
+    for g in range(0, ws, _TAP_GROUP):
+        acc = w_ref[0, g] * xw[:, _LANES - n + g:_LANES - n + g + cols]
+        for k in range(g + 1, min(g + _TAP_GROUP, ws)):
+            acc += w_ref[0, k] * xw[:, _LANES - n + k:_LANES - n + k + cols]
+        if g == 0:
+            o_ref[:, :] = acc
+        else:
+            o_ref[:, :] = o_ref[:, :] + acc
 
     @pl.when(ci == 0)
     def _():

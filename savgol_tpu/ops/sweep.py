@@ -199,11 +199,13 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
             f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
 
     if boundary is BoundaryMode.POLYNOMIAL:
-        pos32 = jnp.arange(_M)
+        win = min(_M, N)          # N >= 2*max_n+1 may still be < _M
+        posw = jnp.arange(win)
+        pos = jnp.arange(N)
 
         def fix(yc, n, lw, tw):
             # Edge outputs live in the first/last _M positions only, so the
-            # fix touches two static 32-wide windows (dynamic_update_slice)
+            # fix touches two static windows (dynamic_update_slice)
             # instead of gathering over the whole length.
             start = (0,) * (x.ndim - 1) + (n,)
             win0 = lax.dynamic_slice(xp, start, x.shape[:-1] + (_W,))
@@ -211,15 +213,26 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
             startt = (0,) * (x.ndim - 1) + (N - 1 - n,)
             winT = lax.dynamic_slice(xp, startt, x.shape[:-1] + (_W,))
             trail = jnp.einsum("ek,...k->...e", tw, winT, precision=hp)
+            if win < _M:
+                # short inputs: window updates could overlap; fall back to
+                # whole-length masking (cheap at these sizes)
+                lead_vals = jnp.take(lead, jnp.clip(pos, 0, _M - 1),
+                                     axis=-1)
+                trail_vals = jnp.take(trail,
+                                      jnp.clip(N - 1 - pos, 0, _M - 1),
+                                      axis=-1)
+                yc = jnp.where(pos < n, lead_vals, yc)
+                return jnp.where(pos >= N - n, trail_vals, yc)
             zeros = (0,) * (x.ndim - 1)
             head = lax.dynamic_slice(yc, zeros + (0,),
-                                     x.shape[:-1] + (_M,))
-            head = jnp.where(pos32 < n, lead, head)
+                                     x.shape[:-1] + (win,))
+            head = jnp.where(posw < n, lead[..., :win], head)
             yc = lax.dynamic_update_slice(yc, head, zeros + (0,))
-            tail = lax.dynamic_slice(yc, zeros + (N - _M,),
-                                     x.shape[:-1] + (_M,))
-            tail = jnp.where(_M - 1 - pos32 < n, trail[..., ::-1], tail)
-            return lax.dynamic_update_slice(yc, tail, zeros + (N - _M,))
+            tail = lax.dynamic_slice(yc, zeros + (N - win,),
+                                     x.shape[:-1] + (win,))
+            tail = jnp.where(win - 1 - posw < n,
+                             trail[..., ::-1][..., _M - win:], tail)
+            return lax.dynamic_update_slice(yc, tail, zeros + (N - win,))
 
         y = jax.vmap(fix)(y, hw, lead_w, trail_w)
     return y * jnp.asarray(dt_inv, dtype=x.dtype)

@@ -46,6 +46,10 @@ __all__ = [
     "stream_ready",
     "stream_buffered",
     "stream_apply",
+    "ChunkState",
+    "chunk_init",
+    "stream_process_chunk",
+    "stream_flush_chunked",
 ]
 
 
@@ -262,6 +266,10 @@ def stream_apply(
     push #(2n+1) emits n+1 values, every later push emits 1, flush emits n —
     so reassembly is static slicing, no dynamic scatter.
     """
+    if x.ndim != 1:
+        raise ValueError(
+            f"stream_apply processes ONE sequence (got shape {x.shape}); "
+            "vmap it for batches, or use the batch apply / chunked stream")
     n = int(half_window)
     ws = 2 * n + 1
     T = x.shape[-1]

@@ -365,3 +365,11 @@ class TestReferenceStreamDifferential:
         ours.extend(np.asarray(o)[:int(c)].tolist())
         assert len(ours) == x.size
         assert np.abs(np.array(ours) - theirs).max() <= 1e-5
+
+
+def test_stream_apply_rejects_batched_input():
+    import savgol_tpu as sg
+    f = sg.Savgol1D.create(sg.SavgolConfig(4, 2))
+    with pytest.raises(ValueError, match="ONE sequence"):
+        sg.stream_apply(jnp.zeros((3, 100)), f.center_weights,
+                        f.edge_weights, half_window=4)

@@ -154,3 +154,13 @@ class TestSweepApply:
         want = np.asarray(savgol_apply_sweep(x, ns, ms, method="xla",
                                              dtype=F64))
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_short_input_above_window_works(self):
+        """N >= 2n+1 but N < 32 (the masked window cap) must still work
+        (regression: the windowed edge fix assumed N >= 32)."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal(20), dtype=F64)
+        out = np.asarray(savgol_apply_sweep(x, jnp.asarray([4]),
+                                            jnp.asarray([2]), dtype=F64))
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
+        np.testing.assert_allclose(out[0], np.asarray(f.apply(x)), atol=1e-8)
