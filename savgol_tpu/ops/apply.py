@@ -124,12 +124,20 @@ def correlate_valid(x: jax.Array, w: jax.Array,
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_poly_diff(n: int, lead_sign: float):
+def _pallas_poly_diff(n: int, lead_sign: float, mode: str = "exact"):
     """Differentiable wrapper for the fused Pallas polynomial apply.
 
     Pallas kernels have no autodiff rules; the filter is (bi)linear in
     (x, weights), so the backward pass is the VJP of the XLA twin — exact
-    up to f32 rounding, costing one XLA apply per cotangent."""
+    up to f32 rounding, costing one XLA apply per cotangent.
+
+    ``mode="bf16"``: the memory-bound throughput path — input, stationary
+    bands, and output all in bfloat16 through the banded-MXU kernel at
+    single-pass (DEFAULT) matmul precision, ~2x the exact-path HBM ceiling
+    at a documented ~5e-3 relative accuracy contract. Gradients still flow
+    through the exact f32 XLA twin. Falls back to the exact path when no
+    block geometry divides the sequence (accuracy is then better, never
+    worse, than the contract)."""
 
     def xla_poly(x, cw, ew, dt_inv):
         ws = 2 * n + 1
@@ -146,6 +154,17 @@ def _pallas_poly_diff(n: int, lead_sign: float):
     @jax.custom_vjp
     def op(x, cw, ew, dt_inv):
         from savgol_tpu.ops import pallas_conv
+        if mode == "bf16":
+            ws = 2 * n + 1
+            N = x.shape[-1]
+            ok = any(c2 >= ws and N % c2 == 0
+                     for c2 in (2048, 4096, 1024, 512, 384, 256, 128))
+            if ok:
+                y = pallas_conv.savgol_polynomial_pallas_mxu(
+                    x.astype(jnp.bfloat16), cw, ew, n, dt_inv,
+                    lead_sign=lead_sign,
+                    mxu_precision=lax.Precision.DEFAULT)
+                return y.astype(x.dtype)
         return pallas_conv.savgol_polynomial_pallas_auto(
             x, cw, ew, n, dt_inv, lead_sign=lead_sign)
 
@@ -161,12 +180,20 @@ def _pallas_poly_diff(n: int, lead_sign: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _pallas_corr_diff():
-    """Differentiable wrapper for the Pallas valid correlation."""
+def _pallas_corr_diff(mode: str = "exact"):
+    """Differentiable wrapper for the Pallas valid correlation.
+
+    ``mode="bf16"``: banded-MXU correlation on bfloat16 data at DEFAULT
+    matmul precision (throughput contract, ~5e-3 relative)."""
 
     @jax.custom_vjp
     def op(x, w):
         from savgol_tpu.ops import pallas_conv
+        if mode == "bf16":
+            y = pallas_conv.correlate_valid_pallas_mxu(
+                x.astype(jnp.bfloat16), w,
+                mxu_precision=lax.Precision.DEFAULT)
+            return y.astype(x.dtype)
         return pallas_conv.correlate_valid_pallas_auto(x, w)
 
     def fwd(x, w):
@@ -216,18 +243,20 @@ def savgol_apply_core(
 
     ``method`` selects the compute path: "auto" (the default — fastest
     path for the hardware: Pallas/MXU on TPU, XLA elsewhere), "xla" (conv,
-    HIGHEST precision), "pallas" (fused VPU kernel — fastest exact-f32), or
-    "mxu" (banded matmuls on the systolic array). ``use_pallas=True`` is an
-    alias for method="pallas".
+    HIGHEST precision), "pallas" (fused VPU kernel — fastest exact-f32),
+    "mxu" (banded matmuls on the systolic array), or "bf16" (bfloat16
+    banded-MXU throughput mode — ~2x the exact-path memory ceiling at a
+    ~5e-3 relative accuracy contract). ``use_pallas=True`` is an alias for
+    method="pallas".
     """
     if use_pallas:
         method = "pallas"
     n = int(half_window)
     ws = 2 * n + 1
     method = _resolve_method(method, ws)
-    if method not in ("xla", "pallas", "mxu"):
+    if method not in ("xla", "pallas", "mxu", "bf16"):
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'mxu', "
+            f"method must be 'auto', 'xla', 'pallas', 'mxu' or 'bf16', "
             f"got {method!r}")
     N = x.shape[-1]
     if N < ws:
@@ -240,8 +269,9 @@ def savgol_apply_core(
         lead_sign = -1.0
 
     if boundary is BoundaryMode.POLYNOMIAL:
-        if method == "pallas":
-            op = _pallas_poly_diff(n, lead_sign)
+        if method in ("pallas", "bf16"):
+            op = _pallas_poly_diff(
+                n, lead_sign, "bf16" if method == "bf16" else "exact")
             y = op(x, center_w, edge_w,
                    jnp.asarray(dt_inv, dtype=x.dtype))
             return y.astype(restore) if restore is not None else y
@@ -265,6 +295,8 @@ def savgol_apply_core(
         xp = jnp.pad(x, pad, mode=mode)
         if method == "pallas":
             y = _pallas_corr_diff()(xp, center_w)
+        elif method == "bf16":
+            y = _pallas_corr_diff("bf16")(xp, center_w)
         elif method == "mxu":
             y = correlate_valid_mxu(xp, center_w, precision)
         else:
@@ -320,9 +352,9 @@ def savgol_apply_valid(
     n = int(half_window)
     ws = 2 * n + 1
     method = _resolve_method(method, ws)
-    if method not in ("xla", "pallas", "mxu"):
+    if method not in ("xla", "pallas", "mxu", "bf16"):
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'mxu', "
+            f"method must be 'auto', 'xla', 'pallas', 'mxu' or 'bf16', "
             f"got {method!r}")
     xl, moved = _move_axis_last(x, axis)
     if xl.shape[-1] < ws:
@@ -332,6 +364,8 @@ def savgol_apply_valid(
     xl, restore = _compute_dtype(xl)
     if method == "pallas":
         y = _pallas_corr_diff()(xl, center_w)
+    elif method == "bf16":
+        y = _pallas_corr_diff("bf16")(xl, center_w)
     elif method == "mxu":
         y = correlate_valid_mxu(xl, center_w, precision)
     else:

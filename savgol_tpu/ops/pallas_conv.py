@@ -59,6 +59,12 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _row_quantum(dtype) -> int:
+    """Minimum sublane multiple for a VMEM tile of ``dtype`` (f32 packs
+    8 sublanes per tile row-group, bf16/f16 pack 16)."""
+    return 16 if dtype in (jnp.bfloat16, jnp.float16) else _SUBLANES
+
+
 def _check_tile(rows: int, cols: int, row_quantum: int = _SUBLANES):
     """Validate caller-supplied tile shapes up front — misaligned tiles
     otherwise surface as opaque Mosaic lowering errors."""
@@ -528,6 +534,11 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
     right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
 
     acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+    # Mosaic rejects HIGHEST (fp32 / bf16x6) matmuls on bf16 operands —
+    # there is nothing to recover; single-pass is already operand-exact.
+    edge_prec = (mxu_precision
+                 if x_ref.dtype in (jnp.bfloat16, jnp.float16)
+                 else jax.lax.Precision.HIGHEST)
 
     def mm(a, b):
         return jax.lax.dot_general(
@@ -556,7 +567,7 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
         lead = jax.lax.dot_general(
             first, ewl_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=edge_prec,
             preferred_element_type=acc_t)
         o_ref[:, 0:n] = lead.astype(o_ref.dtype)
 
@@ -566,7 +577,7 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
         trail = jax.lax.dot_general(
             last, ewt_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=edge_prec,
             preferred_element_type=acc_t)
         o_ref[:, cols - n:cols] = trail.astype(o_ref.dtype)
 
@@ -647,7 +658,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
     ewt = ew[::-1, :]
 
-    rows = min(rows, _round_up(B, _SUBLANES))
+    rows = min(rows, _round_up(B, _row_quantum(x.dtype)))
     # Column padding would corrupt the trailing-edge fixup (it assumes the
     # real data ends at the last block edge), so the block width must
     # divide N exactly; otherwise fall back to the VPU kernel, whose padded
@@ -821,18 +832,19 @@ def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
     B = xb.shape[0]
 
     bands = _valid_band_matrices(w.astype(x.dtype))
+    rq = _row_quantum(x.dtype)
 
     if B <= _FOLD_MAX_B and n_out >= _FOLD_MIN_OUT:
         xh, R = _fold_rows(xb, n_out)
         BR = xh.shape[0]
-        rows_f = min(rows, _round_up(BR, _SUBLANES))
+        rows_f = min(rows, _round_up(BR, rq))
         xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
         out = _corr1d_mxu_call(xh, bands, rows_f, _FOLD_S, interpret,
                                mxu_precision)
         out = out[:BR].reshape(B, R * _FOLD_S)[:, :n_out]
         return out.reshape(batch_shape + (n_out,))
 
-    rows = min(rows, _round_up(B, _SUBLANES))
+    rows = min(rows, _round_up(B, rq))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
     Bp = _round_up(B, rows)
     n_out_p = _round_up(n_out, cols)

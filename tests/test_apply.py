@@ -376,3 +376,62 @@ class TestReferenceFuzz:
             assert ours.shape == theirs.shape
             scale = max(1.0, np.abs(theirs).max())
             assert np.abs(ours - theirs).max() <= 2e-5 * scale
+
+
+class TestBF16Path:
+    """method="bf16": bfloat16 banded-MXU throughput mode (~5e-3 relative
+    accuracy contract, ~2x the exact-path HBM ceiling on hardware)."""
+
+    def test_poly_bf16_within_contract(self):
+        rng = np.random.default_rng(40)
+        x = jnp.asarray(rng.standard_normal((4, 2048)), dtype=jnp.float32)
+        f = make_filter(8, 3, dtype=jnp.float32)
+        got = np.asarray(f.apply(x, method="bf16"))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert got.dtype == np.float32
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 3e-2 * scale
+
+    @pytest.mark.parametrize("boundary", [sg.BoundaryMode.REFLECT,
+                                          sg.BoundaryMode.PERIODIC,
+                                          sg.BoundaryMode.CONSTANT])
+    def test_padded_modes_bf16(self, boundary):
+        rng = np.random.default_rng(41)
+        x = jnp.asarray(rng.standard_normal((2, 700)), dtype=jnp.float32)
+        f = make_filter(6, 2, boundary=boundary, dtype=jnp.float32)
+        got = np.asarray(f.apply(x, method="bf16"))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
+
+    def test_valid_bf16(self):
+        rng = np.random.default_rng(42)
+        x = jnp.asarray(rng.standard_normal((2, 600)), dtype=jnp.float32)
+        f = make_filter(6, 2, dtype=jnp.float32)
+        got = np.asarray(f.apply_valid(x, method="bf16"))
+        want = np.asarray(f.apply_valid(x, method="xla"))
+        assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
+
+    def test_bf16_geometry_fallback_is_exact(self):
+        """Sequence lengths with no admissible block geometry fall back to
+        the exact f32 path — better than the contract, never worse."""
+        rng = np.random.default_rng(43)
+        x = jnp.asarray(rng.standard_normal((2, 509)), dtype=jnp.float32)
+        f = make_filter(5, 2, dtype=jnp.float32)
+        got = np.asarray(f.apply(x, method="bf16"))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= 1e-5 * np.abs(want).max()
+
+    def test_bf16_input_stays_bf16(self):
+        rng = np.random.default_rng(44)
+        x = jnp.asarray(rng.standard_normal((2, 512)), dtype=jnp.bfloat16)
+        f = make_filter(4, 2, dtype=jnp.float32)
+        y = f.apply(x, method="bf16")
+        assert y.dtype == jnp.bfloat16
+
+    def test_bf16_differentiable_via_exact_twin(self):
+        f = make_filter(4, 2, dtype=jnp.float32)
+        x = jnp.asarray(np.arange(512.0), dtype=jnp.float32)
+        g = jax.grad(lambda v: jnp.sum(f.apply(v, method="bf16") ** 2))(x)
+        g2 = jax.grad(lambda v: jnp.sum(f.apply(v, method="xla") ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   rtol=2e-2, atol=1e-3)
