@@ -471,17 +471,16 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # The VPU tap loop costs several vector ops per tap (each shifted slice is a
 # lane-rotate + select before the FMA), putting the n=12 kernel ~3x under
 # the HBM roofline. The systolic array does the same correlation as dense
-# matmuls against STATIONARY banded matrices: an output 128-block j reads
-# input lane-blocks j-1, j, j+1 (any window up to 129 taps), so
-#
-#     out_block = xl @ WL + xc @ WC + xr @ WR
-#     WC[q, p] = w[q - p + n]          (|q - p| <= n)
-#     WL[q, p] = w[q - p + n - 128]    (upper-right corner)
-#     WR[q, p] = w[q - p + n + 128]    (lower-left corner)
-#
-# i.e. 3 MACs/sample/tap-independent ~ 768 flops/sample — at the MXU's f32
-# (6-pass bf16) rate that is ~8 ps/sample, vs ~45 ps for the 25-tap VPU
-# loop. The polynomial edges are fused exactly as in the VPU kernel.
+# matmuls against STATIONARY banded matrices. The production kernel uses
+# the 2-band shifted-slab layout (see _sg1d_poly_mxu_kernel): shift the
+# tile left by n lanes once on the VPU, then each output 128-block is one
+# (rows, 256) @ (256, 128) matmul against the valid band pair [V0; V1] —
+# 256 MACs/sample, the minimal aligned K covering a <=129-tap span. The
+# naive alternative (retained below as _band_matrices for tests and the
+# layout documentation) reads aligned blocks j-1, j, j+1 against three
+# bands WL/WC/WR — 384 MACs/sample; the slab shift costs ~1/3 of that
+# saving back on the VPU (measured v5e n=12 f32: 31.3 vs 24.0 Gs/s).
+# The polynomial edges are fused exactly as in the VPU kernel.
 
 
 def _band_matrices(w: jax.Array, n: int) -> jax.Array:
@@ -490,6 +489,7 @@ def _band_matrices(w: jax.Array, n: int) -> jax.Array:
     Built with jnp gathers so it works on TRACED weights (the custom_vjp
     apply wrappers trace them); entries are pure copies of w — no
     arithmetic — so exactness is preserved in any dtype."""
+    w = jnp.asarray(w)
     q = jnp.arange(_LANES)[:, None]
     p = jnp.arange(_LANES)[None, :]
     ws = w.shape[0]
@@ -519,22 +519,29 @@ def _band_matrices_np(w, n: int):
 
 def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
                           right_ref, o_ref, *, ws: int, n: int, cb: int,
-                          mxu_precision, stacked: bool):
-    """Banded-MXU fused polynomial apply: per inner 128-block, either three
-    (rows, 128) @ (128, 128) matmuls against the stationary band stack
-    (``stacked=False``) or one (rows, 384) @ (384, 128) matmul against the
-    vertically stacked bands (``stacked=True`` — a single K=384 pass
-    streams better through the systolic array at the cost of one lane
-    concat). Same halo-view scheme as the VPU v2 kernel (left/right
-    128-col views, masked to zero at the global edges — those outputs are
-    then overwritten by the edge matmuls)."""
+                          mxu_precision):
+    """Banded-MXU fused polynomial apply, 2-band shifted-slab form.
+
+    The tile and its halo views are concatenated into ONE slab shifted
+    left by n lanes, so output block j's 2n+1-tap span [j*128 - n,
+    (j+1)*128 + n) occupies exactly two ALIGNED 128-lane blocks of the
+    slab — each output block is a single (rows, 256) @ (256, 128) matmul
+    against the stationary valid band pair [V0; V1] (V0[q, p] = w[q - p]).
+    K = 256 is the minimal aligned cover of the span (any ws <= 129), i.e.
+    1/3 less MXU work than the naive 3-band layout; the slab concat is one
+    whole-tile lane relayout on the VPU, amortized over all cb blocks
+    (measured v5e, n=12 f32 HIGHEST: 31.3 vs 24.0 Gs/s). Left/right
+    128-col halo views are masked to zero at the global edges — those
+    outputs are then overwritten by the fused edge matmuls."""
     ci = pl.program_id(1)
     n_ci = pl.num_programs(1)
     left = jnp.where(ci == 0, 0.0, left_ref[:, :])
     right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
+    xsh = jnp.concatenate([left[:, _LANES - n:], x_ref[:, :],
+                           right[:, :_LANES - n]], axis=1)
 
     acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
-    # Mosaic rejects HIGHEST (fp32 / bf16x6) matmuls on bf16 operands —
+    # Mosaic rejects HIGHEST (bf16x6) matmuls on bf16 operands —
     # there is nothing to recover; single-pass is already operand-exact.
     edge_prec = (mxu_precision
                  if x_ref.dtype in (jnp.bfloat16, jnp.float16)
@@ -546,18 +553,9 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
             precision=mxu_precision, preferred_element_type=acc_t)
 
     for i in range(cb):
-        xl = left if i == 0 else x_ref[:, (i - 1) * _LANES:i * _LANES]
-        xc = x_ref[:, i * _LANES:(i + 1) * _LANES]
-        xr = (right if i == cb - 1
-              else x_ref[:, (i + 1) * _LANES:(i + 2) * _LANES])
-        if stacked:
-            x3 = jnp.concatenate([xl, xc, xr], axis=1)
-            acc = mm(x3, bands_ref[:, :])
-        else:
-            acc = (mm(xl, bands_ref[0:_LANES])
-                   + mm(xc, bands_ref[_LANES:2 * _LANES])
-                   + mm(xr, bands_ref[2 * _LANES:3 * _LANES]))
-        o_ref[:, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
+        xs = xsh[:, i * _LANES:i * _LANES + 2 * _LANES]
+        o_ref[:, i * _LANES:(i + 1) * _LANES] = (
+            mm(xs, bands_ref[:, :]).astype(o_ref.dtype))
 
     cols = cb * _LANES
 
@@ -583,22 +581,21 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "n",
-                                             "interpret", "mxu_precision",
-                                             "stacked"))
+                                             "interpret", "mxu_precision"))
 def _sg1d_poly_mxu_call(x, bands, ewl, ewt, rows, cols, n, interpret,
-                        mxu_precision, stacked=False):
+                        mxu_precision):
     B, N = x.shape
     ws = 2 * n + 1
     cb = cols // _LANES
     last128 = N // _LANES - 1
     grid = (B // rows, N // cols)
     kernel = functools.partial(_sg1d_poly_mxu_kernel, ws=ws, n=n, cb=cb,
-                               mxu_precision=mxu_precision, stacked=stacked)
+                               mxu_precision=mxu_precision)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3 * _LANES, _LANES), lambda bi, ci: (0, 0),
+            pl.BlockSpec((2 * _LANES, _LANES), lambda bi, ci: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, ws), lambda bi, ci: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -629,8 +626,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
                                  dt_inv=1.0, lead_sign: float = 1.0,
                                  rows: int = 128, cols: int = 2048,
                                  interpret: bool | None = None,
-                                 mxu_precision=None,
-                                 stacked: bool = False) -> jax.Array:
+                                 mxu_precision=None) -> jax.Array:
     """Same-length POLYNOMIAL apply, banded-MXU fused kernel.
 
     Semantics of savgol_apply_core(.., BoundaryMode.POLYNOMIAL). Requires
@@ -644,7 +640,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
         mxu_precision = jax.lax.Precision.HIGHEST
     ws = 2 * n + 1
     if ws > _LANES + 1:
-        raise ValueError(f"window size {ws} exceeds the 3-band structure")
+        raise ValueError(f"window size {ws} exceeds the 2-band structure")
     batch_shape = x.shape[:-1]
     N = x.shape[-1]
     if N < ws:
@@ -653,7 +649,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     B = xb.shape[0]
 
     dt = jnp.asarray(dt_inv, dtype=x.dtype)
-    bands = _band_matrices(center_w.astype(x.dtype), n) * dt
+    bands = _valid_band_matrices(center_w.astype(x.dtype)) * dt
     ew = edge_w.astype(x.dtype) * dt
     ewl = ew[:, ::-1] * jnp.asarray(lead_sign, dtype=x.dtype)
     ewt = ew[::-1, :]
@@ -676,7 +672,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     if Bp != B:                           # batch padding is semantics-free
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     out = _sg1d_poly_mxu_call(xb, bands, ewl, ewt, rows, pick, n,
-                              interpret, mxu_precision, stacked)
+                              interpret, mxu_precision)
     return out[:B, :N].reshape(batch_shape + (N,))
 
 
@@ -749,6 +745,7 @@ def correlate_valid_pallas_auto(x, w, interpret: bool | None = None):
 
 def _valid_band_matrices(w: jax.Array) -> jax.Array:
     """(2*128, 128) band stack [V0; V1] (jnp — works on traced weights)."""
+    w = jnp.asarray(w)
     q = jnp.arange(_LANES)[:, None]
     p = jnp.arange(_LANES)[None, :]
     ws = w.shape[0]
