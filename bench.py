@@ -74,6 +74,22 @@ def main():
         except Exception as e:            # surfaced in the JSON, not hidden
             path_errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # bf16 throughput mode: bf16 in/out through the single-pass banded-MXU
+    # kernel — its own documented contract (<=5e-3 relative), gated below
+    err_bf16 = None
+    try:
+        xh = x.astype(jnp.bfloat16)
+        fn_bf16 = jax.jit(lambda v: flt.apply(v, method="bf16"))
+        candidates["bf16_io"] = _bench(fn_bf16, xh)
+        y_bf = np.asarray(fn_bf16(x[:16]), dtype=np.float32)
+        y_f32 = np.asarray(jax.jit(
+            lambda v: flt.apply(v, method="xla"))(x[:16]))
+        err_bf16 = float(np.abs(y_bf - y_f32).max())
+        assert err_bf16 <= 5e-3 * max(1.0, float(np.abs(y_f32).max())), (
+            f"bf16 mode outside its 5e-3 contract: {err_bf16:.3e}")
+    except Exception as e:
+        path_errors["bf16"] = f"{type(e).__name__}: {e}"[:200]
+
     secs = candidates["default"]
     gsps = B * N / secs / 1e9
 
@@ -172,6 +188,7 @@ def main():
             "hardware_parity_gates": {k: round(v, 10)
                                       for k, v in gates.items()},
             "max_abs_err_vs_scipy_f64": max_err,
+            "max_abs_err_bf16_vs_xla": err_bf16,
             "path_errors": path_errors,
             "device": str(jax.devices()[0]),
             "batch": B,
