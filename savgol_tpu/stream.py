@@ -337,7 +337,7 @@ def stream_process_chunk(
     ``(len(chunk) + half_window + 1,)``, only ``outputs[:count]`` is
     meaningful. Finish the stream with :func:`stream_flush_chunked`.
     """
-    from savgol_tpu.ops.apply import correlate_valid
+    from savgol_tpu.ops.apply import _pallas_corr_diff, correlate_valid
 
     ws = state.tail.shape[0]
     n = (ws - 1) // 2
@@ -351,7 +351,13 @@ def stream_process_chunk(
     ext = jnp.concatenate([state.tail, chunk])
     # Window starting at ext index i is centered at p(i) = t0 - n - 1 + i;
     # centers[i] = filtered value at position p(i), i = 0..C.
-    centers = correlate_valid(ext[None, :], center_w)[0] * dt   # (C + 1,)
+    # The unbatched (1, C+ws) XLA conv is the pathological shape on TPU
+    # (~0.05 Gs/s); the Pallas dispatcher folds big chunks into tile rows
+    # and keeps the whole step at batch-path rates.
+    if jax.default_backend() == "tpu":
+        centers = _pallas_corr_diff()(ext[None, :], center_w)[0] * dt
+    else:
+        centers = correlate_valid(ext[None, :], center_w)[0] * dt  # (C + 1,)
 
     # Emission schedule: center p is emitted once p + n + 1 samples exist,
     # i.e. this chunk emits p in [max(n, t0 - n), t1 - 1 - n].
