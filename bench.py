@@ -125,6 +125,20 @@ def main():
         f"2D default-path output diverges from XLA HIGHEST on hardware: "
         f"max abs err {err2_gate:.3e}")
 
+    # 2D bf16 throughput mode (row-banded MXU kernel, its own contract)
+    err2_bf16 = None
+    gpixps_bf16 = None
+    try:
+        fn2_bf16 = jax.jit(lambda v: f2.apply(v, method="bf16"))
+        secs2b = _bench(fn2_bf16, img.astype(jnp.bfloat16), iters=10)
+        gpixps_bf16 = img.shape[0] * 2048 * 2048 / secs2b / 1e9
+        y2_bf = np.asarray(fn2_bf16(img[:1, :256, :256]), dtype=np.float32)
+        err2_bf16 = float(np.abs(y2_bf - y2_xla).max())
+        assert err2_bf16 <= 5e-3 * max(1.0, scale2), (
+            f"2D bf16 mode outside its 5e-3 contract: {err2_bf16:.3e}")
+    except Exception as e:
+        path_errors["bf16_2d"] = f"{type(e).__name__}: {e}"[:200]
+
     # ---- secondary on-hardware parity gates ------------------------------
     # every fast path vs the XLA HIGHEST twin, on the same data on-chip
     gates = {}
@@ -185,6 +199,9 @@ def main():
             "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
             "max_abs_err_2d_default_vs_xla": err2_gate,
+            "throughput_2d_bf16_gpix_s": (round(gpixps_bf16, 3)
+                                          if gpixps_bf16 else None),
+            "max_abs_err_2d_bf16_vs_xla": err2_bf16,
             "hardware_parity_gates": {k: round(v, 10)
                                       for k, v in gates.items()},
             "max_abs_err_vs_scipy_f64": max_err,

@@ -52,14 +52,16 @@ def _resolve_method2d(method: str, use_pallas: bool) -> str:
     """'auto' -> the VPU stencil kernel on TPU (exact f32, ~5x the XLA
     HIGHEST conv), plain XLA elsewhere (Pallas would run interpreted).
     'sep' runs the SVD rank-decomposed kernel (r*(H+W) taps instead of
-    H*W; exact for polynomial stencils) — requires concrete weights."""
+    H*W; exact for polynomial stencils) — requires concrete weights.
+    'bf16' runs the row-banded MXU kernel on bfloat16 operands at
+    single-pass precision (~3.4x the exact rate, <=5e-3 relative)."""
     if use_pallas:
         method = "pallas"
     if method == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
-    if method not in ("xla", "pallas", "sep"):
+    if method not in ("xla", "pallas", "sep", "bf16"):
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'sep', "
+            f"method must be 'auto', 'xla', 'pallas', 'sep' or 'bf16', "
             f"got {method!r}")
     return method
 
@@ -182,6 +184,32 @@ def correlate2d_valid(x: jax.Array, w: jax.Array,
 
 
 @functools.lru_cache(maxsize=None)
+def _pallas_rowmxu_bf16_diff():
+    """Differentiable wrapper for the 2D bf16 throughput mode: row-banded
+    MXU kernel on bfloat16 operands at single-pass (DEFAULT) precision,
+    f32 accumulation — ~3.4x the exact dense rate at a documented <=5e-3
+    relative contract. Gradients flow through the exact XLA twin."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        y = pallas_conv.correlate2d_valid_pallas_rowmxu(
+            x.astype(jnp.bfloat16), w,
+            mxu_precision=lax.Precision.DEFAULT)
+        return y.astype(x.dtype)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate2d_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
 def _pallas_corr2d_diff():
     """Differentiable wrapper for the Pallas 2D stencil kernel (backward
     pass = VJP of the XLA conv; the op is bilinear)."""
@@ -243,6 +271,9 @@ def savgol2d_apply(
             return op(x)
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
+    if method == "bf16":
+        y = _pallas_rowmxu_bf16_diff()(x, weights)
+        return y * jnp.asarray(scale, dtype=y.dtype)
     if method == "sep":
         try:
             w_np = np.asarray(weights)
@@ -274,6 +305,12 @@ def savgol2d_apply_stack(
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
+    if method == "bf16":
+        y = jnp.stack([_pallas_rowmxu_bf16_diff()(x, weight_stack[k])
+                       for k in range(weight_stack.shape[0])], axis=-3)
+        if scales is not None:
+            y = y * jnp.asarray(scales, dtype=y.dtype)[..., :, None, None]
+        return y
     if method == "sep":
         try:
             w_np = np.asarray(weight_stack)

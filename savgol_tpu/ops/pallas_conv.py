@@ -40,6 +40,7 @@ __all__ = [
     "correlate_valid_pallas_mxu",
     "correlate_valid_bank_pallas",
     "correlate2d_valid_pallas",
+    "correlate2d_valid_pallas_rowmxu",
     "savgol_polynomial_pallas",
     "savgol_polynomial_pallas_mxu",
 ]
@@ -1138,6 +1139,131 @@ def savgol2d_same_pallas(x: jax.Array, w, pad_mode: str,
     xp = jnp.pad(xb, ((0, 0), (ny, pr), (nx, pc)), mode=pad_mode)
     out = _corr2d_const_call(_WKey(w), rows, cols_eff, interpret)(xp)
     return out[:, :R, :C].reshape(batch_shape + (R, C))
+
+
+# ---------------------------------------------------------------------------
+# 2D valid correlation — row-banded MXU variant (the 2D bf16 throughput path)
+# ---------------------------------------------------------------------------
+#
+# Each stencil ROW is a 1D valid correlation along lanes, so per inner
+# 128-column block the whole 2D stencil is wh matmuls of the slab window
+# X2 = slab[:, i*128 : i*128+256] against that row's stationary valid band
+# pair (B_k[q, p] = w[k, q - p]), followed by wh sublane-shifted adds:
+#
+#     out[r, p] = sum_k rowcorr_k[r + k, p],   rowcorr_k = X2 @ B_k
+#
+# wh * 256 MACs/pixel on the systolic array with NO per-tap lane shifts.
+# At HIGHEST (6-pass) this ties the dense VPU kernel, so its purpose is
+# the bf16 mode: single-pass DEFAULT matmuls on bf16 operands (f32
+# accumulation) — ~28 Gpix/s theoretical vs the ~5 Gpix/s exact path, at
+# the documented <=5e-3 relative contract.
+
+
+def _rowband_matrices(w) -> jax.Array:
+    """(wh, 2*128, 128) stack of per-stencil-row valid band pairs."""
+    w = jnp.asarray(w)
+    return jnp.stack([_valid_band_matrices(w[k]) for k in range(w.shape[0])])
+
+
+def _corr2d_rowmxu_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,
+                          o_ref, *, wh: int, cb: int, mxu_precision):
+    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+    xw = jnp.concatenate([top, bottom], axis=0)   # (rows+HALO_R, cols+128)
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+    r = o_ref.shape[1]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for i in range(cb):
+        X2 = xw[:, i * _LANES:i * _LANES + 2 * _LANES]
+        acc = None
+        for k in range(wh):
+            rk = mm(X2, bands_ref[k])             # (rows+HALO_R, 128) f32
+            part = rk[k:k + r, :]
+            acc = part if acc is None else acc + part
+        o_ref[0, :, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
+                                             "mxu_precision"))
+def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
+    B, Rp, Cp = xpad.shape
+    out_r = Rp - _HALO_R
+    out_c = Cp - _LANES
+    wh = bands.shape[0]
+    grid = (B, out_r // rows, out_c // cols)
+    kernel = functools.partial(_corr2d_rowmxu_kernel, wh=wh,
+                               cb=cols // _LANES,
+                               mxu_precision=mxu_precision)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wh, 2 * _LANES, _LANES),
+                         lambda b, ri, ci: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, cols),
+                         lambda b, ri, ci: (b, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda b, ri, ci: (b, ri,
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, cols),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, _LANES),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, cols),
+                               lambda b, ri, ci: (b, ri, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+        interpret=interpret,
+    )(bands, xpad, xpad, xpad, xpad)
+
+
+def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
+                                    rows: int = _ROWS2D,
+                                    cols: int = _COLS2D,
+                                    interpret: bool | None = None,
+                                    mxu_precision=None) -> jax.Array:
+    """Valid 2D cross-correlation as per-stencil-row banded matmuls.
+
+    Same contract as :func:`correlate2d_valid_pallas` (H <= 33, W <= 129).
+    Pass bf16 ``x`` with ``mxu_precision=DEFAULT`` for the 2D throughput
+    mode; f32 + HIGHEST is exact but no faster than the dense kernel.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    _check_tile(rows, cols, row_quantum=_HALO_R)
+    w = jnp.asarray(w, dtype=x.dtype)
+    wh, ww = w.shape
+    if wh > _HALO_R + 1 or ww > _LANES + 1:
+        raise ValueError(f"stencil {w.shape} exceeds kernel halo limits")
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    out_r, out_c = R - wh + 1, C - ww + 1
+    xb = x.reshape((-1, R, C))
+
+    bands = _rowband_matrices(w)
+    rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
+    cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
+    Rp = _round_up(out_r, rows) + _HALO_R
+    Cp = _round_up(out_c, cols) + _LANES
+    xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
+    out = _corr2d_rowmxu_call(xp, bands, rows, cols, interpret,
+                              mxu_precision)
+    return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 
 # ---------------------------------------------------------------------------
