@@ -85,6 +85,8 @@ def _local_apply(x_local, center_w, edge_w, n, boundary, dt_inv, lead_sign,
     def corr(v, w):
         if method == "pallas":
             return _pallas_corr_diff()(v, w.astype(v.dtype))
+        if method == "bf16":
+            return _pallas_corr_diff("bf16")(v, w.astype(v.dtype))
         if method == "mxu":
             return correlate_valid_mxu(v, w, precision)
         return correlate_valid(v, w, precision)
@@ -166,9 +168,9 @@ def apply_sharded(
 
     n = int(half_window)
     method = _resolve_method(method, 2 * n + 1)
-    if method not in ("xla", "pallas", "mxu"):
+    if method not in ("xla", "pallas", "mxu", "bf16"):
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'mxu', "
+            f"method must be 'auto', 'xla', 'pallas', 'mxu' or 'bf16', "
             f"got {method!r}")
     squeeze = x.ndim == 1
     if squeeze:

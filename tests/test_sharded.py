@@ -203,3 +203,18 @@ class TestShardedFastPaths:
             img, f2.weights, mesh=mesh8, scale=f2.scale, method="pallas"))
         want = np.asarray(f2.apply(img))
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_sharded_bf16_matches_single_device(mesh8):
+    """method='bf16' composes with overlap-save sharding: the sharded
+    result matches the single-device bf16 path (same kernel per shard)."""
+    rng = np.random.default_rng(60)
+    x = jnp.asarray(rng.standard_normal((4, 4096)), dtype=jnp.float32)
+    flt = sg.Savgol1D.create(sg.SavgolConfig(6, 3), dtype=jnp.float32)
+    got = np.asarray(apply_sharded(
+        x, flt.center_weights, flt.edge_weights, half_window=6,
+        mesh=mesh8, boundary=sg.BoundaryMode.CONSTANT, dt_inv=flt.dt_inv,
+        method="bf16"))
+    ref = np.asarray(flt.apply(x, boundary=sg.BoundaryMode.CONSTANT,
+                               method="xla"))
+    assert np.abs(got - ref).max() <= 3e-2 * np.abs(ref).max()
