@@ -16,8 +16,13 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# SAVGOL_HW_TESTS=1 leaves the real backend (TPU) in place so
+# tests/test_hw_parity.py can run its on-hardware parity gates; the main
+# suite then skips itself where it needs CPU/x64 semantics. Default: CPU
+# with 8 virtual devices + x64 oracles.
+if os.environ.get("SAVGOL_HW_TESTS", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import ctypes  # noqa: E402
 import subprocess  # noqa: E402

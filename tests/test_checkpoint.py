@@ -96,3 +96,33 @@ class TestFilterSerialization:
         x = jnp.asarray(np.arange(50.0), dtype=F64)
         np.testing.assert_array_equal(np.asarray(g.apply(x)),
                                       np.asarray(f.apply(x)))
+
+
+class TestChunkedResume:
+    def test_chunked_state_resumes_identically(self):
+        """ChunkState checkpoints mid-stream and resumes bit-identically
+        (same pytree story as StreamState: the carry IS the checkpoint)."""
+        rng = np.random.default_rng(7)
+        data = rng.standard_normal((6, 256)).astype(np.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(6, 3), dtype=jnp.float32)
+
+        def run(st, chunks):
+            outs = []
+            for ch in chunks:
+                st, o, c = fs.stream_process_chunk(
+                    st, jnp.asarray(ch), f.center_weights,
+                    f.edge_weights, f.dt_inv)
+                outs.append(np.asarray(o)[:int(c)])
+            return st, np.concatenate(outs)
+
+        # uninterrupted
+        _, full = run(fs.chunk_init(6, jnp.float32), data)
+
+        # checkpoint after 3 chunks, pickle, restore, finish
+        st, first = run(fs.chunk_init(6, jnp.float32), data[:3])
+        blob = pickle.dumps(jax.device_get(st))
+        restored = fs.ChunkState(*jax.tree_util.tree_map(
+            jnp.asarray, pickle.loads(blob)))
+        _, second = run(restored, data[3:])
+        np.testing.assert_array_equal(np.concatenate([first, second]),
+                                      full)

@@ -1,0 +1,171 @@
+"""On-hardware parity gates for every fast path (SKIPPED off-TPU).
+
+The CPU suite runs the Pallas kernels in interpreter mode only, so a
+Mosaic lowering divergence would be invisible to it (precedent: the bf16
+bank-edge corruption fixed in round 1 was caught only by ad-hoc hardware
+checks). This module runs a compact grid of fast-path-vs-XLA-HIGHEST
+comparisons on the real chip. Run with:
+
+    SAVGOL_HW_TESTS=1 python -m pytest tests/test_hw_parity.py -q
+
+(without the env var, tests/conftest.py forces the CPU platform for the
+main suite, and this module skips itself.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import savgol_tpu as sg
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs real TPU hardware")
+
+EXACT_TOL = 2e-5      # abs, standard-normal data (f32 paths vs XLA HIGHEST)
+BF16_TOL = 5e-3       # the documented bf16 contract (relative)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+class TestApply1D:
+    @pytest.mark.parametrize("method", ["pallas", "mxu"])
+    @pytest.mark.parametrize("boundary", list(sg.BoundaryMode))
+    def test_exact_paths(self, method, boundary):
+        x = jnp.asarray(_rng(1).standard_normal((8, 4096)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4, 1),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(x, boundary=boundary, method=method))
+        want = np.asarray(f.apply(x, boundary=boundary, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_wide_batch_mxu_kernel(self):
+        # B >= 64 drives the 2-band shifted-slab MXU kernel under auto
+        x = jnp.asarray(_rng(2).standard_normal((128, 8192)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+        got = np.asarray(f.apply(x))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_folded_thin_batch(self):
+        x = jnp.asarray(_rng(3).standard_normal((2, 20000)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+        got = np.asarray(f.apply(x))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_bf16_contract(self):
+        x = jnp.asarray(_rng(4).standard_normal((16, 4096)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+        got = np.asarray(f.apply(x, method="bf16"))
+        want = np.asarray(f.apply(x, method="xla"))
+        scale = max(1.0, float(np.abs(want).max()))
+        assert np.abs(got - want).max() <= BF16_TOL * scale
+
+    @pytest.mark.parametrize("n,m,d", [(1, 1, 0), (4, 3, 2), (32, 6, 1)])
+    def test_config_corners(self, n, m, d):
+        x = jnp.asarray(_rng(5).standard_normal((8, 2048)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(x))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+
+class TestApply2D:
+    @pytest.mark.parametrize("method", ["pallas", "sep"])
+    def test_exact_paths_valid(self, method):
+        img = jnp.asarray(_rng(10).standard_normal((400, 600)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply_valid(img, method=method))
+        want = np.asarray(f.apply_valid(img, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT])
+    def test_same_size_fused_pad(self, boundary):
+        img = jnp.asarray(_rng(11).standard_normal((300, 500)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(4, 6, 3),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img, boundary=boundary))
+        want = np.asarray(f.apply(img, boundary=boundary, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_wide_stencil_33(self):
+        img = jnp.asarray(_rng(12).standard_normal((256, 512)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(16, 16, 4),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply_valid(img))
+        want = np.asarray(f.apply_valid(img, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_bf16_contract(self):
+        img = jnp.asarray(_rng(13).standard_normal((256, 512)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img, method="bf16"))
+        want = np.asarray(f.apply(img, method="xla"))
+        scale = max(1.0, float(np.abs(want).max()))
+        assert np.abs(got - want).max() <= BF16_TOL * scale
+
+    def test_derivative_stack(self):
+        img = jnp.asarray(_rng(14).standard_normal((256, 256)),
+                          dtype=jnp.float32)
+        gx, gy = sg.savgol2d_gradient(img, 4, 4, 3)
+        gx_ref, gy_ref = sg.savgol2d_gradient(img, 4, 4, 3, method="xla")
+        assert np.abs(np.asarray(gx) - np.asarray(gx_ref)).max() <= EXACT_TOL
+        assert np.abs(np.asarray(gy) - np.asarray(gy_ref)).max() <= EXACT_TOL
+
+
+class TestBankSweepStream:
+    def test_bank(self):
+        bank = sg.SavgolBank.smooth_and_derivatives(12, 4, 2)
+        x = jnp.asarray(_rng(20).standard_normal((8, 8192)),
+                        dtype=jnp.float32)
+        got = np.asarray(bank.apply(x))
+        want = np.stack([np.asarray(
+            sg.Savgol1D.create(sg.SavgolConfig(12, 4, d)).apply(
+                x, method="xla")) for d in range(3)])
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_sweep(self):
+        from savgol_tpu.ops.sweep import savgol_apply_sweep
+        x = jnp.asarray(_rng(21).standard_normal(16384),
+                        dtype=jnp.float32)
+        ns = jnp.asarray([4, 12, 32])
+        ms = jnp.asarray([2, 4, 6])
+        got = np.asarray(savgol_apply_sweep(x, ns, ms))
+        want = np.asarray(savgol_apply_sweep(x, ns, ms, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_chunked_stream_vs_batch(self):
+        from savgol_tpu import stream as fstream
+        flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4),
+                                 dtype=jnp.float32)
+        data = jnp.asarray(_rng(22).standard_normal((4, 8192)),
+                           dtype=jnp.float32)
+        st = fstream.chunk_init(12, jnp.float32)
+        step = jax.jit(lambda st, ch: fstream.stream_process_chunk(
+            st, ch, flt.center_weights, flt.edge_weights, flt.dt_inv))
+        got = []
+        for i in range(data.shape[0]):
+            st, o, c = step(st, data[i])
+            got.append(np.asarray(o)[:int(c)])
+        got = np.concatenate(got)
+        flat = data.reshape(-1)
+        want = np.asarray(jax.jit(flt.apply)(flat))[:flat.size - 12]
+        assert got.size == want.size
+        assert np.abs(got - want).max() <= EXACT_TOL
