@@ -16,10 +16,12 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC savgol_host.cpp -o libsavgolhost.so
 
+#include <algorithm>
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace sgh {
@@ -235,6 +237,131 @@ int apply(const Filter& f, const float* in, float* out, int64_t len,
   return 0;
 }
 
+// Interior-only apply over out[j0, j1) (global output coordinates within
+// [n, len - n)) — the per-thread body of the threaded paths. Reads `in`
+// shared read-only; writes a disjoint output range. Same 64-wide
+// block-across-outputs SIMD form as `apply`.
+void apply_interior_range(const Filter& f, const float* in, float* out,
+                          int64_t j0, int64_t j1) {
+  const int n = f.n;
+  const float dtf = static_cast<float>(f.dt_inv);
+  constexpr int kBlock = 64;
+  const float* wf = f.center_f.data();
+  int64_t j = j0;
+  for (; j + kBlock <= j1; j += kBlock) {
+    float acc[kBlock] = {0};
+    const float* base = in + (j - n);
+    for (int k = 0; k < f.width; ++k) {
+      const float wk = wf[k];
+      const float* xk = base + k;
+      for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
+    }
+    for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
+  }
+  for (; j < j1; ++j)
+    out[j] = static_cast<float>(f.dot_center(in + j - n) * f.dt_inv);
+}
+
+// Threaded full-length apply: overlap-save over host threads — the same
+// decomposition the TPU path uses over chips (parallel/sharded.py), but
+// in shared memory no halo exchange is needed at all: each thread reads
+// the (immutable) input directly and writes a disjoint output span.
+// The reference's CMake exposes an OpenMP option wired to no pragmas
+// (CMakeLists.txt:16, vestigial); this is that feature, implemented.
+int apply_threaded(const Filter& f, const float* in, float* out,
+                   int64_t len, bool reference_edge_sign, int n_threads) {
+  if (len < f.width) return -1;
+  const int n = f.n;
+  const int64_t interior = len - 2 * n;
+  if (n_threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? static_cast<int>(hc) : 1;
+  }
+  // below ~1M interior samples the spawn cost beats the speedup
+  const int64_t kMinPerThread = 1 << 18;
+  n_threads = static_cast<int>(std::max<int64_t>(
+      1, std::min<int64_t>(n_threads, interior / kMinPerThread)));
+  if (n_threads <= 1) return apply(f, in, out, len, reference_edge_sign);
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  // Split points are multiples of the 64-wide SIMD block from j = n, so
+  // every output falls into the same blocked-vs-remainder class as in
+  // the single-thread pass — the threaded result is BIT-identical.
+  const int64_t per = ((interior / n_threads) / 64) * 64;
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t j0 = n + t * per;
+    const int64_t j1 = (t == n_threads - 1) ? (len - n) : (j0 + per);
+    pool.emplace_back(apply_interior_range, std::cref(f), in, out, j0, j1);
+  }
+  apply_interior_range(f, in, out, n, n + per);
+  for (auto& th : pool) th.join();
+
+  // boundary regions (2n outputs) on the calling thread
+  const double dt = f.dt_inv;
+  if (f.boundary == kPolynomial) {
+    const double lead_sign =
+        (!reference_edge_sign && (f.d & 1)) ? -1.0 : 1.0;
+    for (int e = 0; e < n; ++e) {
+      out[e] = static_cast<float>(
+          f.dot_edge_rev(e, in + f.width - 1) * dt * lead_sign);
+      out[len - 1 - e] =
+          static_cast<float>(f.dot_edge(e, in + len - f.width) * dt);
+    }
+  } else {
+    std::vector<float> window(f.width);
+    for (int64_t j : {int64_t(0), len - n}) {
+      const int64_t hi = (j == 0) ? n : len;
+      for (int64_t c = j; c < hi; ++c) {
+        for (int i = 0; i < f.width; ++i)
+          window[i] = boundary_sample(in, len, c - n + i, f.boundary);
+        out[c] = static_cast<float>(f.dot_center(window.data()) * dt);
+      }
+    }
+  }
+  return 0;
+}
+
+// Threaded batch apply: B independent rows partitioned across threads
+// (each row runs the full single-sequence apply, edges included).
+int apply_batch(const Filter& f, const float* in, float* out, int64_t batch,
+                int64_t len, bool reference_edge_sign, int n_threads) {
+  if (len < f.width || batch < 0) return -1;
+  if (batch == 0) return 0;
+  if (n_threads <= 0) {
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? static_cast<int>(hc) : 1;
+  }
+  n_threads = static_cast<int>(std::max<int64_t>(
+      1, std::min<int64_t>(n_threads, batch)));
+  if (n_threads == 1) {
+    for (int64_t b = 0; b < batch; ++b)
+      if (apply(f, in + b * len, out + b * len, len, reference_edge_sign))
+        return -1;
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  auto worker = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; ++b)
+      apply(f, in + b * len, out + b * len, len, reference_edge_sign);
+  };
+  const int64_t per = batch / n_threads;
+  const int64_t extra = batch % n_threads;
+  int64_t b0 = 0;
+  std::vector<std::pair<int64_t, int64_t>> spans;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t cnt = per + (t < extra ? 1 : 0);
+    spans.emplace_back(b0, b0 + cnt);
+    b0 += cnt;
+  }
+  for (size_t t = 1; t < spans.size(); ++t)
+    pool.emplace_back(worker, spans[t].first, spans[t].second);
+  worker(spans[0].first, spans[0].second);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 int64_t apply_valid(const Filter& f, const float* in, int64_t len,
                     float* out) {
   if (len < f.width) return 0;
@@ -352,6 +479,25 @@ int64_t sgh_apply_valid(const void* h, const float* in, int64_t len,
                         float* out) {
   if (!h || !in || !out) return 0;
   return sgh::apply_valid(*static_cast<const sgh::Filter*>(h), in, len, out);
+}
+
+// Threaded overlap-save apply of one long sequence. n_threads <= 0 means
+// hardware concurrency; short inputs silently run single-threaded.
+int sgh_apply_threaded(const void* h, const float* in, float* out,
+                       int64_t len, int reference_edge_sign,
+                       int n_threads) {
+  if (!h || !in || !out) return -1;
+  return sgh::apply_threaded(*static_cast<const sgh::Filter*>(h), in, out,
+                             len, reference_edge_sign != 0, n_threads);
+}
+
+// Threaded batch apply: `batch` contiguous rows of `len` samples.
+int sgh_apply_batch(const void* h, const float* in, float* out,
+                    int64_t batch, int64_t len, int reference_edge_sign,
+                    int n_threads) {
+  if (!h || !in || !out) return -1;
+  return sgh::apply_batch(*static_cast<const sgh::Filter*>(h), in, out,
+                          batch, len, reference_edge_sign != 0, n_threads);
 }
 
 // Copy weights out (f64): center -> width, edges -> n * width (row-major).

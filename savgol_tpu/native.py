@@ -79,6 +79,14 @@ def load_library() -> ctypes.CDLL:
         lib.sgh_apply_valid.restype = ctypes.c_int64
         lib.sgh_apply_valid.argtypes = [ctypes.c_void_p, _f32p,
                                         ctypes.c_int64, _f32p]
+        lib.sgh_apply_threaded.restype = ctypes.c_int
+        lib.sgh_apply_threaded.argtypes = [ctypes.c_void_p, _f32p, _f32p,
+                                           ctypes.c_int64, ctypes.c_int,
+                                           ctypes.c_int]
+        lib.sgh_apply_batch.restype = ctypes.c_int
+        lib.sgh_apply_batch.argtypes = [ctypes.c_void_p, _f32p, _f32p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, ctypes.c_int]
         lib.sgh_weights.restype = ctypes.c_int
         lib.sgh_weights.argtypes = [ctypes.c_void_p, _f64p, _f64p]
         lib.sgh_stream_create.restype = ctypes.c_void_p
@@ -156,6 +164,31 @@ class HostSavgol1D:
         count = self._lib.sgh_apply_valid(self._h, _ptr32(x), x.size,
                                           _ptr32(out))
         return out[:count]
+
+    def apply_threaded(self, x, reference_edge_sign: bool = False,
+                       n_threads: int = 0) -> np.ndarray:
+        """Multithreaded apply — the reference's vestigial OpenMP option
+        (CMakeLists.txt:16, wired to no pragmas), actually implemented.
+
+        1D input: overlap-save split of the interior across host threads
+        (no halo copies — shared memory IS the halo). 2D input (B, N):
+        rows partitioned across threads. ``n_threads<=0`` = hardware
+        concurrency; small inputs silently run single-threaded."""
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        out = np.empty_like(x)
+        if x.ndim == 1:
+            rc = self._lib.sgh_apply_threaded(
+                self._h, _ptr32(x), _ptr32(out), x.size,
+                int(reference_edge_sign), int(n_threads))
+        elif x.ndim == 2:
+            rc = self._lib.sgh_apply_batch(
+                self._h, _ptr32(x), _ptr32(out), x.shape[0], x.shape[1],
+                int(reference_edge_sign), int(n_threads))
+        else:
+            raise ValueError("apply_threaded expects a 1D or 2D array")
+        if rc != 0:
+            raise ValueError("native apply failed (input too short?)")
+        return out
 
     def weights(self):
         """(center, edge) tables in f64."""

@@ -151,3 +151,43 @@ class TestHost2D:
         theirs = ref.apply2d(img, 3, 3, 3, boundary="constant")
         assert np.abs(hf.apply(img, sg.Boundary2D.CONSTANT)
                       - theirs).max() <= 2e-6
+
+
+@pytest.fixture(scope="module")
+def host1d():
+    return native.HostSavgol1D(sg.SavgolConfig(12, 4))
+
+
+class TestThreadedApply:
+    """Threaded native paths are BIT-IDENTICAL to the single-thread apply
+    (each thread runs the same kernel on a disjoint output span). This
+    container is single-core, so only correctness is asserted; the
+    speedup materializes on multi-core hosts."""
+
+    def test_threaded_1d_bit_identical(self, host1d):
+        rng = np.random.default_rng(70)
+        x = rng.standard_normal(3_000_000).astype(np.float32)
+        np.testing.assert_array_equal(host1d.apply_threaded(x),
+                                      host1d.apply(x))
+        np.testing.assert_array_equal(
+            host1d.apply_threaded(x, n_threads=7), host1d.apply(x))
+
+    def test_threaded_batch_bit_identical(self, host1d):
+        rng = np.random.default_rng(71)
+        xb = rng.standard_normal((17, 50_000)).astype(np.float32)
+        want = np.stack([host1d.apply(r) for r in xb])
+        np.testing.assert_array_equal(host1d.apply_threaded(xb), want)
+        np.testing.assert_array_equal(
+            host1d.apply_threaded(xb, n_threads=5), want)
+
+    def test_threaded_boundaries(self):
+        rng = np.random.default_rng(72)
+        x = rng.standard_normal(2_000_000).astype(np.float32)
+        for b in sg.BoundaryMode:
+            f = native.HostSavgol1D(sg.SavgolConfig(8, 3, 1, boundary=b))
+            np.testing.assert_array_equal(
+                f.apply_threaded(x, n_threads=3), f.apply(x))
+
+    def test_threaded_rejects_bad_shapes(self, host1d):
+        with pytest.raises(ValueError):
+            host1d.apply_threaded(np.zeros((2, 3, 4), dtype=np.float32))
