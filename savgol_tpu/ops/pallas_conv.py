@@ -520,7 +520,7 @@ def _band_matrices_np(w, n: int):
 
 def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
                           right_ref, o_ref, *, ws: int, n: int, cb: int,
-                          mxu_precision):
+                          mxu_precision, tail_rel: int, n_total: int):
     """Banded-MXU fused polynomial apply, 2-band shifted-slab form.
 
     The tile and its halo views are concatenated into ONE slab shifted
@@ -536,10 +536,19 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
     outputs are then overwritten by the fused edge matmuls."""
     ci = pl.program_id(1)
     n_ci = pl.num_programs(1)
+    cols = cb * _LANES
     left = jnp.where(ci == 0, 0.0, left_ref[:, :])
     right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
     xsh = jnp.concatenate([left[:, _LANES - n:], x_ref[:, :],
                            right[:, :_LANES - n]], axis=1)
+    if n_total % cols:
+        # the sequence length does not fill the last block: zero the
+        # padding region (Pallas masked reads return arbitrary values —
+        # NaN in interpreter mode — and NaN x zero-band = NaN). One
+        # row-shaped validity condition broadcast over the slab select
+        # (a multiply would pass NaN through).
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, xsh.shape[1]), 1)
+        xsh = jnp.where(ci * cols + col - n < n_total, xsh, 0.0)
 
     acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
     # Mosaic rejects HIGHEST (bf16x6) matmuls on bf16 operands —
@@ -558,8 +567,6 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
         o_ref[:, i * _LANES:(i + 1) * _LANES] = (
             mm(xs, bands_ref[:, :]).astype(o_ref.dtype))
 
-    cols = cb * _LANES
-
     @pl.when(ci == 0)
     def _():
         first = x_ref[:, 0:ws]
@@ -570,28 +577,42 @@ def _sg1d_poly_mxu_kernel(bands_ref, ewl_ref, ewt_ref, left_ref, x_ref,
             preferred_element_type=acc_t)
         o_ref[:, 0:n] = lead.astype(o_ref.dtype)
 
+    # Trailing edge. ``tail_rel`` is the block-relative column just past
+    # the LAST REAL sample inside the final block (cols when N divides the
+    # block width). The trailing window x[N-ws, N) maps to slab columns
+    # [tail_rel - ws + n, tail_rel + n) — its left end can dip up to n
+    # columns into the previous block, which the n-column left-halo
+    # portion of the slab already covers, so arbitrary N % cols > n
+    # geometries need no host-side re-padding.
     @pl.when(ci == n_ci - 1)
     def _():
-        last = x_ref[:, cols - ws:cols]
+        last = xsh[:, tail_rel - ws + n:tail_rel + n]
         trail = jax.lax.dot_general(
             last, ewt_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=edge_prec,
             preferred_element_type=acc_t)
-        o_ref[:, cols - n:cols] = trail.astype(o_ref.dtype)
+        o_ref[:, tail_rel - n:tail_rel] = trail.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "n",
                                              "interpret", "mxu_precision"))
-def _sg1d_poly_mxu_call(x, bands, ewl, ewt, rows, cols, n, interpret,
-                        mxu_precision):
+def _sg1d_poly_mxu_call(x, bands, ewl, ewt, rows, cols, n,
+                        interpret, mxu_precision):
+    # N need not divide cols: Pallas masks the partial trailing block
+    # (writes beyond N are dropped; reads beyond N give padding garbage
+    # that only ever feeds outputs the trailing-edge fixup overwrites —
+    # admissibility r > n guarantees it). No host-side pad copy.
     B, N = x.shape
     ws = 2 * n + 1
     cb = cols // _LANES
-    last128 = N // _LANES - 1
-    grid = (B // rows, N // cols)
+    last128 = -(-N // _LANES) - 1
+    r = N % cols
+    tail_rel = cols if r == 0 else r
+    grid = (B // rows, -(-N // cols))
     kernel = functools.partial(_sg1d_poly_mxu_kernel, ws=ws, n=n, cb=cb,
-                               mxu_precision=mxu_precision)
+                               mxu_precision=mxu_precision,
+                               tail_rel=tail_rel, n_total=N)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -656,15 +677,21 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     ewt = ew[::-1, :]
 
     rows = min(rows, _round_up(B, _row_quantum(x.dtype)))
-    # Column padding would corrupt the trailing-edge fixup (it assumes the
-    # real data ends at the last block edge), so the block width must
-    # divide N exactly; otherwise fall back to the VPU kernel, whose padded
-    # path handles arbitrary N.
+    # Admissible block widths: the lead window must fit one block
+    # (cols >= ws) and the trailing region [N-n, N) must land inside the
+    # last block (N % cols == 0 or N % cols > n; the trailing WINDOW may
+    # dip into the left halo, which the shifted slab carries). Among the
+    # admissible widths, take the largest whose zero-padding waste is
+    # <= 5% of N (big blocks amortize grid overhead), else the one with
+    # the least waste. Rare fully-inadmissible N (every candidate has
+    # 0 < N % c2 <= n) falls back to the VPU kernel's padded path.
     pick = None
     for c2 in (cols, 4096, 2048, 1024, 512, 384, 256, 128):
-        if c2 >= ws and c2 % _LANES == 0 and N % c2 == 0:
-            pick = c2
-            break
+        if c2 >= ws and c2 % _LANES == 0:
+            r = N % c2
+            if r == 0 or r > n:
+                pick = c2
+                break
     if pick is None:
         return savgol_polynomial_pallas(
             x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
@@ -674,7 +701,7 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
     out = _sg1d_poly_mxu_call(xb, bands, ewl, ewt, rows, pick, n,
                               interpret, mxu_precision)
-    return out[:B, :N].reshape(batch_shape + (N,))
+    return out[:B].reshape(batch_shape + (N,))
 
 
 # Crossover between the VPU tap-loop kernels and the banded-MXU kernels:
@@ -760,8 +787,16 @@ def _valid_band_matrices(w: jax.Array) -> jax.Array:
 
 
 def _corr1d_mxu_kernel(bands_ref, x_ref, halo_ref, o_ref, *, cb: int,
-                       mxu_precision):
+                       mxu_precision, n_total: int | None):
+    ci = pl.program_id(1)
+    cols = cb * _LANES
     acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+    xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    if n_total is not None:
+        # input length does not fill the block/lane grid: zero the
+        # padding region (masked reads are arbitrary; NaN x 0-band = NaN)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, xw.shape[1]), 1)
+        xw = jnp.where(ci * cols + col < n_total, xw, 0.0)
 
     def mm(a, b):
         return jax.lax.dot_general(
@@ -771,22 +806,35 @@ def _corr1d_mxu_kernel(bands_ref, x_ref, halo_ref, o_ref, *, cb: int,
     V0 = bands_ref[0:_LANES]
     V1 = bands_ref[_LANES:2 * _LANES]
     for i in range(cb):
-        xc = x_ref[:, i * _LANES:(i + 1) * _LANES]
-        xr = (halo_ref[:, :] if i == cb - 1
-              else x_ref[:, (i + 1) * _LANES:(i + 2) * _LANES])
+        xc = xw[:, i * _LANES:(i + 1) * _LANES]
+        xr = xw[:, (i + 1) * _LANES:(i + 2) * _LANES]
         acc = mm(xc, V0) + mm(xr, V1)
         o_ref[:, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
-                                             "mxu_precision"))
-def _corr1d_mxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
-    B, Npad = xpad.shape
-    n_out = Npad - _LANES
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n_out",
+                                             "interpret", "mxu_precision"))
+def _corr1d_mxu_call(x, bands, rows, cols, interpret, mxu_precision,
+                     n_out=None):
+    # Two geometries: the legacy pre-padded form (n_out=None: trailing
+    # _LANES columns are halo-only, everything block-aligned — used by the
+    # fold path, which builds aligned rows anyway) and the no-pad masked
+    # form (n_out given: x is the raw (B, N) input; partial trailing
+    # blocks are masked in-kernel, no host pad copy).
+    B, N = x.shape
+    if n_out is None:
+        no = N - _LANES
+        n_total = None
+    else:
+        no = n_out
+        aligned = (no % cols == 0) and (N % _LANES == 0)
+        n_total = None if aligned else N
     cb = cols // _LANES
-    grid = (B // rows, n_out // cols)
+    last128 = -(-N // _LANES) - 1
+    grid = (B // rows, -(-no // cols))
     kernel = functools.partial(_corr1d_mxu_kernel, cb=cb,
-                               mxu_precision=mxu_precision)
+                               mxu_precision=mxu_precision,
+                               n_total=n_total)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -796,14 +844,17 @@ def _corr1d_mxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
             pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, _LANES),
-                         lambda bi, ci: (bi, (ci + 1) * (cols // _LANES)),
+                         lambda bi, ci: (bi,
+                                         jnp.minimum((ci + 1)
+                                                     * (cols // _LANES),
+                                                     last128)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_out), xpad.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, no), x.dtype),
         interpret=interpret,
-    )(bands, xpad, xpad)
+    )(bands, x, x)
 
 
 def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
@@ -845,11 +896,12 @@ def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
     rows = min(rows, _round_up(B, rq))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
     Bp = _round_up(B, rows)
-    n_out_p = _round_up(n_out, cols)
-    Np = n_out_p + _LANES
-    xp = jnp.pad(xb, ((0, Bp - B), (0, Np - N)))
-    out = _corr1d_mxu_call(xp, bands, rows, cols, interpret, mxu_precision)
-    return out[:B, :n_out].reshape(batch_shape + (n_out,))
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    # no column pad: partial trailing blocks are masked in-kernel
+    out = _corr1d_mxu_call(xb, bands, rows, cols, interpret, mxu_precision,
+                           n_out=n_out)
+    return out[:B].reshape(batch_shape + (n_out,))
 
 
 # ---------------------------------------------------------------------------

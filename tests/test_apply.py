@@ -412,14 +412,25 @@ class TestBF16Path:
         assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
 
     def test_bf16_geometry_fallback_is_exact(self):
-        """Sequence lengths with no admissible block geometry fall back to
-        the exact f32 path — better than the contract, never worse."""
+        """The rare fully-inadmissible lengths (0 < N % c2 <= n for every
+        candidate block width; 12289 = lcm(widths) + 1 is one) fall back
+        to the exact f32 path — better than the contract, never worse."""
         rng = np.random.default_rng(43)
+        x = jnp.asarray(rng.standard_normal((2, 12289)), dtype=jnp.float32)
+        f = make_filter(12, 4, dtype=jnp.float32)
+        got = np.asarray(f.apply(x, method="bf16"))
+        want = np.asarray(f.apply(x, method="xla"))
+        assert np.abs(got - want).max() <= 1e-5 * np.abs(want).max()
+
+    def test_bf16_awkward_length_within_contract(self):
+        """Non-dividing N now rides the MXU path via the padded slab-halo
+        trailing fixup (no exact fallback) — still within the contract."""
+        rng = np.random.default_rng(45)
         x = jnp.asarray(rng.standard_normal((2, 509)), dtype=jnp.float32)
         f = make_filter(5, 2, dtype=jnp.float32)
         got = np.asarray(f.apply(x, method="bf16"))
         want = np.asarray(f.apply(x, method="xla"))
-        assert np.abs(got - want).max() <= 1e-5 * np.abs(want).max()
+        assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
 
     def test_bf16_input_stays_bf16(self):
         rng = np.random.default_rng(44)

@@ -235,7 +235,12 @@ class TestFusedPolynomialMXU:
     per inner block; same fused-edge semantics as the VPU kernel."""
 
     @pytest.mark.parametrize("N,n", [(2048, 12), (1024, 6), (128, 12),
-                                     (640, 32), (300, 4), (4000, 12)])
+                                     (640, 32), (300, 4), (4000, 12),
+                                     # non-dividing N: zero-pad + slab-halo
+                                     # trailing fixup (r = N % cols > n),
+                                     # incl. the r = n + 1 boundary
+                                     (141, 6), (2061, 12), (1000000, 12),
+                                     (777, 32)])
     @pytest.mark.parametrize("d", [0, 1])
     def test_matches_xla(self, N, n, d):
         m = max(min(4, 2 * n), d)
