@@ -69,6 +69,10 @@ _PAD_MODE = {
     BoundaryMode.CONSTANT: "edge",
 }
 
+# batch width from which the fused boundary-pad MXU kernel beats the
+# jnp.pad + VPU-kernel route (mirrors the poly kernels' MXU crossover)
+_MXU_MIN_BATCH_PAD = 64
+
 
 def _resolve_method(method: str, ws: int) -> str:
     """'auto' -> fastest path for the hardware: the fused Pallas VPU kernel
@@ -173,6 +177,39 @@ def _pallas_poly_diff(n: int, lead_sign: float, mode: str = "exact"):
 
     def bwd(res, g):
         _, vjp = jax.vjp(xla_poly, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_pad_diff(n: int, pad_mode: str, mode: str = "exact"):
+    """Differentiable wrapper for the fused boundary-pad banded-MXU apply
+    (REFLECT/PERIODIC/CONSTANT without a padded input copy). Backward is
+    the VJP of the jnp.pad + valid-correlation XLA twin."""
+
+    def xla_twin(x, cw, dt_inv):
+        pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
+        xp = jnp.pad(x, pad, mode=pad_mode)
+        return correlate_valid(xp, cw) * jnp.asarray(dt_inv, dtype=x.dtype)
+
+    @jax.custom_vjp
+    def op(x, cw, dt_inv):
+        from savgol_tpu.ops import pallas_conv
+        if mode == "bf16":
+            y = pallas_conv.savgol_padded_pallas_mxu(
+                x.astype(jnp.bfloat16), cw, pad_mode, n, dt_inv,
+                mxu_precision=lax.Precision.DEFAULT)
+            return y.astype(x.dtype)
+        return pallas_conv.savgol_padded_pallas_mxu(
+            x, cw, pad_mode, n, dt_inv)
+
+    def fwd(x, cw, dt_inv):
+        return op(x, cw, dt_inv), (x, cw, dt_inv)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(xla_twin, *res)
         return vjp(g)
 
     op.defvjp(fwd, bwd)
@@ -291,6 +328,18 @@ def savgol_apply_core(
         return y.astype(restore) if restore is not None else y
     else:
         mode = _PAD_MODE[boundary]
+        B = 1
+        for s in x.shape[:-1]:
+            B *= s
+        if (method in ("pallas", "bf16") and n >= 1
+                and B >= _MXU_MIN_BATCH_PAD
+                and jax.default_backend() == "tpu"):
+            # wide batches: boundary pad fused into the banded-MXU kernel
+            # (the jnp.pad copy of the full input costs a whole HBM pass)
+            op = _pallas_pad_diff(n, mode,
+                                  "bf16" if method == "bf16" else "exact")
+            y = op(x, center_w, jnp.asarray(dt_inv, dtype=x.dtype))
+            return y.astype(restore) if restore is not None else y
         pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
         xp = jnp.pad(x, pad, mode=mode)
         if method == "pallas":

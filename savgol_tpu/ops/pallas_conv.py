@@ -704,6 +704,161 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     return out[:B].reshape(batch_shape + (N,))
 
 
+def _sg1d_pad_mxu_kernel(bands_ref, ls_ref, rs_ref, left_ref, x_ref,
+                         right_ref, o_ref, *, n: int, cb: int,
+                         mxu_precision, tail_rel: int, n_total: int):
+    """Same-length apply for REFLECT/PERIODIC/CONSTANT boundaries with the
+    boundary pad FUSED into the kernel: the host passes two TINY strips
+    (rows, n) holding the virtual samples xv[-n:0) and xv[N:N+n) (reverse
+    / wrap / clamp computed by XLA at O(B*n) cost), and the kernel splices
+    them into the shifted slab's masked zero regions — the (B, N) input is
+    never copied into a padded buffer. Same 2-band K=256 matmul structure
+    as the fused polynomial kernel."""
+    ci = pl.program_id(1)
+    n_ci = pl.num_programs(1)
+    cols = cb * _LANES
+    W = cols + _LANES
+    left = jnp.where(ci == 0, 0.0, left_ref[:, :])
+    right = jnp.where(ci == n_ci - 1, 0.0, right_ref[:, :])
+    xsh = jnp.concatenate([left[:, _LANES - n:], x_ref[:, :],
+                           right[:, :_LANES - n]], axis=1)
+    # zero everything at/beyond the true length (incl. where the right
+    # strip will land; masked reads are arbitrary — NaN in interpret)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    xsh = jnp.where(ci * cols + col - n < n_total, xsh, 0.0)
+    # splice the strips into the zeroed slots (addition is exact there)
+    ls_full = jnp.pad(ls_ref[:, :], ((0, 0), (0, W - n)))
+    xsh = xsh + jnp.where(ci == 0, ls_full, 0.0)
+    rs_full = jnp.pad(rs_ref[:, :],
+                      ((0, 0), (tail_rel + n, W - tail_rel - 2 * n)))
+    xsh = xsh + jnp.where(ci == n_ci - 1, rs_full, 0.0)
+
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for i in range(cb):
+        xs = xsh[:, i * _LANES:i * _LANES + 2 * _LANES]
+        o_ref[:, i * _LANES:(i + 1) * _LANES] = (
+            mm(xs, bands_ref[:, :]).astype(o_ref.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n",
+                                             "interpret", "mxu_precision"))
+def _sg1d_pad_mxu_call(x, bands, lstrip, rstrip, rows, cols, n,
+                       interpret, mxu_precision):
+    B, N = x.shape
+    cb = cols // _LANES
+    last128 = -(-N // _LANES) - 1
+    r = N % cols
+    tail_rel = cols if r == 0 else r
+    grid = (B // rows, -(-N // cols))
+    kernel = functools.partial(_sg1d_pad_mxu_kernel, n=n, cb=cb,
+                               mxu_precision=mxu_precision,
+                               tail_rel=tail_rel, n_total=N)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2 * _LANES, _LANES), lambda bi, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, n), lambda bi, ci: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, n), lambda bi, ci: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, jnp.maximum(
+                             ci * (cols // _LANES) - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi, jnp.minimum(
+                             (ci + 1) * (cols // _LANES), last128)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        interpret=interpret,
+    )(bands, lstrip, rstrip, x, x, x)
+
+
+def _boundary_strips(xb, n: int, pad_mode: str):
+    """Virtual samples xv[-n:0) and xv[N:N+n) for a jnp.pad mode
+    (symmetric / wrap / edge), as two (B, n) strips."""
+    if pad_mode == "symmetric":
+        return xb[:, :n][:, ::-1], xb[:, -n:][:, ::-1]
+    if pad_mode == "wrap":
+        return xb[:, -n:], xb[:, :n]
+    if pad_mode == "edge":
+        B = xb.shape[0]
+        return (jnp.broadcast_to(xb[:, :1], (B, n)),
+                jnp.broadcast_to(xb[:, -1:], (B, n)))
+    raise ValueError(f"unsupported pad mode {pad_mode!r}")
+
+
+def savgol_padded_pallas_mxu(x: jax.Array, center_w: jax.Array,
+                             pad_mode: str, n: int, dt_inv=1.0,
+                             rows: int = 128, cols: int = 2048,
+                             interpret: bool | None = None,
+                             mxu_precision=None) -> jax.Array:
+    """Same-length REFLECT/PERIODIC/CONSTANT apply with the boundary pad
+    fused into the banded-MXU kernel (no padded copy of the input).
+
+    ``pad_mode``: "symmetric" / "wrap" / "edge" (the BoundaryMode mapping
+    of savgol_tpu.ops.apply). Requires n >= 1 and an admissible block
+    geometry (N % cols == 0 or > n); falls back to jnp.pad + the valid
+    kernels otherwise.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    ws = 2 * n + 1
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    if N < ws:
+        raise ValueError(f"data length ({N}) must be >= window size ({ws})")
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+
+    pick = None
+    for c2 in (cols, 4096, 2048, 1024, 512, 384, 256, 128):
+        if c2 >= ws and c2 % _LANES == 0:
+            r = N % c2
+            if r == 0 or r > n:
+                pick = c2
+                break
+    if pick is None or n < 1:
+        pad = ((0, 0), (n, n))
+        xp = jnp.pad(xb, pad, mode=pad_mode)
+        out = correlate_valid_pallas_mxu(xp, center_w,
+                                         interpret=interpret,
+                                         mxu_precision=mxu_precision)
+        dt = jnp.asarray(dt_inv, dtype=x.dtype)
+        return (out * dt).reshape(batch_shape + (N,))
+
+    dt = jnp.asarray(dt_inv, dtype=x.dtype)
+    bands = _valid_band_matrices(center_w.astype(x.dtype)) * dt
+    ls, rs = _boundary_strips(xb, n, pad_mode)
+    ls = ls.astype(x.dtype) if ls.dtype != x.dtype else ls
+    rs = rs.astype(x.dtype) if rs.dtype != x.dtype else rs
+
+    rows = min(rows, _round_up(B, _row_quantum(x.dtype)))
+    Bp = _round_up(B, rows)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+        ls = jnp.pad(ls, ((0, Bp - B), (0, 0)))
+        rs = jnp.pad(rs, ((0, Bp - B), (0, 0)))
+    out = _sg1d_pad_mxu_call(xb, bands, ls, rs, rows, pick, n,
+                             interpret, mxu_precision)
+    return out[:B].reshape(batch_shape + (N,))
+
+
 # Crossover between the VPU tap-loop kernels and the banded-MXU kernels:
 # the matmul M dimension is the flattened batch, so the MXU path needs wide
 # batches to stream (measured on v5e: MXU 28.6 vs VPU 16.3 Gs/s at B=128).

@@ -52,6 +52,19 @@ class TestApply1D:
         want = np.asarray(f.apply(x, method="xla"))
         assert np.abs(got - want).max() <= EXACT_TOL
 
+    @pytest.mark.parametrize("boundary", [sg.BoundaryMode.REFLECT,
+                                          sg.BoundaryMode.PERIODIC,
+                                          sg.BoundaryMode.CONSTANT])
+    def test_wide_batch_fused_pad(self, boundary):
+        # B >= 64 routes padded boundaries through the fused strip-splice
+        # MXU kernel under auto
+        x = jnp.asarray(_rng(6).standard_normal((64, 4096)),
+                        dtype=jnp.float32)
+        f = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
+        got = np.asarray(f.apply(x, boundary=boundary))
+        want = np.asarray(f.apply(x, boundary=boundary, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
     def test_folded_thin_batch(self):
         x = jnp.asarray(_rng(3).standard_normal((2, 20000)),
                         dtype=jnp.float32)

@@ -350,3 +350,38 @@ class TestFoldedThinBatch:
         for k in range(4):
             want = np.asarray(correlate_valid(x, wk[k]))
             np.testing.assert_allclose(got[k], want, atol=2e-5, rtol=1e-5)
+
+
+class TestFusedPadMXU:
+    """Boundary pad fused into the banded-MXU kernel: strips spliced into
+    the slab's masked zero slots — no padded input copy."""
+
+    @pytest.mark.parametrize("pm", ["symmetric", "wrap", "edge"])
+    @pytest.mark.parametrize("N,n", [(512, 6), (300, 4), (1000, 32),
+                                     (141, 6), (2048, 12)])
+    def test_matches_pad_xla(self, pm, N, n):
+        from savgol_tpu.ops.apply import correlate_valid
+        m = min(4, 2 * n)
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F32)
+        x = rand((5, N))
+        got = np.asarray(pc.savgol_padded_pallas_mxu(
+            x, f.center_weights, pm, n, dt_inv=f.dt_inv, interpret=True))
+        xp = jnp.pad(x, ((0, 0), (n, n)), mode=pm)
+        want = np.asarray(correlate_valid(xp, f.center_weights)
+                          * f.dt_inv)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_api_padded_boundary_grad(self):
+        """The fused-pad custom_vjp matches the XLA twin's gradient."""
+        from savgol_tpu.ops.apply import _pallas_pad_diff
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F32)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 256)),
+                        dtype=F32)
+        op = _pallas_pad_diff(4, "symmetric")
+        g = jax.grad(lambda v: jnp.sum(op(v, f.center_weights, 1.0) ** 2))(x)
+        xla = lambda v: jnp.sum((jnp.vectorize(
+            lambda u: u, signature="(n)->(n)")(v) * 0 + f.apply(
+            v, boundary=sg.BoundaryMode.REFLECT, method="xla")) ** 2)
+        g2 = jax.grad(xla)(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   atol=1e-4, rtol=1e-4)
