@@ -96,6 +96,16 @@ def _ensure_float(x: jax.Array, w: jax.Array) -> jax.Array:
     return x
 
 
+def _complex_split(fn, x):
+    """Apply a real-linear filter to complex data: real and imaginary
+    parts stacked as one extra batch row pair (one kernel pass), then
+    recombined — scipy's savgol_filter accepts complex input, so the
+    drop-in surface does too."""
+    parts = jnp.stack([x.real, x.imag])         # (2, ..., N)
+    y = fn(parts)
+    return jax.lax.complex(y[0], y[1])
+
+
 def _compute_dtype(x: jax.Array):
     """Half-precision inputs compute in f32 (quantizing the WEIGHTS to
     bf16/f16 would cost ~1e-2 accuracy); returns (x_f32, restore_dtype)."""
@@ -299,6 +309,13 @@ def savgol_apply_core(
     if N < ws:
         raise ValueError(
             f"data length ({N}) must be >= window size ({ws})")
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return _complex_split(
+            lambda v: savgol_apply_core(
+                v, center_w, edge_w, half_window, boundary, dt_inv,
+                derivative=derivative,
+                reference_edge_sign=reference_edge_sign, method=method,
+                precision=precision), x)
     x = _ensure_float(x, center_w)
     x, restore = _compute_dtype(x)
     lead_sign = 1.0
@@ -409,6 +426,12 @@ def savgol_apply_valid(
     if xl.shape[-1] < ws:
         raise ValueError(
             f"data length ({xl.shape[-1]}) must be >= window size ({ws})")
+    if jnp.issubdtype(xl.dtype, jnp.complexfloating):
+        y = _complex_split(
+            lambda v: savgol_apply_valid(
+                v, center_w, half_window=half_window, dt_inv=dt_inv,
+                method=method, precision=precision), xl)
+        return _restore_axis(y, moved)
     xl = _ensure_float(xl, center_w)
     xl, restore = _compute_dtype(xl)
     if method == "pallas":

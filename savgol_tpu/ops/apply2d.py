@@ -254,6 +254,12 @@ def savgol2d_apply(
     and the XLA conv elsewhere; ``use_pallas=True`` forces the kernel.
     """
     method = _resolve_method2d(method, use_pallas)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        # real-linear filter: real/imag parts as one extra batch pair
+        parts = jnp.stack([x.real, x.imag])
+        y = savgol2d_apply(parts, weights, boundary=boundary, scale=scale,
+                           method=method)
+        return lax.complex(y[0], y[1])
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if method == "pallas" and boundary is not Boundary2D.VALID:

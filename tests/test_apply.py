@@ -446,3 +446,54 @@ class TestBF16Path:
         g2 = jax.grad(lambda v: jnp.sum(f.apply(v, method="xla") ** 2))(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                    rtol=2e-2, atol=1e-3)
+
+
+class TestComplexInput:
+    """scipy's savgol_filter accepts complex data; the filter is
+    real-linear, so real/imag parts filter independently (stacked as one
+    batch pair — a single kernel pass)."""
+
+    def test_complex_is_real_linear(self):
+        """Filtering complex data == filtering re/im independently (an
+        extension beyond scipy, which silently CASTS complex to f64 and
+        drops the imaginary part)."""
+        rng = np.random.default_rng(80)
+        x = (rng.standard_normal(500) + 1j * rng.standard_normal(500))
+        f = make_filter(8, 3, dtype=jnp.float32)
+        got = np.asarray(f.apply(jnp.asarray(x, dtype=jnp.complex64)))
+        re = savgol_filter(x.real, 17, 3, mode="interp")
+        im = savgol_filter(x.imag, 17, 3, mode="interp")
+        assert got.dtype == np.complex64
+        assert np.abs(got - (re + 1j * im)).max() <= 1e-5
+
+    def test_complex_valid_and_boundaries(self):
+        rng = np.random.default_rng(81)
+        x = jnp.asarray(rng.standard_normal((2, 300))
+                        + 1j * rng.standard_normal((2, 300)),
+                        dtype=jnp.complex64)
+        f = make_filter(6, 2, dtype=jnp.float32)
+        yv = f.apply_valid(x)
+        assert yv.shape == (2, 288) and yv.dtype == jnp.complex64
+        np.testing.assert_allclose(
+            np.asarray(yv).real,
+            np.asarray(f.apply_valid(x.real.astype(jnp.float32))),
+            atol=1e-6)
+        yr = f.apply(x, boundary=sg.BoundaryMode.REFLECT)
+        np.testing.assert_allclose(
+            np.asarray(yr).imag,
+            np.asarray(f.apply(x.imag.astype(jnp.float32),
+                               boundary=sg.BoundaryMode.REFLECT)),
+            atol=1e-6)
+
+    def test_complex_2d(self):
+        rng = np.random.default_rng(82)
+        img = jnp.asarray(rng.standard_normal((40, 50))
+                          + 1j * rng.standard_normal((40, 50)),
+                          dtype=jnp.complex64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2),
+                                dtype=jnp.float32)
+        y = f2.apply(img)
+        assert y.shape == img.shape and y.dtype == jnp.complex64
+        np.testing.assert_allclose(
+            np.asarray(y).real,
+            np.asarray(f2.apply(img.real.astype(jnp.float32))), atol=1e-5)
