@@ -296,3 +296,14 @@ class TestBF16Mode2D:
                                dtype=jnp.float32)
         y = f.apply(img, method="bf16")
         assert y.dtype == jnp.bfloat16
+
+
+def test_gradient_stack_bf16_within_contract():
+    """savgol2d_gradient routes through apply_stack's bf16 branch."""
+    rng = np.random.default_rng(55)
+    img = jnp.asarray(rng.standard_normal((100, 120)), dtype=jnp.float32)
+    gx, gy = sg.savgol2d_gradient(img, 4, 4, 2, method="bf16")
+    rx, ry = sg.savgol2d_gradient(img, 4, 4, 2, method="xla")
+    s = max(np.abs(np.asarray(rx)).max(), np.abs(np.asarray(ry)).max(), 1.0)
+    assert np.abs(np.asarray(gx) - np.asarray(rx)).max() <= 3e-2 * s
+    assert np.abs(np.asarray(gy) - np.asarray(ry)).max() <= 3e-2 * s
