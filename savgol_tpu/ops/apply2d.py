@@ -307,6 +307,11 @@ def savgol2d_apply_stack(
 ) -> jax.Array:
     """Apply K stencils (K, H, W) in one conv; output (..., K, R', C')."""
     method = _resolve_method2d(method, use_pallas)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        parts = jnp.stack([x.real, x.imag])
+        y = savgol2d_apply_stack(parts, weight_stack, boundary=boundary,
+                                 scales=scales, method=method)
+        return lax.complex(y[0], y[1])
     H, W = weight_stack.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:

@@ -307,3 +307,15 @@ def test_gradient_stack_bf16_within_contract():
     s = max(np.abs(np.asarray(rx)).max(), np.abs(np.asarray(ry)).max(), 1.0)
     assert np.abs(np.asarray(gx) - np.asarray(rx)).max() <= 3e-2 * s
     assert np.abs(np.asarray(gy) - np.asarray(ry)).max() <= 3e-2 * s
+
+
+def test_gradient_complex_input():
+    rng = np.random.default_rng(56)
+    img = jnp.asarray(rng.standard_normal((60, 70))
+                      + 1j * rng.standard_normal((60, 70)),
+                      dtype=jnp.complex64)
+    gx, gy = sg.savgol2d_gradient(img, 3, 3, 2)
+    rx, _ = sg.savgol2d_gradient(img.real.astype(jnp.float32), 3, 3, 2)
+    assert gx.dtype == jnp.complex64
+    np.testing.assert_allclose(np.asarray(gx).real, np.asarray(rx),
+                               atol=1e-5)
