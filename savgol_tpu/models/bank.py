@@ -139,7 +139,7 @@ class SavgolBank:
         """Shared-input-pass bank: Pallas K-stencil center kernel + XLA
         edge fixups (POLYNOMIAL) or pad modes."""
         from savgol_tpu.config import BoundaryMode
-        from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas
+        from savgol_tpu.ops import pallas_conv as pc
 
         n = self.half_window
         ws = 2 * n + 1
@@ -149,15 +149,26 @@ class SavgolBank:
             x.dtype, jnp.inexact) else x
         wdt = self.center_weights * self.dt_inv[:, None]   # fold dt
 
+        B = 1
+        for s in x.shape[:-1]:
+            B *= s
+
+        def bank_corr(xin):
+            # wide batches: K stationary band matmuls share one input
+            # pass on the MXU (measured 1.7x the VPU bank on v5e)
+            if jax.default_backend() == "tpu" and B >= 64:
+                return pc.correlate_valid_bank_pallas_mxu(xin, wdt)
+            return pc.correlate_valid_bank_pallas(xin, wdt)
+
         if boundary is not BoundaryMode.POLYNOMIAL:
             mode = {BoundaryMode.REFLECT: "symmetric",
                     BoundaryMode.PERIODIC: "wrap",
                     BoundaryMode.CONSTANT: "edge"}[boundary]
             pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
             xp = jnp.pad(x, pad, mode=mode)
-            return correlate_valid_bank_pallas(xp, wdt)
+            return bank_corr(xp)
 
-        center = correlate_valid_bank_pallas(x, wdt)       # (K, ..., N-2n)
+        center = bank_corr(x)                              # (K, ..., N-2n)
         ew = self.edge_weights.astype(x.dtype)             # (K, n, ws)
         signs = jnp.where(reference_edge_sign, 1.0,
                           self.lead_signs).astype(x.dtype)

@@ -39,6 +39,7 @@ __all__ = [
     "correlate_valid_pallas",
     "correlate_valid_pallas_mxu",
     "correlate_valid_bank_pallas",
+    "correlate_valid_bank_pallas_mxu",
     "correlate2d_valid_pallas",
     "correlate2d_valid_pallas_rowmxu",
     "savgol_polynomial_pallas",
@@ -1773,6 +1774,115 @@ def _bank_call(xpad, w, rows, cols, interpret):
         out_shape=jax.ShapeDtypeStruct((K, B, n_out), xpad.dtype),
         interpret=interpret,
     )(w, xpad, xpad)
+
+
+def _bank_mxu_kernel(bands_ref, x_ref, halo_ref, o_ref, *, cb: int, K: int,
+                     mxu_precision, n_total: int | None):
+    """K-stencil valid correlation on the MXU: per 128-block, K matmuls
+    against per-stencil stationary band pairs share ONE slab read — the
+    banded twin of _bank_kernel (K*ws VPU taps -> K*256 MACs on the
+    systolic array; measured several-fold faster for wide banks)."""
+    ci = pl.program_id(1)
+    cols = cb * _LANES
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+    xw = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    if n_total is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, xw.shape[1]), 1)
+        xw = jnp.where(ci * cols + col < n_total, xw, 0.0)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for i in range(cb):
+        xs = xw[:, i * _LANES:i * _LANES + 2 * _LANES]
+        for c in range(K):
+            o_ref[c, :, i * _LANES:(i + 1) * _LANES] = (
+                mm(xs, bands_ref[c]).astype(o_ref.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "n_out",
+                                             "interpret", "mxu_precision"))
+def _bank_mxu_call(x, bands, rows, cols, n_out, interpret, mxu_precision):
+    B, N = x.shape
+    K = bands.shape[0]
+    cb = cols // _LANES
+    last128 = -(-N // _LANES) - 1
+    aligned = (n_out % cols == 0) and (N % _LANES == 0)
+    kernel = functools.partial(_bank_mxu_kernel, cb=cb, K=K,
+                               mxu_precision=mxu_precision,
+                               n_total=None if aligned else N)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows, -(-n_out // cols)),
+        in_specs=[
+            pl.BlockSpec((K, 2 * _LANES, _LANES), lambda bi, ci: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES),
+                         lambda bi, ci: (bi,
+                                         jnp.minimum((ci + 1)
+                                                     * (cols // _LANES),
+                                                     last128)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, rows, cols),
+                               lambda bi, ci: (0, bi, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, B, n_out), x.dtype),
+        interpret=interpret,
+    )(bands, x, x)
+
+
+def correlate_valid_bank_pallas_mxu(x: jax.Array, w: jax.Array,
+                                    rows: int = 128, cols: int = _COLS,
+                                    interpret: bool | None = None,
+                                    mxu_precision=None) -> jax.Array:
+    """Valid correlation with a (K, ws) stencil stack on the MXU.
+
+    Same contract as :func:`correlate_valid_bank_pallas`; one input pass
+    feeds K stationary band pairs. Works with traced weights (the sweep's
+    on-device masked stencils)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    _check_tile(rows, cols)
+    K, ws = w.shape
+    if ws > _LANES + 1:
+        raise ValueError(f"window size {ws} exceeds kernel halo limit")
+    batch_shape = x.shape[:-1]
+    N = x.shape[-1]
+    n_out = N - ws + 1
+    xb = x.reshape((-1, N))
+    B = xb.shape[0]
+    w = w.astype(x.dtype)
+
+    bands = jnp.stack([_valid_band_matrices(w[c]) for c in range(K)])
+    rq = _row_quantum(x.dtype)
+
+    if B <= _FOLD_MAX_B and n_out >= _FOLD_MIN_OUT:
+        # thin batches: fold the sample axis into matmul rows so the MXU
+        # M dimension is full even for a single sequence
+        xh, R = _fold_rows(xb, n_out)
+        BR = xh.shape[0]
+        rows_f = min(rows, _round_up(BR, rq))
+        xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
+        out = _bank_mxu_call(xh, bands, rows_f, _FOLD_S, _FOLD_S,
+                             interpret, mxu_precision)
+        out = out[:, :BR].reshape(K, B, R * _FOLD_S)[:, :, :n_out]
+        return out.reshape((K,) + batch_shape + (n_out,))
+
+    rows = min(rows, _round_up(B, rq))
+    cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    Bp = _round_up(B, rows)
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    out = _bank_mxu_call(xb, bands, rows, cols, n_out, interpret,
+                         mxu_precision)
+    return out[:, :B].reshape((K,) + batch_shape + (n_out,))
 
 
 def correlate_valid_bank_pallas(x: jax.Array, w: jax.Array,

@@ -128,3 +128,41 @@ class TestBankPallas:
         a = np.asarray(bank.apply(x, axis=0))
         b = np.asarray(bank.apply(x, axis=0, use_pallas=True))
         np.testing.assert_allclose(b, a, atol=1e-12)
+
+
+class TestBankMXU:
+    def test_bank_mxu_matches_vpu(self):
+        from savgol_tpu.ops.pallas_conv import (
+            correlate_valid_bank_pallas, correlate_valid_bank_pallas_mxu)
+        rng = np.random.default_rng(90)
+        x = jnp.asarray(rng.standard_normal((5, 700)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 25)), dtype=jnp.float32)
+        got = np.asarray(correlate_valid_bank_pallas_mxu(
+            x, w, interpret=True))
+        want = np.asarray(correlate_valid_bank_pallas(x, w, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("N", [256, 300, 2048, 2061])
+    def test_bank_mxu_geometries(self, N):
+        from savgol_tpu.ops.apply import correlate_valid
+        from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas_mxu
+        rng = np.random.default_rng(91)
+        x = jnp.asarray(rng.standard_normal((3, N)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((4, 65)), dtype=jnp.float32)
+        got = np.asarray(correlate_valid_bank_pallas_mxu(
+            x, w, interpret=True))
+        want = np.stack([np.asarray(correlate_valid(x, w[c]))
+                         for c in range(4)])
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+    def test_bank_mxu_folded_thin_batch(self):
+        from savgol_tpu.ops.apply import correlate_valid
+        from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas_mxu
+        rng = np.random.default_rng(92)
+        x = jnp.asarray(rng.standard_normal((2, 20000)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 65)), dtype=jnp.float32)
+        got = np.asarray(correlate_valid_bank_pallas_mxu(
+            x, w, interpret=True))
+        want = np.stack([np.asarray(correlate_valid(x, w[c]))
+                         for c in range(3)])
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
