@@ -154,6 +154,17 @@ class TestBankSweepStream:
                 x, method="xla")) for d in range(3)])
         assert np.abs(got - want).max() <= EXACT_TOL
 
+    def test_bank_wide_batch_mxu(self):
+        # B >= 64 routes through the MXU bank kernel under auto
+        bank = sg.SavgolBank.smooth_and_derivatives(12, 4, 2)
+        x = jnp.asarray(_rng(23).standard_normal((64, 8192)),
+                        dtype=jnp.float32)
+        got = np.asarray(bank.apply(x))
+        want = np.stack([np.asarray(
+            sg.Savgol1D.create(sg.SavgolConfig(12, 4, d)).apply(
+                x, method="xla")) for d in range(3)])
+        assert np.abs(got - want).max() <= EXACT_TOL
+
     def test_sweep(self):
         from savgol_tpu.ops.sweep import savgol_apply_sweep
         x = jnp.asarray(_rng(21).standard_normal(16384),

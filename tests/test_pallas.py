@@ -358,7 +358,7 @@ class TestFusedPadMXU:
 
     @pytest.mark.parametrize("pm", ["symmetric", "wrap", "edge"])
     @pytest.mark.parametrize("N,n", [(512, 6), (300, 4), (1000, 32),
-                                     (141, 6), (2048, 12)])
+                                     (141, 6), (2048, 12), (512, 1)])
     def test_matches_pad_xla(self, pm, N, n):
         from savgol_tpu.ops.apply import correlate_valid
         m = min(4, 2 * n)
