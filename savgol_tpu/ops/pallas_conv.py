@@ -1439,10 +1439,12 @@ def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
 
 
 def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
-                                    rows: int = _ROWS2D,
-                                    cols: int = _COLS2D,
+                                    rows: int = 256,
+                                    cols: int = 512,
                                     interpret: bool | None = None,
                                     mxu_precision=None) -> jax.Array:
+    # default tile 256x512: taller tiles feed the (rows+32, 256) matmuls
+    # a bigger M (measured 11.3 vs 10.8 Gpix/s at 128x1024 on v5e bf16)
     """Valid 2D cross-correlation as per-stencil-row banded matmuls.
 
     Same contract as :func:`correlate2d_valid_pallas` (H <= 33, W <= 129).
