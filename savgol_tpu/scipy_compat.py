@@ -140,12 +140,16 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     if m == "pallas":
         from savgol_tpu.ops.apply import _pallas_corr_diff
         y = _pallas_corr_diff()(xp, cw)
+    elif m == "bf16":
+        from savgol_tpu.ops.apply import _pallas_corr_diff
+        y = _pallas_corr_diff("bf16")(xp, cw)
     elif m == "mxu":
         y = correlate_valid_mxu(xp, cw)
     elif m == "xla":
         y = correlate_valid(xp, cw)
     else:
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
+            f"method must be 'auto', 'xla', 'pallas', 'mxu' or 'bf16', "
+            f"got {m!r}")
     y = y * jnp.asarray(dt_inv, dtype=xl.dtype)
     return _restore_axis(y, moved)

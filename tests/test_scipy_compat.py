@@ -139,3 +139,16 @@ class TestExtensionModeMethods:
     def test_unknown_method_rejected(self, x, mode):
         with pytest.raises(ValueError, match="method"):
             savgol_filter(jnp.asarray(x), 11, 3, mode=mode, method="cuda")
+
+
+def test_bf16_method_in_extension_modes():
+    """method='bf16' works in mirror/constant extension modes too (same
+    contract as the native modes)."""
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal(512).astype(np.float32)
+    for mode in ("mirror", "constant"):
+        got = np.asarray(savgol_filter(jnp.asarray(x), 17, 3,
+                                       mode=mode, method="bf16"))
+        want = np.asarray(savgol_filter(jnp.asarray(x), 17, 3,
+                                        mode=mode, method="xla"))
+        assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
