@@ -71,7 +71,7 @@ _PAD_MODE = {
 
 # batch width from which the fused boundary-pad MXU kernel beats the
 # jnp.pad + VPU-kernel route (mirrors the poly kernels' MXU crossover)
-_MXU_MIN_BATCH_PAD = 64
+_MXU_MIN_BATCH_PAD = 24
 
 
 def _resolve_method(method: str, ws: int) -> str:

@@ -861,9 +861,11 @@ def savgol_padded_pallas_mxu(x: jax.Array, center_w: jax.Array,
 
 
 # Crossover between the VPU tap-loop kernels and the banded-MXU kernels:
-# the matmul M dimension is the flattened batch, so the MXU path needs wide
-# batches to stream (measured on v5e: MXU 28.6 vs VPU 16.3 Gs/s at B=128).
-_MXU_MIN_BATCH = 64
+# the matmul M dimension is the flattened batch, so the MXU path needs
+# enough rows to stream. Measured chained on v5e (n=12, 262k samples):
+# B=24 MXU 10.3 vs VPU 8.4 Gs/s, B=48 18.7 vs 9.3, B=128 30.5 vs ~18 —
+# MXU wins from B=24; thinner batches (B<=16) fold into tile rows anyway.
+_MXU_MIN_BATCH = 24
 
 
 def savgol_polynomial_pallas_auto(x, center_w, edge_w, n, dt_inv=1.0,
