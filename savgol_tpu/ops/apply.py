@@ -75,15 +75,17 @@ _MXU_MIN_BATCH_PAD = 24
 
 
 def _resolve_method(method: str, ws: int) -> str:
-    """'auto' -> fastest path for the hardware: the fused Pallas VPU kernel
-    on TPU (per-tap cost ~1.8 ps/sample) until the banded-MXU path wins at
-    wide windows (measured crossover ~50 taps on v5e); plain XLA elsewhere
-    (Pallas would run interpreted off-TPU)."""
+    """'auto' -> fastest path for the hardware: the Pallas kernels on TPU
+    (their own auto picker chooses the banded-MXU kernel, the VPU tap
+    loop, or the folded form by batch width — the 2-band K=256 matmul
+    structure covers every window up to 129 taps at the same rate, so
+    there is no wide-window special case: measured n=32 B=128, Pallas
+    MXU 25.7 vs the old XLA banded-einsum route 8.3 Gs/s); plain XLA
+    elsewhere (Pallas would run interpreted off-TPU)."""
+    del ws
     if method != "auto":
         return method
-    if jax.default_backend() != "tpu":
-        return "xla"
-    return "mxu" if ws > 49 else "pallas"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def _ensure_float(x: jax.Array, w: jax.Array) -> jax.Array:
