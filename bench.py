@@ -75,8 +75,11 @@ def main():
             path_errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     # bf16 throughput mode: bf16 in/out through the single-pass banded-MXU
-    # kernel — its own documented contract (<=5e-3 relative), gated below
+    # kernel — its own documented contract (<=5e-3 relative). The try only
+    # tolerates the path being unavailable; the contract assert is OUTSIDE
+    # it so a violation fails the bench hard.
     err_bf16 = None
+    bf16_scale = 1.0
     try:
         xh = x.astype(jnp.bfloat16)
         fn_bf16 = jax.jit(lambda v: flt.apply(v, method="bf16"))
@@ -85,10 +88,12 @@ def main():
         y_f32 = np.asarray(jax.jit(
             lambda v: flt.apply(v, method="xla"))(x[:16]))
         err_bf16 = float(np.abs(y_bf - y_f32).max())
-        assert err_bf16 <= 5e-3 * max(1.0, float(np.abs(y_f32).max())), (
-            f"bf16 mode outside its 5e-3 contract: {err_bf16:.3e}")
+        bf16_scale = max(1.0, float(np.abs(y_f32).max()))
     except Exception as e:
         path_errors["bf16"] = f"{type(e).__name__}: {e}"[:200]
+    if err_bf16 is not None:
+        assert err_bf16 <= 5e-3 * bf16_scale, (
+            f"bf16 mode outside its 5e-3 contract: {err_bf16:.3e}")
 
     secs = candidates["default"]
     gsps = B * N / secs / 1e9
@@ -125,7 +130,8 @@ def main():
         f"2D default-path output diverges from XLA HIGHEST on hardware: "
         f"max abs err {err2_gate:.3e}")
 
-    # 2D bf16 throughput mode (row-banded MXU kernel, its own contract)
+    # 2D bf16 throughput mode (row-banded MXU kernel, its own contract;
+    # assert outside the try — see the 1D gate above)
     err2_bf16 = None
     gpixps_bf16 = None
     try:
@@ -134,10 +140,11 @@ def main():
         gpixps_bf16 = img.shape[0] * 2048 * 2048 / secs2b / 1e9
         y2_bf = np.asarray(fn2_bf16(img[:1, :256, :256]), dtype=np.float32)
         err2_bf16 = float(np.abs(y2_bf - y2_xla).max())
-        assert err2_bf16 <= 5e-3 * max(1.0, scale2), (
-            f"2D bf16 mode outside its 5e-3 contract: {err2_bf16:.3e}")
     except Exception as e:
         path_errors["bf16_2d"] = f"{type(e).__name__}: {e}"[:200]
+    if err2_bf16 is not None:
+        assert err2_bf16 <= 5e-3 * max(1.0, scale2), (
+            f"2D bf16 mode outside its 5e-3 contract: {err2_bf16:.3e}")
 
     # ---- secondary on-hardware parity gates ------------------------------
     # every fast path vs the XLA HIGHEST twin, on the same data on-chip

@@ -187,22 +187,20 @@ inline float boundary_sample(const float* x, int64_t len, int64_t idx,
   }
 }
 
-// Full-length apply. `reference_edge_sign` reproduces the reference's
-// reversed-data leading edge (odd derivatives come out negated there).
-int apply(const Filter& f, const float* in, float* out, int64_t len,
-          bool reference_edge_sign) {
-  if (len < f.width) return -1;
+// Interior-only apply over out[j0, j1) (global output coordinates within
+// [n, len - n)). Vectorizes ACROSS outputs (64-wide blocks; each tap is
+// one broadcast-FMA over the block — no horizontal reductions, no tails
+// in the hot loop; the per-output dot form leaves half the SIMD width
+// idle on a 25-tap window). Also the per-thread body of the threaded
+// paths: reads `in` shared read-only, writes a disjoint output range.
+void apply_interior_range(const Filter& f, const float* in, float* out,
+                          int64_t j0, int64_t j1) {
   const int n = f.n;
-  const double dt = f.dt_inv;
-  const float dtf = static_cast<float>(dt);
-  // Interior: vectorize ACROSS outputs (64-wide blocks; each tap is one
-  // broadcast-FMA over the block — no horizontal reductions, no tails in
-  // the hot loop). The per-output dot form leaves half the SIMD width idle
-  // on a 25-tap window.
+  const float dtf = static_cast<float>(f.dt_inv);
   constexpr int kBlock = 64;
   const float* wf = f.center_f.data();
-  int64_t j = n;
-  for (; j + kBlock <= len - n; j += kBlock) {
+  int64_t j = j0;
+  for (; j + kBlock <= j1; j += kBlock) {
     float acc[kBlock] = {0};
     const float* base = in + (j - n);
     for (int k = 0; k < f.width; ++k) {
@@ -212,8 +210,16 @@ int apply(const Filter& f, const float* in, float* out, int64_t len,
     }
     for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
   }
-  for (; j < len - n; ++j)
-    out[j] = static_cast<float>(f.dot_center(in + j - n) * dt);
+  for (; j < j1; ++j)
+    out[j] = static_cast<float>(f.dot_center(in + j - n) * f.dt_inv);
+}
+
+// Boundary regions (first and last n outputs), shared by the plain and
+// threaded applies so the two can never diverge.
+void apply_edges(const Filter& f, const float* in, float* out, int64_t len,
+                 bool reference_edge_sign) {
+  const int n = f.n;
+  const double dt = f.dt_inv;
   if (f.boundary == kPolynomial) {
     const double lead_sign =
         (!reference_edge_sign && (f.d & 1)) ? -1.0 : 1.0;
@@ -234,32 +240,16 @@ int apply(const Filter& f, const float* in, float* out, int64_t len,
       }
     }
   }
-  return 0;
 }
 
-// Interior-only apply over out[j0, j1) (global output coordinates within
-// [n, len - n)) — the per-thread body of the threaded paths. Reads `in`
-// shared read-only; writes a disjoint output range. Same 64-wide
-// block-across-outputs SIMD form as `apply`.
-void apply_interior_range(const Filter& f, const float* in, float* out,
-                          int64_t j0, int64_t j1) {
-  const int n = f.n;
-  const float dtf = static_cast<float>(f.dt_inv);
-  constexpr int kBlock = 64;
-  const float* wf = f.center_f.data();
-  int64_t j = j0;
-  for (; j + kBlock <= j1; j += kBlock) {
-    float acc[kBlock] = {0};
-    const float* base = in + (j - n);
-    for (int k = 0; k < f.width; ++k) {
-      const float wk = wf[k];
-      const float* xk = base + k;
-      for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
-    }
-    for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
-  }
-  for (; j < j1; ++j)
-    out[j] = static_cast<float>(f.dot_center(in + j - n) * f.dt_inv);
+// Full-length apply. `reference_edge_sign` reproduces the reference's
+// reversed-data leading edge (odd derivatives come out negated there).
+int apply(const Filter& f, const float* in, float* out, int64_t len,
+          bool reference_edge_sign) {
+  if (len < f.width) return -1;
+  apply_interior_range(f, in, out, f.n, len - f.n);
+  apply_edges(f, in, out, len, reference_edge_sign);
+  return 0;
 }
 
 // Threaded full-length apply: overlap-save over host threads — the same
@@ -298,27 +288,7 @@ int apply_threaded(const Filter& f, const float* in, float* out,
   for (auto& th : pool) th.join();
 
   // boundary regions (2n outputs) on the calling thread
-  const double dt = f.dt_inv;
-  if (f.boundary == kPolynomial) {
-    const double lead_sign =
-        (!reference_edge_sign && (f.d & 1)) ? -1.0 : 1.0;
-    for (int e = 0; e < n; ++e) {
-      out[e] = static_cast<float>(
-          f.dot_edge_rev(e, in + f.width - 1) * dt * lead_sign);
-      out[len - 1 - e] =
-          static_cast<float>(f.dot_edge(e, in + len - f.width) * dt);
-    }
-  } else {
-    std::vector<float> window(f.width);
-    for (int64_t j : {int64_t(0), len - n}) {
-      const int64_t hi = (j == 0) ? n : len;
-      for (int64_t c = j; c < hi; ++c) {
-        for (int i = 0; i < f.width; ++i)
-          window[i] = boundary_sample(in, len, c - n + i, f.boundary);
-        out[c] = static_cast<float>(f.dot_center(window.data()) * dt);
-      }
-    }
-  }
+  apply_edges(f, in, out, len, reference_edge_sign);
   return 0;
 }
 

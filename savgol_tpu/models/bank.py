@@ -147,6 +147,10 @@ class SavgolBank:
         boundary = self.configs[0].boundary
         x = x.astype(self.center_weights.dtype) if not jnp.issubdtype(
             x.dtype, jnp.inexact) else x
+        # half inputs compute in f32 (the VPU bank kernel would otherwise
+        # accumulate in bf16, ~1e-2); restored on output below
+        from savgol_tpu.ops.apply import _compute_dtype
+        x, restore = _compute_dtype(x)
         wdt = self.center_weights * self.dt_inv[:, None]   # fold dt
 
         B = 1
@@ -166,7 +170,8 @@ class SavgolBank:
                     BoundaryMode.CONSTANT: "edge"}[boundary]
             pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
             xp = jnp.pad(x, pad, mode=mode)
-            return bank_corr(xp)
+            y = bank_corr(xp)
+            return y.astype(restore) if restore is not None else y
 
         center = bank_corr(x)                              # (K, ..., N-2n)
         ew = self.edge_weights.astype(x.dtype)             # (K, n, ws)
@@ -182,7 +187,8 @@ class SavgolBank:
                            precision=hp)
         trail = (trail * self.dt_inv.reshape(
             (ew.shape[0],) + (1,) * (x.ndim - 1) + (1,)))[..., ::-1]
-        return jnp.concatenate([lead, center, trail], axis=-1)
+        y = jnp.concatenate([lead, center, trail], axis=-1)
+        return y.astype(restore) if restore is not None else y
 
     def __call__(self, x: jax.Array, **kw) -> jax.Array:
         return self.apply(x, **kw)

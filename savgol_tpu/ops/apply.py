@@ -173,8 +173,8 @@ def _pallas_poly_diff(n: int, lead_sign: float, mode: str = "exact"):
         if mode == "bf16":
             ws = 2 * n + 1
             N = x.shape[-1]
-            ok = any(c2 >= ws and (N % c2 == 0 or N % c2 > n)
-                     for c2 in (2048, 4096, 1024, 512, 384, 256, 128))
+            # single source of truth for block admissibility
+            ok = pallas_conv._pick_block_width(N, n, ws) is not None
             if ok:
                 y = pallas_conv.savgol_polynomial_pallas_mxu(
                     x.astype(jnp.bfloat16), cw, ew, n, dt_inv,

@@ -210,6 +210,32 @@ def _pallas_rowmxu_bf16_diff():
 
 
 @functools.lru_cache(maxsize=None)
+def _pallas_rowmxu_stack_bf16_diff():
+    """bf16 throughput mode for (K, H, W) stencil stacks: ONE input pass
+    feeds all K stencils (K separate kernel launches would re-read the
+    image K times, forfeiting the memory-bound mode's point)."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        y = pallas_conv.correlate2d_valid_pallas_rowmxu_stack(
+            x.astype(jnp.bfloat16), w,
+            mxu_precision=lax.Precision.DEFAULT)
+        # (K, ..., R', C') -> (..., K, R', C') to match the conv layout
+        return jnp.moveaxis(y, 0, -3).astype(x.dtype)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate2d_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
 def _pallas_corr2d_diff():
     """Differentiable wrapper for the Pallas 2D stencil kernel (backward
     pass = VJP of the XLA conv; the op is bilinear)."""
@@ -317,8 +343,7 @@ def savgol2d_apply_stack(
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
     if method == "bf16":
-        y = jnp.stack([_pallas_rowmxu_bf16_diff()(x, weight_stack[k])
-                       for k in range(weight_stack.shape[0])], axis=-3)
+        y = _pallas_rowmxu_stack_bf16_diff()(x, weight_stack)
         if scales is not None:
             y = y * jnp.asarray(scales, dtype=y.dtype)[..., :, None, None]
         return y

@@ -67,6 +67,17 @@ def _row_quantum(dtype) -> int:
     return 16 if dtype in (jnp.bfloat16, jnp.float16) else _SUBLANES
 
 
+def _promote_half_for_exact(x, mxu_precision):
+    """Half-precision operands cannot run HIGHEST matmuls (Mosaic rejects
+    bf16x6 on bf16 inputs) and would silently degrade accuracy anyway;
+    on the exact path, compute in f32 and restore the dtype on output.
+    Returns (x_compute, restore_dtype_or_None)."""
+    if (mxu_precision == jax.lax.Precision.HIGHEST
+            and x.dtype in (jnp.bfloat16, jnp.float16)):
+        return x.astype(jnp.float32), x.dtype
+    return x, None
+
+
 def _check_tile(rows: int, cols: int, row_quantum: int = _SUBLANES):
     """Validate caller-supplied tile shapes up front — misaligned tiles
     otherwise surface as opaque Mosaic lowering errors."""
@@ -661,6 +672,13 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
         interpret = _interpret_default()
     if mxu_precision is None:
         mxu_precision = jax.lax.Precision.HIGHEST
+    x, restore = _promote_half_for_exact(x, mxu_precision)
+    if restore is not None:
+        y = savgol_polynomial_pallas_mxu(
+            x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
+            rows=rows, cols=cols, interpret=interpret,
+            mxu_precision=mxu_precision)
+        return y.astype(restore)
     ws = 2 * n + 1
     if ws > _LANES + 1:
         raise ValueError(f"window size {ws} exceeds the 2-band structure")
@@ -678,21 +696,9 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     ewt = ew[::-1, :]
 
     rows = min(rows, _round_up(B, _row_quantum(x.dtype)))
-    # Admissible block widths: the lead window must fit one block
-    # (cols >= ws) and the trailing region [N-n, N) must land inside the
-    # last block (N % cols == 0 or N % cols > n; the trailing WINDOW may
-    # dip into the left halo, which the shifted slab carries). Among the
-    # admissible widths, take the largest whose zero-padding waste is
-    # <= 5% of N (big blocks amortize grid overhead), else the one with
-    # the least waste. Rare fully-inadmissible N (every candidate has
+    # Rare fully-inadmissible N (every candidate width has
     # 0 < N % c2 <= n) falls back to the VPU kernel's padded path.
-    pick = None
-    for c2 in (cols, 4096, 2048, 1024, 512, 384, 256, 128):
-        if c2 >= ws and c2 % _LANES == 0:
-            r = N % c2
-            if r == 0 or r > n:
-                pick = c2
-                break
+    pick = _pick_block_width(N, n, ws, cols)
     if pick is None:
         return savgol_polynomial_pallas(
             x, center_w, edge_w, n, dt_inv, lead_sign=lead_sign,
@@ -703,6 +709,34 @@ def savgol_polynomial_pallas_mxu(x: jax.Array, center_w: jax.Array,
     out = _sg1d_poly_mxu_call(xb, bands, ewl, ewt, rows, pick, n,
                               interpret, mxu_precision)
     return out[:B].reshape(batch_shape + (N,))
+
+
+_BLOCK_WIDTHS = (4096, 2048, 1024, 512, 384, 256, 128)
+
+
+def _pick_block_width(N: int, n: int, ws: int,
+                      first: int = 2048) -> int | None:
+    """Admissible MXU block width for a same-length kernel, or None.
+
+    Admissible: the lead window fits one block (cols >= ws) and the
+    trailing region [N-n, N) lands inside the last block (N % cols == 0
+    or > n; the trailing WINDOW may dip into the slab's left halo). Among
+    admissible widths, take the largest whose masked-compute waste
+    (ceil-padding) is <= 5% of N — big blocks amortize grid overhead —
+    else the least-waste one. Shared by the poly/pad wrappers and the
+    bf16 dispatch predicate in ops.apply (keep in sync via this helper,
+    not by copying the rule)."""
+    best = None
+    for c2 in (first,) + _BLOCK_WIDTHS:
+        if c2 >= ws and c2 % _LANES == 0:
+            r = N % c2
+            if r == 0 or r > n:
+                waste = _round_up(N, c2) - N
+                if waste * 20 <= N:
+                    return c2
+                if best is None or waste < best[0]:
+                    best = (waste, c2)
+    return best[1] if best is not None else None
 
 
 def _sg1d_pad_mxu_kernel(bands_ref, ls_ref, rs_ref, left_ref, x_ref,
@@ -819,6 +853,12 @@ def savgol_padded_pallas_mxu(x: jax.Array, center_w: jax.Array,
         interpret = _interpret_default()
     if mxu_precision is None:
         mxu_precision = jax.lax.Precision.HIGHEST
+    x, restore = _promote_half_for_exact(x, mxu_precision)
+    if restore is not None:
+        return savgol_padded_pallas_mxu(
+            x, center_w, pad_mode, n, dt_inv, rows=rows, cols=cols,
+            interpret=interpret,
+            mxu_precision=mxu_precision).astype(restore)
     ws = 2 * n + 1
     batch_shape = x.shape[:-1]
     N = x.shape[-1]
@@ -827,13 +867,7 @@ def savgol_padded_pallas_mxu(x: jax.Array, center_w: jax.Array,
     xb = x.reshape((-1, N))
     B = xb.shape[0]
 
-    pick = None
-    for c2 in (cols, 4096, 2048, 1024, 512, 384, 256, 128):
-        if c2 >= ws and c2 % _LANES == 0:
-            r = N % c2
-            if r == 0 or r > n:
-                pick = c2
-                break
+    pick = _pick_block_width(N, n, ws, cols)
     if pick is None or n < 1:
         pad = ((0, 0), (n, n))
         xp = jnp.pad(xb, pad, mode=pad_mode)
@@ -1028,6 +1062,11 @@ def correlate_valid_pallas_mxu(x: jax.Array, w: jax.Array,
         interpret = _interpret_default()
     if mxu_precision is None:
         mxu_precision = jax.lax.Precision.HIGHEST
+    x, restore = _promote_half_for_exact(x, mxu_precision)
+    if restore is not None:
+        return correlate_valid_pallas_mxu(
+            x, w, rows=rows, cols=cols, interpret=interpret,
+            mxu_precision=mxu_precision).astype(restore)
     _check_tile(rows, cols)
     ws = w.shape[0]
     if ws > _LANES + 1:
@@ -1478,6 +1517,112 @@ def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 
+def _corr2d_rowmxu_stack_kernel(bands_ref, x_ref, right_ref, bot_ref,
+                                corner_ref, o_ref, *, K: int, wh: int,
+                                cb: int, mxu_precision):
+    """K-stencil stack variant of the row-banded 2D kernel: the slab is
+    read from HBM once and feeds all K stencils (the 2D twin of
+    _bank_mxu_kernel — a K-pass loop would re-read the image K times)."""
+    top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
+    bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
+    xw = jnp.concatenate([top, bottom], axis=0)
+    acc_t = (jnp.float64 if o_ref.dtype == jnp.float64 else jnp.float32)
+    r = o_ref.shape[2]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=mxu_precision, preferred_element_type=acc_t)
+
+    for i in range(cb):
+        X2 = xw[:, i * _LANES:i * _LANES + 2 * _LANES]
+        for k in range(K):
+            acc = None
+            for y in range(wh):
+                rk = mm(X2, bands_ref[k, y])
+                part = rk[y:y + r, :]
+                acc = part if acc is None else acc + part
+            o_ref[k, 0, :, i * _LANES:(i + 1) * _LANES] = (
+                acc.astype(o_ref.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
+                                             "mxu_precision"))
+def _corr2d_rowmxu_stack_call(xpad, bands, rows, cols, interpret,
+                              mxu_precision):
+    B, Rp, Cp = xpad.shape
+    out_r = Rp - _HALO_R
+    out_c = Cp - _LANES
+    K, wh = bands.shape[0], bands.shape[1]
+    grid = (B, out_r // rows, out_c // cols)
+    kernel = functools.partial(_corr2d_rowmxu_stack_kernel, K=K, wh=wh,
+                               cb=cols // _LANES,
+                               mxu_precision=mxu_precision)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K, wh, 2 * _LANES, _LANES),
+                         lambda b, ri, ci: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, cols),
+                         lambda b, ri, ci: (b, ri, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, _LANES),
+                         lambda b, ri, ci: (b, ri,
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, cols),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HALO_R, _LANES),
+                         lambda b, ri, ci: (b, (ri + 1) * (rows // _HALO_R),
+                                            (ci + 1) * (cols // _LANES)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, 1, rows, cols),
+                               lambda b, ri, ci: (0, b, ri, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, B, out_r, out_c), xpad.dtype),
+        interpret=interpret,
+    )(bands, xpad, xpad, xpad, xpad)
+
+
+def correlate2d_valid_pallas_rowmxu_stack(x: jax.Array, w_stack,
+                                          rows: int = 256, cols: int = 512,
+                                          interpret: bool | None = None,
+                                          mxu_precision=None) -> jax.Array:
+    """Valid 2D correlation of a (K, H, W) stencil stack, one input pass.
+
+    Same per-stencil contract as :func:`correlate2d_valid_pallas_rowmxu`;
+    output (K, ..., R-H+1, C-W+1)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    _check_tile(rows, cols, row_quantum=_HALO_R)
+    w_stack = jnp.asarray(w_stack, dtype=x.dtype)
+    K, wh, ww = w_stack.shape
+    if wh > _HALO_R + 1 or ww > _LANES + 1:
+        raise ValueError(f"stencil {w_stack.shape} exceeds halo limits")
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    out_r, out_c = R - wh + 1, C - ww + 1
+    xb = x.reshape((-1, R, C))
+
+    bands = jnp.stack([_rowband_matrices(w_stack[k]) for k in range(K)])
+    rows = min(rows, _round_up(max(out_r, _HALO_R), _HALO_R))
+    cols = min(cols, _round_up(max(out_c, _LANES), _LANES))
+    Rp = _round_up(out_r, rows) + _HALO_R
+    Cp = _round_up(out_c, cols) + _LANES
+    xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
+    out = _corr2d_rowmxu_stack_call(xp, bands, rows, cols, interpret,
+                                    mxu_precision)
+    return out[:, :, :out_r, :out_c].reshape(
+        (K,) + batch_shape + (out_r, out_c))
+
+
 # ---------------------------------------------------------------------------
 # 2D valid correlation — separable (SVD rank-decomposed) variant
 # ---------------------------------------------------------------------------
@@ -1853,6 +1998,11 @@ def correlate_valid_bank_pallas_mxu(x: jax.Array, w: jax.Array,
         interpret = _interpret_default()
     if mxu_precision is None:
         mxu_precision = jax.lax.Precision.HIGHEST
+    x, restore = _promote_half_for_exact(x, mxu_precision)
+    if restore is not None:
+        return correlate_valid_bank_pallas_mxu(
+            x, w, rows=rows, cols=cols, interpret=interpret,
+            mxu_precision=mxu_precision).astype(restore)
     _check_tile(rows, cols)
     K, ws = w.shape
     if ws > _LANES + 1:

@@ -129,27 +129,39 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     if xl.shape[-1] < window_length:
         raise ValueError(
             f"data length ({xl.shape[-1]}) must be >= window_length")
-    pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
-    if mode == "mirror":
-        xp = jnp.pad(xl, pad, mode="reflect")
-    else:
-        xp = jnp.pad(xl, pad, mode="constant",
-                     constant_values=jnp.asarray(cval, dtype=xl.dtype))
     m = "pallas" if use_pallas else method
     m = _resolve_method(m, window_length)
-    if m == "pallas":
-        from savgol_tpu.ops.apply import _pallas_corr_diff
-        y = _pallas_corr_diff()(xp, cw)
-    elif m == "bf16":
-        from savgol_tpu.ops.apply import _pallas_corr_diff
-        y = _pallas_corr_diff("bf16")(xp, cw)
-    elif m == "mxu":
-        y = correlate_valid_mxu(xp, cw)
-    elif m == "xla":
-        y = correlate_valid(xp, cw)
-    else:
+    if m not in ("xla", "pallas", "mxu", "bf16"):
         raise ValueError(
             f"method must be 'auto', 'xla', 'pallas', 'mxu' or 'bf16', "
             f"got {m!r}")
-    y = y * jnp.asarray(dt_inv, dtype=xl.dtype)
+
+    def ext_apply(xv):
+        pad = [(0, 0)] * (xv.ndim - 1) + [(n, n)]
+        if mode == "mirror":
+            xp = jnp.pad(xv, pad, mode="reflect")
+        else:
+            xp = jnp.pad(xv, pad, mode="constant",
+                         constant_values=jnp.asarray(cval, dtype=xv.dtype))
+        if m == "pallas":
+            from savgol_tpu.ops.apply import _pallas_corr_diff
+            y = _pallas_corr_diff()(xp, cw)
+        elif m == "bf16":
+            from savgol_tpu.ops.apply import _pallas_corr_diff
+            y = _pallas_corr_diff("bf16")(xp, cw)
+        elif m == "mxu":
+            y = correlate_valid_mxu(xp, cw)
+        else:
+            y = correlate_valid(xp, cw)
+        return y * jnp.asarray(dt_inv, dtype=xv.dtype)
+
+    if jnp.issubdtype(xl.dtype, jnp.complexfloating):
+        # real-linear split, as on the native-mode branch
+        from savgol_tpu.ops.apply import _complex_split
+        return _restore_axis(_complex_split(ext_apply, xl), moved)
+    from savgol_tpu.ops.apply import _compute_dtype
+    xl, restore = _compute_dtype(xl)
+    y = ext_apply(xl)
+    if restore is not None:
+        y = y.astype(restore)
     return _restore_axis(y, moved)

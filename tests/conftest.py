@@ -16,10 +16,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-# SAVGOL_HW_TESTS=1 leaves the real backend (TPU) in place so
-# tests/test_hw_parity.py can run its on-hardware parity gates; the main
-# suite then skips itself where it needs CPU/x64 semantics. Default: CPU
-# with 8 virtual devices + x64 oracles.
+# SAVGOL_HW_TESTS=1 leaves the real backend (TPU) in place for the
+# on-hardware parity lane — use it ONLY with that module
+# (`SAVGOL_HW_TESTS=1 pytest tests/test_hw_parity.py`); the rest of the
+# suite assumes CPU + x64 oracles and is not expected to pass on TPU.
+# Default: CPU with 8 virtual devices + x64 enabled.
 if os.environ.get("SAVGOL_HW_TESTS", "") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
