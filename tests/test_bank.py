@@ -166,3 +166,18 @@ class TestBankMXU:
         want = np.stack([np.asarray(correlate_valid(x, w[c]))
                          for c in range(3)])
         np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+    def test_bank_half_input_promotes(self):
+        """bf16 input promotes to f32 compute and restores dtype (the MXU
+        bank at HIGHEST cannot take bf16 operands; the VPU bank would
+        accumulate in bf16)."""
+        rng = np.random.default_rng(93)
+        x64 = rng.standard_normal((4, 500))
+        bank = sg.SavgolBank.smooth_and_derivatives(6, 3, 1)
+        xh = jnp.asarray(x64, dtype=jnp.bfloat16)
+        y = bank.apply(xh, method="pallas")
+        assert y.dtype == jnp.bfloat16
+        ref = np.asarray(bank.apply(jnp.asarray(x64, dtype=jnp.float32),
+                                    method="pallas"))
+        err = np.abs(np.asarray(y, dtype=np.float32) - ref).max()
+        assert err <= 8e-3 * max(1.0, np.abs(ref).max())
