@@ -180,6 +180,12 @@ def correlate_valid_pallas(x: jax.Array, w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        # the VPU tap loop would accumulate in the half dtype (~1e-2);
+        # halves gain nothing on the VPU — compute f32, restore on output
+        return correlate_valid_pallas(
+            x.astype(jnp.float32), w, rows=rows, cols=cols,
+            interpret=interpret).astype(x.dtype)
     _check_tile(rows, cols)
     ws = w.shape[0]
     if ws > _LANES + 1:
@@ -427,6 +433,11 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return savgol_polynomial_pallas(
+            x.astype(jnp.float32), center_w, edge_w, n, dt_inv,
+            lead_sign=lead_sign, rows=rows, cols=cols,
+            interpret=interpret).astype(x.dtype)
     _check_tile(rows, cols if cols is not None else _COLS)
     ws = 2 * n + 1
     batch_shape = x.shape[:-1]
@@ -2048,6 +2059,10 @@ def correlate_valid_bank_pallas(x: jax.Array, w: jax.Array,
     """
     if interpret is None:
         interpret = _interpret_default()
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return correlate_valid_bank_pallas(
+            x.astype(jnp.float32), w, rows=rows, cols=cols,
+            interpret=interpret).astype(x.dtype)
     _check_tile(rows, cols)
     K, ws = w.shape
     if ws > _LANES + 1:
