@@ -68,6 +68,9 @@ def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
         xr = jnp.pad(xr, pad, mode=mode)
     if method == "pallas":
         y = _corr2d_pallas_dispatch(xr, weights.astype(xr.dtype))
+    elif method == "bf16":
+        from savgol_tpu.ops.apply2d import _pallas_rowmxu_bf16_diff
+        y = _pallas_rowmxu_bf16_diff()(xr, weights.astype(jnp.float32))
     else:
         y = correlate2d_valid(xr, weights)  # rows: rloc, cols: C or C-2nx
     return y * jnp.asarray(scale, dtype=y.dtype)

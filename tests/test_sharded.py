@@ -218,3 +218,16 @@ def test_sharded_bf16_matches_single_device(mesh8):
     ref = np.asarray(flt.apply(x, boundary=sg.BoundaryMode.CONSTANT,
                                method="xla"))
     assert np.abs(got - ref).max() <= 3e-2 * np.abs(ref).max()
+
+
+def test_sharded2d_bf16_matches_single_device(mesh8):
+    from savgol_tpu.parallel.sharded2d import apply2d_sharded
+    rng = np.random.default_rng(61)
+    img = jnp.asarray(rng.standard_normal((256, 128)), dtype=jnp.float32)
+    f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=jnp.float32)
+    got = np.asarray(apply2d_sharded(
+        img, f2.weights, mesh=mesh8, boundary=sg.Boundary2D.CONSTANT,
+        scale=f2.scale, method="bf16"))
+    ref = np.asarray(f2.apply(img, boundary=sg.Boundary2D.CONSTANT,
+                              method="xla"))
+    assert np.abs(got - ref).max() <= 3e-2 * np.abs(ref).max()
