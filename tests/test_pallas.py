@@ -385,3 +385,46 @@ class TestFusedPadMXU:
         g2 = jax.grad(xla)(x)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestKernelGoldenFuzz:
+    """Randomized parity of the forced-Pallas API paths (kernels run in
+    interpret mode on CPU) directly against the compiled reference C —
+    covers the fused-edge, fused-pad, masked arbitrary-N, and fold code
+    paths with awkward geometries in one sweep."""
+
+    def test_pallas_full_apply_vs_reference(self, ref):
+        rng = np.random.default_rng(777)
+        boundaries = ["polynomial", "reflect", "periodic", "constant"]
+        for trial in range(12):
+            n = int(rng.integers(1, 33))
+            m = int(rng.integers(0, min(2 * n, 10) + 1))
+            d = int(rng.integers(0, min(m, 4) + 1))
+            b = boundaries[trial % 4]
+            # awkward lengths: odd, prime-ish, just above the window
+            N = int(rng.integers(2 * n + 1, 700)) | 1
+            x = rng.standard_normal(N).astype(np.float32)
+            theirs = ref.apply(x, n, m, d, boundary=b)
+            f = sg.Savgol1D.create(
+                sg.SavgolConfig(n, m, d, boundary=sg.BoundaryMode(b)),
+                dtype=F32)
+            ours = np.asarray(f.apply(jnp.asarray(x), method="pallas",
+                                      reference_edge_sign=True))
+            scale = max(1.0, np.abs(theirs).max())
+            assert np.abs(ours - theirs).max() <= 2e-5 * scale, (
+                n, m, d, b, N)
+
+    def test_pallas_valid_vs_reference(self, ref):
+        rng = np.random.default_rng(778)
+        for _ in range(6):
+            n = int(rng.integers(1, 33))
+            m = int(rng.integers(0, min(2 * n, 10) + 1))
+            N = int(rng.integers(2 * n + 1, 900))
+            x = rng.standard_normal(N).astype(np.float32)
+            theirs = ref.apply_valid(x, n, m)
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m), dtype=F32)
+            ours = np.asarray(f.apply_valid(jnp.asarray(x),
+                                            method="pallas"))
+            assert ours.shape == theirs.shape
+            scale = max(1.0, np.abs(theirs).max())
+            assert np.abs(ours - theirs).max() <= 2e-5 * scale, (n, m, N)
