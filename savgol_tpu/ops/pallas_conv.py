@@ -1260,9 +1260,17 @@ def _corr2d_const_call(wkey: _WKey, rows: int, cols: int, interpret: bool):
         out_r = Rp - _HALO_R
         out_c = Cp - _LANES
         grid = (B, out_r // rows, out_c // cols)
+        params = {}
+        if not interpret:
+            # Mosaic's scheduler can keep >16M of block values live for
+            # SMALL stencils (measured: 5x5 at 128x1024 wants 24.8M
+            # scoped); raise the cap — VMEM has room
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
         return pl.pallas_call(
             kernel,
             grid=grid,
+            **params,
             in_specs=[
                 pl.BlockSpec((1, rows, cols),
                              lambda b, ri, ci: (b, ri, ci),
@@ -1459,9 +1467,17 @@ def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
     kernel = functools.partial(_corr2d_rowmxu_kernel, wh=wh,
                                cb=cols // _LANES,
                                mxu_precision=mxu_precision)
+    params = {}
+    if not interpret:
+        # Mosaic's scheduler keeps more block values live for SMALL wh
+        # (measured: wh=5 at 256x512 tiles wants 24.8M scoped vs the 16M
+        # default; wh=11 fits) — raise the scoped cap, VMEM has room
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
+        **params,
         in_specs=[
             pl.BlockSpec((wh, 2 * _LANES, _LANES),
                          lambda b, ri, ci: (0, 0, 0),
@@ -1569,9 +1585,14 @@ def _corr2d_rowmxu_stack_call(xpad, bands, rows, cols, interpret,
     kernel = functools.partial(_corr2d_rowmxu_stack_kernel, K=K, wh=wh,
                                cb=cols // _LANES,
                                mxu_precision=mxu_precision)
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=grid,
+        **params,
         in_specs=[
             pl.BlockSpec((K, wh, 2 * _LANES, _LANES),
                          lambda b, ri, ci: (0, 0, 0, 0),

@@ -115,6 +115,19 @@ class TestApply2D:
         want = np.asarray(f.apply(img, boundary=boundary, method="xla"))
         assert np.abs(got - want).max() <= EXACT_TOL
 
+    def test_small_stencil_5x5_large_image(self):
+        # regression: 5x5 stencils at the default tiles blew Mosaic's
+        # 16M scoped-VMEM cap on large images (more values stay live for
+        # SMALL stencils); the const kernels now raise the cap
+        img = jnp.asarray(_rng(15).standard_normal((2048, 2048)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img))
+        want = np.asarray(f.apply(img[:256, :256], method="xla"))
+        assert np.abs(got[:256, :256][6:-6, 6:-6]
+                      - want[6:-6, 6:-6]).max() <= EXACT_TOL
+
     def test_wide_stencil_33(self):
         img = jnp.asarray(_rng(12).standard_normal((256, 512)),
                           dtype=jnp.float32)
