@@ -206,3 +206,15 @@ class TestBankSweepStream:
         want = np.asarray(jax.jit(flt.apply)(flat))[:flat.size - 12]
         assert got.size == want.size
         assert np.abs(got - want).max() <= EXACT_TOL
+
+
+def test_gradient_stack_bf16_contract():
+    """The stacked rowmxu bf16 kernel compiles and holds its contract on
+    hardware (one input pass for K stencils)."""
+    img = jnp.asarray(_rng(30).standard_normal((512, 512)),
+                      dtype=jnp.float32)
+    gx, gy = sg.savgol2d_gradient(img, 4, 4, 2, method="bf16")
+    rx, ry = sg.savgol2d_gradient(img, 4, 4, 2, method="xla")
+    s = max(float(jnp.abs(rx).max()), float(jnp.abs(ry).max()), 1.0)
+    e = max(float(jnp.abs(gx - rx).max()), float(jnp.abs(gy - ry).max()))
+    assert e <= BF16_TOL * s
