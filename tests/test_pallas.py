@@ -428,3 +428,17 @@ class TestKernelGoldenFuzz:
             assert ours.shape == theirs.shape
             scale = max(1.0, np.abs(theirs).max())
             assert np.abs(ours - theirs).max() <= 2e-5 * scale, (n, m, N)
+
+    def test_inadmissible_length_falls_back(self):
+        """N = lcm(candidate widths) + 1 admits no block width; the
+        wrapper must fall back to pad + valid kernels, same result."""
+        from savgol_tpu.ops.apply import correlate_valid
+        n, N = 12, 12289
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, 4), dtype=F32)
+        x = rand((2, N), seed=9)
+        got = np.asarray(pc.savgol_padded_pallas_mxu(
+            x, f.center_weights, "wrap", n, dt_inv=f.dt_inv,
+            interpret=True))
+        xp = jnp.pad(x, ((0, 0), (n, n)), mode="wrap")
+        want = np.asarray(correlate_valid(xp, f.center_weights) * f.dt_inv)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
