@@ -83,15 +83,15 @@ class SavgolStream:
 
     def push_full(self, sample, max_outputs: Optional[int] = None) -> np.ndarray:
         """Push with edge handling; returns the emitted samples (possibly
-        empty). ``max_outputs`` clamps like the C API."""
+        empty). ``max_outputs`` clamps like the C API: clamped-off values on
+        the fill-completing push are dropped (not buffered), and
+        ``samples_output`` counts only delivered samples
+        (src/savgol_stream.c:208-227)."""
         self.state, outs, count = fstream.stream_push_full(
             self.state, sample, self.filter.center_weights,
             self.filter.edge_weights, self.filter.dt_inv,
-            lead_sign=self._lead_sign)
-        c = int(count)
-        if max_outputs is not None:
-            c = min(c, int(max_outputs))
-        return np.asarray(outs)[:c]
+            lead_sign=self._lead_sign, max_outputs=max_outputs)
+        return np.asarray(outs)[:int(count)]
 
     def flush(self, max_count: Optional[int] = None) -> np.ndarray:
         """Trailing-edge flush; returns emitted samples."""

@@ -168,12 +168,19 @@ def stream_push_full(
     edge_w: jax.Array,
     dt_inv: float | jax.Array = 1.0,
     lead_sign: float = 1.0,
+    max_outputs: Optional[int] = None,
 ) -> Tuple[StreamState, jax.Array, jax.Array]:
     """Push with full edge handling; returns (state, outputs, count).
 
     ``outputs`` has fixed shape (n+1,). count == 0 while filling; == n+1 on
     the fill-completing push (n leading-edge values + first center); == 1
     afterwards (src/savgol_stream.c:180-227).
+
+    ``max_outputs`` (static) reproduces the C API's buffer-capacity clamp
+    (src/savgol_stream.c:208-218): on the fill-completing push only the
+    first ``max_outputs`` values are emitted, the rest are DROPPED (never
+    re-emitted later), and ``samples_output`` counts only delivered
+    samples — the reference increments it per written output.
     """
     n = (state.buffer.shape[0] - 1) // 2
     ws = state.buffer.shape[0]
@@ -195,6 +202,9 @@ def stream_push_full(
     outputs = jnp.where(just_filled, filled_vec, steady_vec)
     outputs = jnp.where(ready, outputs, jnp.zeros_like(outputs))
     count = jnp.where(ready, jnp.where(just_filled, n + 1, 1), 0)
+    if max_outputs is not None:
+        count = jnp.minimum(count, int(max_outputs))
+        outputs = jnp.where(jnp.arange(n + 1) < count, outputs, 0.0)
     state = state._replace(
         samples_output=state.samples_output + count.astype(jnp.int32))
     return state, outputs, count

@@ -136,6 +136,35 @@ class ReferenceOracle:
         assert count == out.size
         return out
 
+    def apply_strided(self, x, half_window, poly_order, derivative=0,
+                      stride_elems=3, offset_elems=1):
+        """Reference savgol_apply_strided over an interleaved float layout:
+        x packed at element stride ``stride_elems`` floats, field offset
+        ``offset_elems`` floats (src/savgolFilter.c:877-934). Returns
+        (filtered field, untouched sibling bytes of the output buffer)."""
+        lib = self.lib
+        lib.savgol_apply_strided.restype = ctypes.c_int
+        lib.savgol_apply_strided.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_size_t]
+        cfg = SavgolConfigC(half_window, poly_order, derivative, 1.0, 0)
+        f = lib.savgol_create(ctypes.byref(cfg))
+        assert f, "reference savgol_create failed"
+        x = np.asarray(x, dtype=np.float32)
+        buf_in = np.zeros((x.size, stride_elems), dtype=np.float32)
+        buf_in[:, offset_elems] = x
+        buf_out = np.zeros_like(buf_in)
+        rc = lib.savgol_apply_strided(
+            f, buf_in.ctypes.data, 4 * stride_elems, 4 * offset_elems,
+            buf_out.ctypes.data, 4 * stride_elems, 4 * offset_elems,
+            x.size)
+        self.lib.savgol_destroy(f)
+        assert rc == 0
+        field = buf_out[:, offset_elems].copy()
+        buf_out[:, offset_elems] = 0.0
+        return field, buf_out
+
     def weights(self, half_window, poly_order, derivative=0):
         """Extract the reference's precomputed weight tables by reading the
         SavgolFilter struct layout (savgolFilter.h:107-113)."""
@@ -196,6 +225,45 @@ class ReferenceOracle:
         out.extend(fbuf[:c].tolist())
         lib.savgol_stream_destroy(s)
         return np.array(out, dtype=np.float32)
+
+    def stream_run_clamped(self, x, half_window, poly_order, derivative=0,
+                           max_outputs=1, flush_max=None):
+        """push_full with a small ``max_outputs`` buffer + clamped flush;
+        returns (emitted, samples_output counter) — exercises the clamp
+        semantics of src/savgol_stream.c:208-218 (dropped, not buffered)
+        and the per-written-output counter increments."""
+        lib = self.lib
+        lib.savgol_stream_create.restype = ctypes.c_void_p
+        lib.savgol_stream_create.argtypes = [ctypes.POINTER(SavgolConfigC)]
+        lib.savgol_stream_destroy.argtypes = [ctypes.c_void_p]
+        lib.savgol_stream_push_full.restype = ctypes.c_int
+        lib.savgol_stream_push_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.savgol_stream_flush.restype = ctypes.c_int
+        lib.savgol_stream_flush.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.savgol_stream_samples_output.restype = ctypes.c_size_t
+        lib.savgol_stream_samples_output.argtypes = [ctypes.c_void_p]
+        cfg = SavgolConfigC(half_window, poly_order, derivative, 1.0, 0)
+        s = lib.savgol_stream_create(ctypes.byref(cfg))
+        assert s, "reference stream create failed"
+        buf = np.empty(max(int(max_outputs), 1), dtype=np.float32)
+        out = []
+        for v in np.asarray(x, dtype=np.float32):
+            c = lib.savgol_stream_push_full(
+                s, float(v),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                int(max_outputs))
+            out.extend(buf[:c].tolist())
+        fm = half_window if flush_max is None else int(flush_max)
+        fbuf = np.empty(max(fm, 1), dtype=np.float32)
+        c = lib.savgol_stream_flush(
+            s, fbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), fm)
+        out.extend(fbuf[:max(c, 0)].tolist())
+        counter = int(lib.savgol_stream_samples_output(s))
+        lib.savgol_stream_destroy(s)
+        return np.array(out, dtype=np.float32), counter
 
     # -- 2D ----------------------------------------------------------------
 

@@ -348,6 +348,42 @@ class TestReferenceStreamDifferential:
         scale = max(1.0, np.abs(theirs).max())
         assert np.abs(np.array(ours) - theirs).max() <= 2e-5 * scale
 
+    @pytest.mark.parametrize("max_outputs", [1, 2, 4])
+    def test_push_full_clamp_vs_reference(self, ref, max_outputs):
+        """Port of the reference clamp protocol for push_full
+        (src/savgol_stream.c:208-218): with max_outputs < n+1 the
+        fill-completing push delivers only the first max_outputs values,
+        the rest are DROPPED, and samples_output counts delivered samples
+        (test_savgol_stream.c:250-275 analog for push_full)."""
+        n, m = 5, 3
+        rng = np.random.default_rng(42)
+        x = rng.standard_normal(30).astype(np.float32)
+        theirs, their_counter = ref.stream_run_clamped(
+            x, n, m, max_outputs=max_outputs, flush_max=3)
+        s = make(n, m)
+        ours = []
+        for v in x:
+            ours.extend(s.push_full(float(v), max_outputs=max_outputs)
+                        .tolist())
+        ours.extend(s.flush(max_count=3).tolist())
+        assert len(ours) == len(theirs)
+        assert s.samples_output == their_counter == len(ours)
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(np.array(ours) - theirs).max() <= 2e-5 * scale
+
+    def test_push_full_clamp_counter_counts_delivered(self):
+        """samples_output must equal delivered samples under clamping —
+        the round-2 over-count bug (core emitted n+1, shell clamped)."""
+        n = 6
+        s = make(n, 3)
+        delivered = 0
+        for i in range(2 * n + 5):
+            delivered += s.push_full(float(i), max_outputs=2).size
+        assert s.samples_output == delivered
+        # fill-completing push (#2n+1) clamped from n+1 to 2, then one
+        # center per remaining push: (2n+5) - (2n+1) = 4 steady pushes
+        assert delivered == 2 + 4
+
     def test_chunked_vs_reference_stream(self, ref):
         n, m = 8, 3
         rng = np.random.default_rng(7)
