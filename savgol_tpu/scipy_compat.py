@@ -30,9 +30,28 @@ from savgol_tpu.ops.apply import (_ensure_float, _move_axis_last,
                                   correlate_valid, correlate_valid_mxu,
                                   savgol_apply_core)
 from savgol_tpu.ops.weights import (_gram_table, _norm_factors,
-                                    savgol_weights_np)
+                                    _weights_from_table, savgol_weights_np)
 
 __all__ = ["savgol_coeffs", "savgol_filter"]
+
+
+def _compat_weights_np(n: int, polyorder: int, deriv: int):
+    """(center, edge) f64 weights for ANY 0 <= deriv <= polyorder.
+
+    The reference caps derivatives at 4 (src/savgolFilter.c:659) and
+    ``SavgolConfig`` keeps that cap for reference parity — but scipy allows
+    any ``deriv <= polyorder``, and the vectorized Gram recurrence
+    (ops/weights.py::_gram_table) holds for arbitrary d. The compat layer
+    therefore computes weights directly for deriv > 4, keeping the
+    validated config path for the reference-supported range.
+    """
+    if deriv <= 4:
+        cfg = SavgolConfig(n, polyorder, deriv)
+        return savgol_weights_np(cfg, dtype=np.float64)
+    pts = np.arange(-n, n + 1, dtype=np.float64)
+    G = _gram_table(pts, n, polyorder, deriv, np)
+    factors = _norm_factors(n, polyorder)
+    return _weights_from_table(G, factors, n, deriv, np)
 
 _NATIVE_MODES = {
     "interp": BoundaryMode.POLYNOMIAL,
@@ -55,10 +74,7 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     if deriv > polyorder:
         # scipy semantics: the fitted polynomial's higher derivatives vanish
         return np.zeros(window_length, dtype=np.float64)
-    if deriv > 4:
-        raise ValueError("derivative orders above 4 are not supported")
-    cfg = SavgolConfig(n, polyorder, deriv)
-    center, edge = savgol_weights_np(cfg, dtype=np.float64)
+    center, edge = _compat_weights_np(n, polyorder, deriv)
     if pos is None or pos == n:
         w = center
     elif float(pos) == int(pos) and 0 <= int(pos) < window_length:
@@ -103,9 +119,7 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
         out_dtype = (x.dtype if jnp.issubdtype(x.dtype, jnp.inexact)
                      else jnp.float32)
         return jnp.zeros(x.shape, dtype=out_dtype)
-    cfg = SavgolConfig(n, polyorder, deriv,
-                       time_step=delta if delta > 0 else 1.0)
-    center, edge = savgol_weights_np(cfg, dtype=np.float64)
+    center, edge = _compat_weights_np(n, polyorder, deriv)
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float32
     cw = jnp.asarray(center, dtype=dtype)
     ew = jnp.asarray(edge, dtype=dtype)

@@ -105,6 +105,52 @@ class TestScipyCorners:
         np.testing.assert_array_equal(y, np.zeros_like(x))
 
 
+class TestHighDerivatives:
+    """deriv > 4: beyond the reference's cap (src/savgolFilter.c:659) but
+    within scipy's (deriv <= polyorder) — the compat layer computes these
+    directly from the Gram recurrence (VERDICT r2 item 6)."""
+
+    @pytest.mark.parametrize("wl,po,d", [
+        (13, 5, 5), (15, 6, 5), (15, 6, 6), (21, 8, 7), (25, 10, 9),
+        (33, 10, 10)])
+    def test_coeffs_match_scipy(self, wl, po, d):
+        ours = savgol_coeffs(wl, po, deriv=d)
+        ref = sp_coeffs(wl, po, deriv=d)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale)
+
+    @pytest.mark.parametrize("mode", ["interp", "mirror", "nearest", "wrap"])
+    def test_filter_matches_scipy(self, x, mode):
+        wl, po, d = 15, 6, 5
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), wl, po, deriv=d, mode=mode))
+        ref = sp_filter(x, wl, po, deriv=d, mode=mode)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale,
+                                   err_msg=f"mode={mode}")
+
+    def test_filter_high_deriv_with_delta(self, x):
+        wl, po, d = 17, 7, 6
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), wl, po, deriv=d, delta=0.25))
+        ref = sp_filter(x, wl, po, deriv=d, delta=0.25)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale)
+
+    def test_config_keeps_reference_cap(self):
+        """SavgolConfig itself still enforces the reference's d <= 4."""
+        from savgol_tpu.config import SavgolConfig
+        with pytest.raises(ValueError):
+            SavgolConfig(7, 6, 5)
+
+    @pytest.mark.parametrize("pos", [2, 7.5])
+    def test_high_deriv_pos(self, pos):
+        ours = savgol_coeffs(15, 6, deriv=5, pos=pos)
+        ref = sp_coeffs(15, 6, deriv=5, pos=pos)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale)
+
+
 class TestFractionalPos:
     @pytest.mark.parametrize("pos", [0.5, 2.25, 5.0, 7.75, 9.5])
     @pytest.mark.parametrize("deriv", [0, 1, 2])
