@@ -252,6 +252,37 @@ int apply(const Filter& f, const float* in, float* out, int64_t len,
   return 0;
 }
 
+// Strided apply for struct-of-arrays / interleaved embedded layouts
+// (reference: savgol_apply_strided, src/savgolFilter.c:877-934). The
+// reference copies a window per OUTPUT (O(len*width) strided reads); here
+// the strided field is gathered ONCE into a contiguous scratch, run
+// through the same SIMD `apply`, and scattered back — O(len) strided
+// touches total, and bit-identical to the contiguous path by
+// construction (same code operates on the gathered buffer). Sibling
+// bytes in the output elements are untouched (only the addressed float
+// is written), matching the reference's contract
+// (test/iterative/test_savgol.c:245-294).
+int apply_strided(const Filter& f, const void* in, int64_t in_stride,
+                  int64_t in_offset, void* out, int64_t out_stride,
+                  int64_t out_offset, int64_t count,
+                  bool reference_edge_sign) {
+  if (count < f.width) return -1;
+  if (in_stride <= 0 || out_stride <= 0) return -1;
+  std::vector<float> x(static_cast<size_t>(count));
+  std::vector<float> y(static_cast<size_t>(count));
+  const char* ip = static_cast<const char*>(in) + in_offset;
+  for (int64_t i = 0; i < count; ++i)
+    std::memcpy(&x[static_cast<size_t>(i)], ip + i * in_stride,
+                sizeof(float));
+  const int rc = apply(f, x.data(), y.data(), count, reference_edge_sign);
+  if (rc != 0) return rc;
+  char* op = static_cast<char*>(out) + out_offset;
+  for (int64_t i = 0; i < count; ++i)
+    std::memcpy(op + i * out_stride, &y[static_cast<size_t>(i)],
+                sizeof(float));
+  return 0;
+}
+
 // Threaded full-length apply: overlap-save over host threads — the same
 // decomposition the TPU path uses over chips (parallel/sharded.py), but
 // in shared memory no halo exchange is needed at all: each thread reads
@@ -443,6 +474,19 @@ int sgh_apply(const void* h, const float* in, float* out, int64_t len,
   if (!h || !in || !out) return -1;
   return sgh::apply(*static_cast<const sgh::Filter*>(h), in, out, len,
                     reference_edge_sign != 0);
+}
+
+// Strided apply: byte strides/offsets address one float field inside
+// interleaved or struct-of-arrays element layouts (reference parity:
+// savgol_apply_strided). Sibling bytes of output elements are untouched.
+int sgh_apply_strided(const void* h, const void* in, int64_t in_stride,
+                      int64_t in_offset, void* out, int64_t out_stride,
+                      int64_t out_offset, int64_t count,
+                      int reference_edge_sign) {
+  if (!h || !in || !out) return -1;
+  return sgh::apply_strided(*static_cast<const sgh::Filter*>(h), in,
+                            in_stride, in_offset, out, out_stride,
+                            out_offset, count, reference_edge_sign != 0);
 }
 
 int64_t sgh_apply_valid(const void* h, const float* in, int64_t len,

@@ -76,6 +76,11 @@ def load_library() -> ctypes.CDLL:
         lib.sgh_apply.restype = ctypes.c_int
         lib.sgh_apply.argtypes = [ctypes.c_void_p, _f32p, _f32p,
                                   ctypes.c_int64, ctypes.c_int]
+        lib.sgh_apply_strided.restype = ctypes.c_int
+        lib.sgh_apply_strided.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
         lib.sgh_apply_valid.restype = ctypes.c_int64
         lib.sgh_apply_valid.argtypes = [ctypes.c_void_p, _f32p,
                                         ctypes.c_int64, _f32p]
@@ -155,6 +160,42 @@ class HostSavgol1D:
                                  int(reference_edge_sign))
         if rc != 0:
             raise ValueError("native apply failed (input too short?)")
+        return out
+
+    def apply_strided(self, x: np.ndarray, out: Optional[np.ndarray] = None,
+                      reference_edge_sign: bool = False) -> np.ndarray:
+        """Filter a strided float32 field (reference parity:
+        ``savgol_apply_strided``, src/savgolFilter.c:877-934).
+
+        ``x`` is any 1D float32 view with a positive byte stride — e.g. a
+        structured-array field (``arr['value']``) or an interleaved column
+        (``arr[:, k]``) — no copy is made by the caller. If ``out`` is a
+        strided view into an element array, ONLY the addressed floats are
+        written; sibling bytes stay untouched (the reference's contract,
+        test/iterative/test_savgol.c:245-294). Returns ``out`` (a fresh
+        contiguous array if None).
+        """
+        x = np.asarray(x)
+        if x.ndim != 1 or x.dtype != np.float32:
+            raise ValueError("apply_strided expects a 1D float32 view")
+        if x.strides[0] <= 0:
+            raise ValueError("apply_strided requires a positive stride")
+        if out is None:
+            out = np.empty(x.size, dtype=np.float32)
+        else:
+            out = np.asarray(out)
+            if (out.ndim != 1 or out.dtype != np.float32
+                    or out.size != x.size):
+                raise ValueError("out must be a 1D float32 view of len(x)")
+            if out.strides[0] <= 0:
+                raise ValueError("apply_strided requires a positive stride")
+        rc = self._lib.sgh_apply_strided(
+            self._h, ctypes.c_void_p(x.ctypes.data), x.strides[0], 0,
+            ctypes.c_void_p(out.ctypes.data), out.strides[0], 0, x.size,
+            int(reference_edge_sign))
+        if rc != 0:
+            raise ValueError("native strided apply failed "
+                             "(input too short?)")
         return out
 
     def apply_valid(self, x) -> np.ndarray:

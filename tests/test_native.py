@@ -191,3 +191,83 @@ class TestThreadedApply:
     def test_threaded_rejects_bad_shapes(self, host1d):
         with pytest.raises(ValueError):
             host1d.apply_threaded(np.zeros((2, 3, 4), dtype=np.float32))
+
+
+class TestStridedApply:
+    """Native strided apply (reference savgol_apply_strided parity,
+    src/savgolFilter.c:877-934 / test/iterative/test_savgol.c:245-294)."""
+
+    @pytest.fixture
+    def host1d(self):
+        return native.HostSavgol1D(sg.SavgolConfig(3, 2))
+
+    def test_structured_field_bit_identical(self, host1d):
+        rng = np.random.default_rng(80)
+        vals = rng.standard_normal(200).astype(np.float32)
+        rec = np.zeros(200, dtype=[("timestamp", np.float32),
+                                   ("value", np.float32),
+                                   ("other", np.float32)])
+        rec["value"] = vals
+        out_rec = np.zeros_like(rec)
+        got = host1d.apply_strided(rec["value"], out=out_rec["value"])
+        np.testing.assert_array_equal(got, host1d.apply(vals))
+
+    def test_sibling_fields_untouched(self, host1d):
+        """The reference's 'other fields unchanged' check
+        (test_savgol.c:277-290): only the addressed float is written."""
+        rec = np.zeros(30, dtype=[("timestamp", np.float32),
+                                  ("value", np.float32),
+                                  ("other", np.float32)])
+        rec["timestamp"] = np.arange(30)
+        rec["value"] = 100.0
+        rec["other"] = 999.0
+        out_rec = np.zeros_like(rec)
+        host1d.apply_strided(rec["value"], out=out_rec["value"])
+        np.testing.assert_allclose(out_rec["value"], 100.0, atol=1e-2)
+        np.testing.assert_array_equal(out_rec["timestamp"], 0.0)
+        np.testing.assert_array_equal(out_rec["other"], 0.0)
+
+    def test_interleaved_column_view(self, host1d):
+        rng = np.random.default_rng(81)
+        mat = rng.standard_normal((500, 4)).astype(np.float32)
+        got = host1d.apply_strided(mat[:, 2])
+        np.testing.assert_array_equal(got,
+                                      host1d.apply(mat[:, 2].copy()))
+
+    def test_matches_reference_strided(self, host1d, ref):
+        rng = np.random.default_rng(82)
+        x = rng.standard_normal(120).astype(np.float32)
+        theirs, siblings = ref.apply_strided(x, 3, 2, stride_elems=3,
+                                             offset_elems=1)
+        assert not siblings.any()  # reference leaves sibling bytes alone
+        ours = host1d.apply_strided(x, reference_edge_sign=True)
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(ours - theirs).max() <= 2e-5 * scale
+
+    def test_matches_reference_strided_derivative(self, ref):
+        f = native.HostSavgol1D(sg.SavgolConfig(6, 3, 1))
+        rng = np.random.default_rng(83)
+        x = rng.standard_normal(90).astype(np.float32)
+        theirs, _ = ref.apply_strided(x, 6, 3, 1, stride_elems=5,
+                                      offset_elems=3)
+        rec = np.zeros((90, 5), dtype=np.float32)
+        rec[:, 3] = x
+        out = np.zeros_like(rec)
+        f.apply_strided(rec[:, 3], out=out[:, 3],
+                        reference_edge_sign=True)
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(out[:, 3] - theirs).max() <= 2e-5 * scale
+        out[:, 3] = 0.0
+        assert not out.any()
+
+    def test_rejects_bad_input(self, host1d):
+        with pytest.raises(ValueError, match="float32"):
+            host1d.apply_strided(np.zeros(50, dtype=np.float64))
+        with pytest.raises(ValueError, match="too short"):
+            host1d.apply_strided(np.zeros(4, dtype=np.float32))
+        with pytest.raises(ValueError, match="positive stride"):
+            host1d.apply_strided(
+                np.zeros(50, dtype=np.float32)[::-1])
+        with pytest.raises(ValueError, match="len"):
+            host1d.apply_strided(np.zeros(50, dtype=np.float32),
+                                 out=np.zeros(40, dtype=np.float32))
