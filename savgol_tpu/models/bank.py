@@ -160,7 +160,8 @@ class SavgolBank:
         def bank_corr(xin):
             # wide batches: K stationary band matmuls share one input
             # pass on the MXU (measured 1.7x the VPU bank on v5e)
-            if jax.default_backend() == "tpu" and B >= 64:
+            if (jax.default_backend() == "tpu"
+                    and B >= pc._BANK_MXU_MIN_BATCH):
                 return pc.correlate_valid_bank_pallas_mxu(xin, wdt)
             return pc.correlate_valid_bank_pallas(xin, wdt)
 

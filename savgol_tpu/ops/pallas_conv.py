@@ -731,14 +731,16 @@ def _pick_block_width(N: int, n: int, ws: int,
 
     Admissible: the lead window fits one block (cols >= ws) and the
     trailing region [N-n, N) lands inside the last block (N % cols == 0
-    or > n; the trailing WINDOW may dip into the slab's left halo). Among
-    admissible widths, take the largest whose masked-compute waste
-    (ceil-padding) is <= 5% of N — big blocks amortize grid overhead —
-    else the least-waste one. Shared by the poly/pad wrappers and the
+    or > n; the trailing WINDOW may dip into the slab's left halo). The
+    caller-preferred ``first`` (the measured 1D sweet spot) is tried
+    before anything else; after it, remaining widths largest-first. The
+    first admissible width whose masked-compute waste (ceil-padding) is
+    <= 5% of N wins — big blocks amortize grid overhead — else the
+    least-waste admissible one. Shared by the poly/pad wrappers and the
     bf16 dispatch predicate in ops.apply (keep in sync via this helper,
     not by copying the rule)."""
     best = None
-    for c2 in (first,) + _BLOCK_WIDTHS:
+    for c2 in (first,) + tuple(w for w in _BLOCK_WIDTHS if w != first):
         if c2 >= ws and c2 % _LANES == 0:
             r = N % c2
             if r == 0 or r > n:
@@ -911,6 +913,13 @@ def savgol_padded_pallas_mxu(x: jax.Array, center_w: jax.Array,
 # B=24 MXU 10.3 vs VPU 8.4 Gs/s, B=48 18.7 vs 9.3, B=128 30.5 vs ~18 —
 # MXU wins from B=24; thinner batches (B<=16) fold into tile rows anyway.
 _MXU_MIN_BATCH = 24
+
+# The K-filter bank has its own crossover: each config adds a full band
+# matmul, so the MXU bank kernel needs a wider batch to amortize than the
+# single-filter kernels (measured separately on v5e at K=3: MXU wins from
+# B=64, below that the VPU bank leads). Distinct from _MXU_MIN_BATCH by
+# measurement, not by accident — models/bank.py dispatches on this.
+_BANK_MXU_MIN_BATCH = 64
 
 
 def savgol_polynomial_pallas_auto(x, center_w, edge_w, n, dt_inv=1.0,
