@@ -1,0 +1,172 @@
+"""Direct ICI ring halo exchange via Pallas remote DMA.
+
+The default multi-chip path (:mod:`savgol_tpu.parallel.sharded`) exchanges
+overlap-save halos with two ``lax.ppermute`` collectives — XLA lowers those
+to ICI sends, but each is a separate collective op with its own
+synchronization. This module provides the hand-rolled equivalent: ONE
+Pallas kernel per shard that posts both neighbor copies as async remote
+DMAs (``pltpu.make_async_remote_copy``) over the ICI ring and waits them
+together — the kernel-level building block that lets the halo transfer
+overlap with local compute on real multi-chip hardware, where profiling
+can schedule it (ROADMAP round-2 item 4; reference has no comm layer at
+all, /root/reference/include/iterative/savgolFilter.h:16-19).
+
+Selected with ``apply_sharded(..., halo="rdma")``; the default stays
+``"ppermute"``. On non-TPU backends the kernel runs in Pallas TPU
+interpret mode, so the path is testable end-to-end on the virtual CPU
+mesh (tests/test_sharded.py::TestRdmaHalo) and exercised by
+``__graft_entry__.dryrun_multichip`` — multi-chip hardware needs zero new
+code, just the flag.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["halo_exchange_rdma"]
+
+# Distinct collective_id for the halo-exchange barrier semaphore; must not
+# collide with any other Pallas collective kernel in the same program.
+_HALO_COLLECTIVE_ID = 7
+
+
+def _halo_kernel(tail_ref, head_ref, left_out, right_out, send_sem,
+                 recv_sem, *, axis_name: str, interpret: bool):
+    """Post both neighbor halo copies as async remote DMAs and wait.
+
+    SPMD over the ring: every shard sends its tail right and its head
+    left; the matching receives land in ``left_out`` / ``right_out``.
+    The waits pair up because every device runs the same program point:
+    my recv semaphore is signaled by my neighbor's send of the same
+    descriptor.
+
+    Device addressing: on hardware, MESH-typed dict ids (the neighbor
+    coordinate along the ring axis, own index elsewhere) so the exchange
+    composes with dp x sp meshes. The interpret-mode discharge rule
+    supports neither dict ids nor multi-axis meshes, so the CPU test lane
+    uses LOGICAL scalar ids — equivalent on a single named axis, which is
+    all interpret mode can express.
+    """
+    my = lax.axis_index(axis_name)
+    size = int(lax.axis_size(axis_name))
+    right = lax.rem(my + jnp.int32(1), jnp.int32(size))
+    left = lax.rem(my + jnp.int32(size - 1), jnp.int32(size))
+    if interpret:
+        id_kw = dict(device_id_type=pltpu.DeviceIdType.LOGICAL)
+        right_id, left_id = right, left
+    else:
+        id_kw = dict(device_id_type=pltpu.DeviceIdType.MESH)
+        right_id, left_id = {axis_name: right}, {axis_name: left}
+        # Hardware needs the neighbor barrier before posting writes into
+        # their output buffers (a remote write must not land before the
+        # receiver's kernel owns the buffer). Interpret mode has no
+        # barrier-semaphore emulation; its discharge is synchronous.
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left_id, **id_kw)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right_id, **id_kw)
+        pltpu.semaphore_wait(barrier, 2)
+
+    # my tail -> right neighbor's left halo
+    send_right = pltpu.make_async_remote_copy(
+        src_ref=tail_ref, dst_ref=left_out,
+        send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
+        device_id=right_id, **id_kw)
+    # my head -> left neighbor's right halo
+    send_left = pltpu.make_async_remote_copy(
+        src_ref=head_ref, dst_ref=right_out,
+        send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
+        device_id=left_id, **id_kw)
+    send_right.start()
+    send_left.start()
+    send_right.wait()
+    send_left.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("axis_name", "interpret"))
+def _halo_call(tail, head, axis_name: str, interpret: bool):
+    kernel = functools.partial(_halo_kernel, axis_name=axis_name,
+                               interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(tail.shape, tail.dtype),
+                   jax.ShapeDtypeStruct(head.shape, head.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        # collective_id keys the barrier semaphore; only legal when the
+        # kernel actually uses one (the hardware path — interpret mode
+        # rejects it and needs no barrier, its discharge is synchronous)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            **({} if interpret
+               else dict(collective_id=_HALO_COLLECTIVE_ID))),
+        interpret=interpret,
+    )(tail, head)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def halo_exchange_rdma(x_local: jax.Array, n: int, axis_name: str):
+    """Ring halo exchange over ICI remote DMA.
+
+    Same contract as the ppermute-based ``_halo_exchange``
+    (parallel/sharded.py): returns ``(left_halo, right_halo)``, each
+    ``(..., n)`` — n trailing samples of the left neighbor and n leading
+    samples of the right neighbor, with ring wrap-around (the PERIODIC
+    boundary rides the ring natively; outer shards overwrite for other
+    modes exactly as on the ppermute path). Call INSIDE ``shard_map``.
+
+    Differentiable: the VJP is the SAME kernel with the send directions
+    swapped — halo cotangents travel back to the shard that contributed
+    the samples and accumulate into its head/tail positions.
+    """
+    interpret = jax.default_backend() != "tpu"
+    shape = x_local.shape
+    xb = x_local.reshape((-1, shape[-1]))
+    tail = xb[:, -n:]
+    head = xb[:, :n]
+    if int(lax.axis_size(axis_name)) == 1:
+        # ring of one: the exchange is the identity (my own wrap-around);
+        # skip the kernel — a barrier'd remote copy to self must not be
+        # issued on single-chip runtimes (observed to wedge the device on
+        # the virtualized dev chip, whose semaphore routing assumes a
+        # real multi-chip topology)
+        left, right = tail, head
+    else:
+        left, right = _halo_call(tail, head, axis_name, interpret)
+    return (left.reshape(shape[:-1] + (n,)),
+            right.reshape(shape[:-1] + (n,)))
+
+
+def _halo_fwd(x_local, n, axis_name):
+    # residual carries only static shape/dtype info; values unused (the
+    # exchange is linear) — residuals must be jax types, so pass the input
+    return halo_exchange_rdma(x_local, n, axis_name), x_local
+
+
+def _halo_bwd(n, axis_name, res, cts):
+    shape, dtype = res.shape, res.dtype
+    g_left, g_right = cts
+    interpret = jax.default_backend() != "tpu"
+    gl = g_left.astype(dtype).reshape((-1, n))
+    gr = g_right.astype(dtype).reshape((-1, n))
+    # Forward sent my tail right / my head left; so my left_halo cotangent
+    # must return to my LEFT neighbor's tail and my right_halo cotangent to
+    # my RIGHT neighbor's head. Feeding (tail=g_right, head=g_left) to the
+    # same kernel delivers exactly that: what arrives as left_out is my own
+    # head's gradient, right_out my tail's.
+    g_head, g_tail = _halo_call(gr, gl, axis_name, interpret)
+    gx = jnp.zeros((gl.shape[0], shape[-1]), dtype=dtype)
+    gx = gx.at[:, :n].add(g_head).at[:, -n:].add(g_tail)
+    return (gx.reshape(shape),)
+
+
+halo_exchange_rdma.defvjp(_halo_fwd, _halo_bwd)

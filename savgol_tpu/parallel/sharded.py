@@ -72,7 +72,7 @@ def _halo_exchange(x_local: jax.Array, n: int, axis_name: str):
 
 
 def _local_apply(x_local, center_w, edge_w, n, boundary, dt_inv, lead_sign,
-                 axis_name, precision, method="xla"):
+                 axis_name, precision, method="xla", halo="ppermute"):
     """Per-shard body: halo exchange + local correlation + end-shard fixes.
 
     ``method`` is pre-resolved by the caller (no "auto" here): the local
@@ -103,7 +103,11 @@ def _local_apply(x_local, center_w, edge_w, n, boundary, dt_inv, lead_sign,
     is_first = idx == 0
     is_last = idx == size - 1
 
-    left, right = _halo_exchange(x_local, n, axis_name)
+    if halo == "rdma":
+        from savgol_tpu.parallel.ici_halo import halo_exchange_rdma
+        left, right = halo_exchange_rdma(x_local, n, axis_name)
+    else:
+        left, right = _halo_exchange(x_local, n, axis_name)
 
     if boundary is not BoundaryMode.PERIODIC:
         # Outer shards see wrapped (wrong) halos; substitute local virtual
@@ -154,16 +158,22 @@ def apply_sharded(
     batch_axis: Optional[str] = "batch",
     precision=lax.Precision.HIGHEST,
     method: str = "auto",
+    halo: str = "ppermute",
 ) -> jax.Array:
     """Same-length filter of ``x`` (shape ``(..., N)`` or ``(N,)``) sharded
     along the sample axis over ``mesh[seq_axis]`` (and optionally along the
     leading axis over ``mesh[batch_axis]``).
 
     Semantics identical to :func:`savgol_tpu.ops.apply.savgol_apply`;
-    communication is two neighbor ``ppermute`` sends of ``half_window``
-    samples per shard. ``method="auto"`` (default) runs each shard's local
-    correlation on the fast single-chip path (Pallas/MXU on TPU).
+    communication is two neighbor sends of ``half_window`` samples per
+    shard. ``method="auto"`` (default) runs each shard's local correlation
+    on the fast single-chip path (Pallas/MXU on TPU). ``halo`` selects the
+    exchange implementation: ``"ppermute"`` (default, XLA collectives) or
+    ``"rdma"`` (Pallas ``make_async_remote_copy`` ring — see
+    :mod:`savgol_tpu.parallel.ici_halo`); both produce identical results.
     """
+    if halo not in ("ppermute", "rdma"):
+        raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
     from savgol_tpu.ops.apply import _resolve_method
 
     n = int(half_window)
@@ -192,7 +202,7 @@ def apply_sharded(
     fn = functools.partial(
         _local_apply, center_w=center_w, edge_w=edge_w, n=n,
         boundary=boundary, dt_inv=dt_inv, lead_sign=lead_sign,
-        axis_name=seq_axis, precision=precision, method=method)
+        axis_name=seq_axis, precision=precision, method=method, halo=halo)
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False)
