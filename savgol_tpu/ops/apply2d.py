@@ -209,6 +209,36 @@ def _pallas_rowmxu_bf16_diff():
     return op
 
 
+@functools.lru_cache(maxsize=256)
+def _pallas_rowmxu_same_bf16_diff(pad_mode: str, ny: int, nx: int):
+    """Same-size 2D bf16 throughput mode with boundary pad + tile pad
+    fused into ONE host pad before the row-banded MXU kernel (the split
+    path copies the whole image twice). Gradients flow through the exact
+    XLA twin (pad + valid correlation)."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        y = pallas_conv.savgol2d_same_pallas_rowmxu(
+            x.astype(jnp.bfloat16), w, pad_mode,
+            mxu_precision=lax.Precision.DEFAULT)
+        return y.astype(x.dtype)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        def xla_twin(x, w):
+            pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
+            return correlate2d_valid(jnp.pad(x, pad, mode=pad_mode), w)
+
+        _, vjp = jax.vjp(xla_twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_rowmxu_stack_bf16_diff():
     """bf16 throughput mode for (K, H, W) stencil stacks: ONE input pass
@@ -301,6 +331,12 @@ def savgol2d_apply(
             op = _pallas_same_const_diff(_WeightKey(w_np * s_np), mode,
                                          ny, nx)
             return op(x)
+    if method == "bf16" and boundary is not Boundary2D.VALID:
+        # fused same-size form: one pad instead of boundary pad + the
+        # valid wrapper's tile pad (two full-image copies)
+        y = _pallas_rowmxu_same_bf16_diff(
+            _PAD_MODE_2D[boundary], ny, nx)(x, weights)
+        return y * jnp.asarray(scale, dtype=y.dtype)
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
     if method == "bf16":

@@ -1444,6 +1444,11 @@ def _rowband_matrices(w) -> jax.Array:
 
 def _corr2d_rowmxu_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,
                           o_ref, *, wh: int, cb: int, mxu_precision):
+    # The vertical shift lives on the INPUT operand (Xk = xw[k:k+r]) —
+    # measured on v5e bf16: 14.7 Gpix/s vs ~10 for the original
+    # output-side form (rk = mm(X2)[k:k+r]): the input-side slice keeps
+    # every f32 accumulator add aligned AND trims the matmul M from
+    # rows+HALO_R to rows (benchmarks/probe_rowmxu.py; bit-identical).
     top = jnp.concatenate([x_ref[0], right_ref[0]], axis=1)
     bottom = jnp.concatenate([bot_ref[0], corner_ref[0]], axis=1)
     xw = jnp.concatenate([top, bottom], axis=0)   # (rows+HALO_R, cols+128)
@@ -1456,11 +1461,10 @@ def _corr2d_rowmxu_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,
             precision=mxu_precision, preferred_element_type=acc_t)
 
     for i in range(cb):
-        X2 = xw[:, i * _LANES:i * _LANES + 2 * _LANES]
         acc = None
         for k in range(wh):
-            rk = mm(X2, bands_ref[k])             # (rows+HALO_R, 128) f32
-            part = rk[k:k + r, :]
+            Xk = xw[k:k + r, i * _LANES:i * _LANES + 2 * _LANES]
+            part = mm(Xk, bands_ref[k])           # (rows, 128) f32
             acc = part if acc is None else acc + part
         o_ref[0, :, i * _LANES:(i + 1) * _LANES] = acc.astype(o_ref.dtype)
 
@@ -1553,6 +1557,53 @@ def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 
+def savgol2d_same_pallas_rowmxu(x: jax.Array, w, pad_mode: str,
+                                rows: int = 256, cols: int = 512,
+                                interpret: bool | None = None,
+                                mxu_precision=None) -> jax.Array:
+    """Same-size row-banded MXU apply with the boundary pad FUSED into the
+    tile pad (the bf16 throughput mode's same-size form).
+
+    One ``jnp.pad`` supplies boundary ring + tile alignment + kernel halo
+    (the split path copies the whole image twice before the kernel — see
+    :func:`savgol2d_same_pallas` for the argument; the over-extended
+    boundary values only feed outputs that are sliced away). Unlike the
+    const-baked dense path, ``w`` may be traced (bands are built with
+    jnp). ``pad_mode``: "edge" or "symmetric"."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if mxu_precision is None:
+        mxu_precision = jax.lax.Precision.HIGHEST
+    _check_tile(rows, cols, row_quantum=_HALO_R)
+    w = jnp.asarray(w, dtype=x.dtype)
+    wh, ww = w.shape
+    if wh > _HALO_R + 1 or ww > _LANES + 1:
+        raise ValueError(f"stencil {w.shape} exceeds kernel halo limits")
+    ny, nx = (wh - 1) // 2, (ww - 1) // 2
+    batch_shape = x.shape[:-2]
+    R, C = x.shape[-2:]
+    xb = x.reshape((-1, R, C))
+
+    rows = min(rows, _round_up(max(R, _HALO_R), _HALO_R))
+    cols_eff = min(cols, _round_up(max(C, _LANES), _LANES))
+    Rp = _round_up(R, rows) + _HALO_R
+    Cp = _round_up(C, cols_eff) + _LANES
+    pr, pc = Rp - R - ny, Cp - C - nx
+    bands = _rowband_matrices(w)
+    if pr > R or pc > C:
+        # tiny images: jnp.pad's symmetric/edge require pad <= dim —
+        # split path (boundary pad, then the valid wrapper's own pad)
+        xp = jnp.pad(xb, ((0, 0), (ny, ny), (nx, nx)), mode=pad_mode)
+        out = correlate2d_valid_pallas_rowmxu(
+            xp, w, rows=rows, cols=cols, interpret=interpret,
+            mxu_precision=mxu_precision)
+        return out.reshape(batch_shape + (R, C))
+    xp = jnp.pad(xb, ((0, 0), (ny, pr), (nx, pc)), mode=pad_mode)
+    out = _corr2d_rowmxu_call(xp, bands, rows, cols_eff, interpret,
+                              mxu_precision)
+    return out[:, :R, :C].reshape(batch_shape + (R, C))
+
+
 def _corr2d_rowmxu_stack_kernel(bands_ref, x_ref, right_ref, bot_ref,
                                 corner_ref, o_ref, *, K: int, wh: int,
                                 cb: int, mxu_precision):
@@ -1571,12 +1622,13 @@ def _corr2d_rowmxu_stack_kernel(bands_ref, x_ref, right_ref, bot_ref,
             precision=mxu_precision, preferred_element_type=acc_t)
 
     for i in range(cb):
-        X2 = xw[:, i * _LANES:i * _LANES + 2 * _LANES]
         for k in range(K):
             acc = None
             for y in range(wh):
-                rk = mm(X2, bands_ref[k, y])
-                part = rk[y:y + r, :]
+                # input-side vertical shift: aligned accumulates, smaller
+                # matmul M (see _corr2d_rowmxu_kernel)
+                Xy = xw[y:y + r, i * _LANES:i * _LANES + 2 * _LANES]
+                part = mm(Xy, bands_ref[k, y])
                 acc = part if acc is None else acc + part
             o_ref[k, 0, :, i * _LANES:(i + 1) * _LANES] = (
                 acc.astype(o_ref.dtype))

@@ -289,6 +289,22 @@ class TestBF16Mode2D:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
                                    rtol=3e-2, atol=1e-3)
 
+    def test_same_size_bf16_tiny_image_split_path(self):
+        """Images too small for the fused single-pad geometry (pad would
+        exceed the dim for symmetric/edge modes) must fall back to the
+        split pad path with identical results."""
+        rng = np.random.default_rng(54)
+        img = jnp.asarray(rng.standard_normal((3, 40, 40)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img, boundary=sg.Boundary2D.REFLECT,
+                                 method="bf16"))
+        want = np.asarray(f.apply(img, boundary=sg.Boundary2D.REFLECT,
+                                  method="xla"))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 3e-2 * np.abs(want).max()
+
     def test_bf16_input_stays_bf16(self):
         rng = np.random.default_rng(53)
         img = jnp.asarray(rng.standard_normal((80, 90)), dtype=jnp.bfloat16)
