@@ -61,9 +61,11 @@ def _corr1d_dma_kernel(bands_ref, x_hbm, o_hbm, in_buf, out_buf, in_sem,
             a, b, dimension_numbers=(((1,), (0,)), ((), ())),
             precision=mxu_precision, preferred_element_type=acc_t)
 
+    r0 = pl.program_id(0) * rows
+
     def in_dma(slot, c, width=slab):
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(c * cols, width)],
+            x_hbm.at[pl.ds(r0, rows), pl.ds(c * cols, width)],
             in_buf.at[slot, :, pl.ds(0, width)],
             in_sem.at[slot])
 
@@ -73,7 +75,7 @@ def _corr1d_dma_kernel(bands_ref, x_hbm, o_hbm, in_buf, out_buf, in_sem,
     def out_dma(slot, c, width=cols):
         return pltpu.make_async_copy(
             out_buf.at[slot, :, pl.ds(0, width)],
-            o_hbm.at[:, pl.ds(c * cols, width)],
+            o_hbm.at[pl.ds(r0, rows), pl.ds(c * cols, width)],
             out_sem.at[slot])
 
     def compute(slot):
@@ -143,11 +145,9 @@ def corr1d_dma_call(x, bands, rows, cols, n_out, interpret, mxu_precision):
         in_specs=[
             pl.BlockSpec((2 * _LANES, _LANES), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, N), lambda bi: (bi, 0),
-                         memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((rows, n_out), lambda bi: (bi, 0),
-                               memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, n_out), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, rows, cols + _LANES), x.dtype),
@@ -179,16 +179,34 @@ def run_correctness():
         assert err <= 1e-5, "manual-DMA kernel diverges"
 
 
-def _bench_distinct(fn, x, *rest, iters=10, warmup=2):
-    shifted = jax.jit(lambda v, i, *r: fn(v + i.astype(v.dtype), *r))
-    for i in range(warmup):
-        out = shifted(x, jnp.float32(1e-6 * (i + 1)), *rest)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = shifted(x, jnp.float32(1e-6 * (i + 17)), *rest)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _bench_chain(fn, x, iters=5, k=4):
+    """Chained on-device timing with k-difference (see probe_rowmxu):
+    output fed back as next input, re-padded to length N."""
+    N = x.shape[-1]
+
+    def chained(v, kk):
+        def body(carry, _):
+            y = fn(carry)
+            nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
+                          ((0, 0), (0, N - y.shape[-1])))
+            return nxt.astype(v.dtype), None
+        out, _ = jax.lax.scan(body, v, None, length=kk)
+        return out
+
+    times = {}
+    for kk in (k, 2 * k):
+        cf = jax.jit(functools.partial(chained, kk=kk))
+        out = cf(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = cf(out)
+        jax.block_until_ready(out)
+        times[kk] = (time.perf_counter() - t0) / iters
+    ratio = times[2 * k] / times[k]
+    if not (1.6 <= ratio <= 2.6):
+        print(f"  !! k-scaling suspect: ratio {ratio:.2f}")
+    return (times[2 * k] - times[k]) / k
 
 
 def run_bench(iters):
@@ -204,12 +222,12 @@ def run_bench(iters):
         B = 128
         x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
         n_out = N - 25 + 1
-        t_lib = _bench_distinct(
+        t_lib = _bench_chain(
             lambda v: correlate_valid_pallas_mxu(v, w), x, iters=iters)
         print(f"{label} N={N}: library {B * n_out / t_lib / 1e9:6.2f} Gs/s")
         for rows, cols in ((128, 2048), (128, 4096), (256, 2048)):
             try:
-                t_dma = _bench_distinct(
+                t_dma = _bench_chain(
                     lambda v, rows=rows, cols=cols: corr1d_dma_call(
                         v, bands, rows=rows, cols=cols, n_out=n_out,
                         interpret=False, mxu_precision=hp), x, iters=iters)

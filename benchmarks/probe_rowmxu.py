@@ -39,19 +39,40 @@ from savgol_tpu.ops.pallas_conv import (_LANES, _HALO_R, _round_up,
                                         _rowband_matrices, pl, pltpu)
 
 
-def _bench_distinct(fn, xp, *rest, iters=10, warmup=2):
-    """Time fn(xp + i*eps, *rest) with a distinct input per call so the
-    remote-execution layer cannot dedup; the elementwise add is identical
-    across variants so relative numbers stand."""
-    shifted = jax.jit(lambda v, i, *r: fn(v + i.astype(v.dtype), *r))
-    for i in range(warmup):
-        out = shifted(xp, jnp.float32(1e-6 * (i + 1)), *rest)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = shifted(xp, jnp.float32(1e-6 * (i + 17)), *rest)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _bench_chain(fn, xp, *rest, iters=5, k=4, check_scaling=True):
+    """Chained on-device timing: lax.scan feeds each step's output back
+    into the next step's input (re-padded to the input geometry), so the
+    virtualized stack cannot dedup or elide bodies. Verifies k-scaling
+    (time must ~double from k to 2k) and returns the per-step time minus
+    the chain glue (estimated from the k-difference)."""
+    Rp, Cp = xp.shape[-2:]
+
+    def chained(v, kk):
+        def body(carry, _):
+            y = fn(carry, *rest)
+            nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
+                          ((0, 0), (0, Rp - y.shape[1]),
+                           (0, Cp - y.shape[2])))
+            return nxt.astype(v.dtype), None
+        out, _ = jax.lax.scan(body, v, None, length=kk)
+        return out
+
+    times = {}
+    for kk in (k, 2 * k):
+        cf = jax.jit(functools.partial(chained, kk=kk))
+        out = cf(xp)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = cf(out)
+        jax.block_until_ready(out)
+        times[kk] = (time.perf_counter() - t0) / iters
+    # per-step time from the k-difference (cancels dispatch overhead)
+    per_step = (times[2 * k] - times[k]) / k
+    ratio = times[2 * k] / times[k]
+    if check_scaling and not (1.6 <= ratio <= 2.6):
+        print(f"  !! k-scaling suspect: t({2*k})/t({k}) = {ratio:.2f}")
+    return per_step
 
 
 def _variant_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,
@@ -156,10 +177,9 @@ def main():
 
     ref = None
     cases = [
-        ("A_lib       256x512", "A_lib", 256, 512, bands),
+        ("A_oldlib    256x512", "A_lib", 256, 512, bands),
         ("B_alignctl  256x512", "B_alignctl", 256, 512, bands),
         ("C_inshift   256x512", "C_inshift", 256, 512, bands),
-        ("C_inshift   512x512", "C_inshift", 512, 512, bands),
         ("C_inshift  256x1024", "C_inshift", 256, 1024, bands),
         ("C_wh1       256x512", "C_inshift", 256, 512, bands1),
     ]
@@ -168,7 +188,7 @@ def main():
         fn = functools.partial(_variant_call, rows=rows, cols=cols,
                                variant=variant)
         try:
-            t = _bench_distinct(fn, xp, bnd, iters=args.iters)
+            t = _bench_chain(fn, xp, bnd, iters=args.iters)
         except Exception as e:
             print(f"{label}  FAILED: {type(e).__name__}: {str(e)[:120]}")
             continue
@@ -176,18 +196,41 @@ def main():
         if ref is None:
             ref = y
         err = float(np.abs(y - ref).max())
-        eff_pix = npix if bnd.shape[0] == wh else npix  # same pixel count
         macs = bnd.shape[0] * 2 * _LANES
-        print(f"{label}  {eff_pix / t / 1e9:7.2f} Gpix/s   "
-              f"mxu {eff_pix / t * macs / 1e12:6.1f} TMAC/s   "
+        print(f"{label}  {npix / t / 1e9:7.2f} Gpix/s   "
+              f"mxu {npix / t * macs / 1e12:6.1f} TMAC/s   "
               f"max|d vs A| {err:.3e}")
 
-    # API wrapper for the before/after record
+    # library kernel (new input-shift form) through the same chain
+    from savgol_tpu.ops.pallas_conv import _corr2d_rowmxu_call
+    xp = padded(256, 512)
+    t = _bench_chain(
+        lambda v, b: _corr2d_rowmxu_call(v, b, 256, 512, False,
+                                         jax.lax.Precision.DEFAULT),
+        xp, bands, iters=args.iters)
+    print(f"lib_new     256x512  {npix / t / 1e9:7.2f} Gpix/s")
+
+    # API wrapper (same-size, fused pad) through the chain: output is
+    # same-size so re-padding only restores the tiny boundary ring
     import savgol_tpu as sg
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
-    fn_api = lambda v: f2.apply(v, method="bf16")
-    t = _bench_distinct(fn_api, img, iters=args.iters)
-    print(f"api_same    (wrap)   {Bimg * R * C / t / 1e9:7.2f} Gpix/s")
+
+    def api_chain(v):
+        def body(carry, _):
+            y = f2.apply(carry, method="bf16")
+            return (y * jnp.asarray(1e-3, dtype=y.dtype)).astype(v.dtype), None
+        out, _ = jax.lax.scan(body, v, None, length=4)
+        return out
+
+    cf = jax.jit(api_chain)
+    out = cf(img)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = cf(out)
+    jax.block_until_ready(out)
+    t = (time.perf_counter() - t0) / (args.iters * 4)
+    print(f"api_same    (chain)  {Bimg * R * C / t / 1e9:7.2f} Gpix/s")
 
 
 if __name__ == "__main__":

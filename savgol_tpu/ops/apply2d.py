@@ -286,6 +286,18 @@ def _pallas_corr2d_diff():
     return op
 
 
+
+def _apply_scale(y, scale):
+    """Multiply by scale unless it is concretely 1.0 — the no-op multiply
+    otherwise costs a full read+write of the output (measured ~7% of the
+    2D bf16 API wall on 2048^2 images)."""
+    try:
+        if float(np.asarray(scale)) == 1.0:
+            return y
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        pass
+    return y * jnp.asarray(scale, dtype=y.dtype)
+
 def _pad2d(x: jax.Array, ny: int, nx: int, boundary: Boundary2D) -> jax.Array:
     mode = _PAD_MODE_2D[boundary]
     pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
@@ -336,12 +348,12 @@ def savgol2d_apply(
         # valid wrapper's tile pad (two full-image copies)
         y = _pallas_rowmxu_same_bf16_diff(
             _PAD_MODE_2D[boundary], ny, nx)(x, weights)
-        return y * jnp.asarray(scale, dtype=y.dtype)
+        return _apply_scale(y, scale)
     if boundary is not Boundary2D.VALID:
         x = _pad2d(x, ny, nx, boundary)
     if method == "bf16":
         y = _pallas_rowmxu_bf16_diff()(x, weights)
-        return y * jnp.asarray(scale, dtype=y.dtype)
+        return _apply_scale(y, scale)
     if method == "sep":
         try:
             w_np = np.asarray(weights)
@@ -349,13 +361,13 @@ def savgol2d_apply(
             w_np = None          # traced weights: no host SVD possible
         if w_np is not None:
             y = _pallas_sep_diff(_WeightKey(w_np))(x)
-            return y * jnp.asarray(scale, dtype=x.dtype)
+            return _apply_scale(y, scale)
         method = "pallas"
     if method == "pallas":
         y = _corr2d_pallas_dispatch(x, weights)
     else:
         y = correlate2d_valid(x, weights)
-    return y * jnp.asarray(scale, dtype=x.dtype)
+    return _apply_scale(y, scale)
 
 
 def savgol2d_apply_stack(
