@@ -507,16 +507,36 @@ def savgol_polynomial_pallas(x: jax.Array, center_w: jax.Array,
 # The polynomial edges are fused exactly as in the VPU kernel.
 
 
+@functools.lru_cache(maxsize=64)
+def _poly_band_onehot(ws: int, n: int):
+    """Constant one-hot for the 3-band stack: O[t, (j*128+q)*128+p] =
+    [q - p + n + off_j == t], off_j in (-128, 0, 128)."""
+    import numpy as np
+    q = np.arange(_LANES)[:, None]
+    p = np.arange(_LANES)[None, :]
+    t = np.arange(ws)[:, None, None]
+    blocks = [(q[None] - p[None] + n + off == t).astype(np.float32)
+              for off in (-_LANES, 0, _LANES)]
+    return np.concatenate(blocks, axis=1).reshape(ws, 3 * _LANES * _LANES)
+
+
 def _band_matrices(w: jax.Array, n: int) -> jax.Array:
     """(3*128, 128) stationary band stack [WL; WC; WR].
 
-    Built with jnp gathers so it works on TRACED weights (the custom_vjp
-    apply wrappers trace them); entries are pure copies of w — no
-    arithmetic — so exactness is preserved in any dtype."""
+    Entries are pure copies of w — no arithmetic — so exactness is
+    preserved in any dtype. Concrete weights constant-fold the gather
+    form; traced weights (the custom_vjp apply wrappers trace them) take
+    the one-hot einsum instead — the on-device gather was measured as a
+    dominant fixed cost (see _valid_band_matrices)."""
     w = jnp.asarray(w)
+    ws = w.shape[0]
+    if isinstance(w, jax.core.Tracer):
+        oh = jnp.asarray(_poly_band_onehot(ws, n), dtype=w.dtype)
+        flat = jnp.einsum("t,tk->k", w, oh,
+                          precision=jax.lax.Precision.HIGHEST)
+        return flat.reshape(3 * _LANES, _LANES)
     q = jnp.arange(_LANES)[:, None]
     p = jnp.arange(_LANES)[None, :]
-    ws = w.shape[0]
     out = []
     for off in (-_LANES, 0, _LANES):
         k = q - p + n + off
@@ -983,12 +1003,40 @@ def correlate_valid_pallas_auto(x, w, interpret: bool | None = None):
 #     V1[q, p] = w[q + 128 - p]    (bottom-left corner)
 
 
+@functools.lru_cache(maxsize=16)
+def _valid_band_onehot(ws: int):
+    """Constant one-hot tensor O[t, q*128+p] = [q - p == t] for the
+    traced-weight band construction: V = w @ O reshaped (2*128, 128).
+    Built on the host once per window size."""
+    import numpy as np
+    q = np.arange(2 * _LANES)[:, None]
+    p = np.arange(_LANES)[None, :]
+    t = np.arange(ws)[:, None, None]
+    oh = (q[None] - p[None] == t).astype(np.float32)
+    return oh.reshape(ws, 2 * _LANES * _LANES)
+
+
 def _valid_band_matrices(w: jax.Array) -> jax.Array:
-    """(2*128, 128) band stack [V0; V1] (jnp — works on traced weights)."""
+    """(2*128, 128) band stack [V0; V1] (jnp — works on traced weights).
+
+    Entries are pure copies of w, so exactness is preserved in any dtype.
+    For CONCRETE weights the gather form constant-folds at compile time;
+    for TRACED weights the gather would run on-device every call (the
+    TPU scalar-core gather was the dominant fixed cost of the sweep path
+    — benchmarks/probe_sweep.py), so traced weights take a one-hot
+    einsum instead: ONE (1, ws) @ (ws, 32768) matmul against a host
+    constant. The one-hot entries are exact 0/1, so the contraction at
+    HIGHEST reproduces the copies bit-for-bit (each output sums exactly
+    one w[t] against 1.0)."""
     w = jnp.asarray(w)
+    ws = w.shape[0]
+    if isinstance(w, jax.core.Tracer):
+        oh = jnp.asarray(_valid_band_onehot(ws), dtype=w.dtype)
+        flat = jnp.einsum("t,tk->k", w, oh,
+                          precision=jax.lax.Precision.HIGHEST)
+        return flat.reshape(2 * _LANES, _LANES)
     q = jnp.arange(_LANES)[:, None]
     p = jnp.arange(_LANES)[None, :]
-    ws = w.shape[0]
     out = []
     for off in (0, _LANES):
         k = q - p + off
@@ -1437,8 +1485,16 @@ def savgol2d_same_pallas(x: jax.Array, w, pad_mode: str,
 
 
 def _rowband_matrices(w) -> jax.Array:
-    """(wh, 2*128, 128) stack of per-stencil-row valid band pairs."""
+    """(wh, 2*128, 128) stack of per-stencil-row valid band pairs.
+
+    Traced weights batch all rows through one one-hot einsum (see
+    _valid_band_matrices for why gathers are avoided on device)."""
     w = jnp.asarray(w)
+    if isinstance(w, jax.core.Tracer):
+        oh = jnp.asarray(_valid_band_onehot(w.shape[1]), dtype=w.dtype)
+        flat = jnp.einsum("kt,tm->km", w, oh,
+                          precision=jax.lax.Precision.HIGHEST)
+        return flat.reshape(w.shape[0], 2 * _LANES, _LANES)
     return jnp.stack([_valid_band_matrices(w[k]) for k in range(w.shape[0])])
 
 
