@@ -121,7 +121,11 @@ def _pallas_same_const_diff(w_key, pad_mode: str, ny: int, nx: int):
 def _corr2d_pallas_dispatch(x, weights):
     """Pallas dense 2D correlation: baked-constant kernel when the stencil
     is concrete (the common precomputed-filter case), runtime-SMEM kernel
-    when traced (weights under jit/grad)."""
+    when traced (weights under jit/grad); mid/wide-band stencils route to
+    the row-banded MXU kernel at HIGHEST (see _rowmxu_exact_band)."""
+    H, W = weights.shape[-2:]
+    if _rowmxu_exact_band(H, W):
+        return _pallas_rowmxu_exact_diff()(x, weights)
     try:
         w_np = np.asarray(weights)
     except jax.errors.TracerArrayConversionError:
@@ -183,6 +187,80 @@ def correlate2d_valid(x: jax.Array, w: jax.Array,
     return out
 
 
+# Exact-path mid/wide-band dispatch: the row-banded MXU kernel at HIGHEST
+# (6-pass bf16) overtakes the dense const-baked VPU kernel once the
+# stencil passes ~9-11 taps, measured THROUGH the API with chained
+# k-difference + HLO kernel-marker asserts on v5e, three independent runs
+# (benchmarks/probe_midband.py). Same-size rowmxu-vs-dense Gpix/s:
+# 9x9 5.56/4.60, 11x11 4.65-4.71/3.30-3.54, 13x13 3.91-3.98/2.46-3.69,
+# 17x17 3.27/1.35, 21x21 2.64-2.69/0.83, 25x25 2.31/0.60; VALID mode
+# agrees (11x11 4.71/3.54). Err ~2-4e-7 relative vs the dense kernel.
+# Round 2's reverted dispatch (d08d026) predates the input-side-shift
+# kernel form + chained protocol; this band is the re-decided version.
+# Threshold 11, not 9: the 9x9 margin (~10-20%) is within this dev
+# chip's run variance; 11 wins by >=30% in every run and mode.
+_ROWMXU_EXACT_MIN_WH = 11
+
+
+def _rowmxu_exact_band(wh: int, ww: int) -> bool:
+    """True when the exact 2D path should run the row-banded MXU kernel
+    at HIGHEST instead of the dense VPU kernel / separable fallback."""
+    if jax.default_backend() != "tpu":
+        return False
+    from savgol_tpu.ops import pallas_conv
+    if wh > pallas_conv._HALO_R + 1 or ww > pallas_conv._LANES + 1:
+        return False          # beyond the kernel's halo limits
+    return max(wh, ww) >= _ROWMXU_EXACT_MIN_WH
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_rowmxu_exact_diff():
+    """Differentiable exact-path wrapper: row-banded MXU kernel at
+    HIGHEST precision (6-pass bf16 = exact f32). Weights may be traced."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.correlate2d_valid_pallas_rowmxu(
+            x, w, mxu_precision=lax.Precision.HIGHEST)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate2d_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=256)
+def _pallas_rowmxu_same_exact_diff(pad_mode: str, ny: int, nx: int):
+    """Same-size exact rowmxu wrapper with the boundary pad fused into
+    the tile pad (one jnp.pad total, as in the bf16 twin)."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        return pallas_conv.savgol2d_same_pallas_rowmxu(
+            x, w, pad_mode, mxu_precision=lax.Precision.HIGHEST)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        def xla_twin(x, w):
+            pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
+            return correlate2d_valid(jnp.pad(x, pad, mode=pad_mode), w)
+
+        _, vjp = jax.vjp(xla_twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 @functools.lru_cache(maxsize=None)
 def _pallas_rowmxu_bf16_diff():
     """Differentiable wrapper for the 2D bf16 throughput mode: row-banded
@@ -193,9 +271,14 @@ def _pallas_rowmxu_bf16_diff():
     @jax.custom_vjp
     def op(x, w):
         from savgol_tpu.ops import pallas_conv
+        # f32 inputs: emit the f32 accumulator straight from the kernel —
+        # skips a separate whole-output up-cast pass. Other dtypes keep
+        # the bf16 output + cast (f64 accumulate on bf16 operands is not
+        # a Mosaic path we rely on).
+        out_dt = jnp.float32 if x.dtype == jnp.float32 else None
         y = pallas_conv.correlate2d_valid_pallas_rowmxu(
             x.astype(jnp.bfloat16), w,
-            mxu_precision=lax.Precision.DEFAULT)
+            mxu_precision=lax.Precision.DEFAULT, out_dtype=out_dt)
         return y.astype(x.dtype)
 
     def fwd(x, w):
@@ -219,9 +302,10 @@ def _pallas_rowmxu_same_bf16_diff(pad_mode: str, ny: int, nx: int):
     @jax.custom_vjp
     def op(x, w):
         from savgol_tpu.ops import pallas_conv
+        out_dt = jnp.float32 if x.dtype == jnp.float32 else None
         y = pallas_conv.savgol2d_same_pallas_rowmxu(
             x.astype(jnp.bfloat16), w, pad_mode,
-            mxu_precision=lax.Precision.DEFAULT)
+            mxu_precision=lax.Precision.DEFAULT, out_dtype=out_dt)
         return y.astype(x.dtype)
 
     def fwd(x, w):
@@ -248,9 +332,10 @@ def _pallas_rowmxu_stack_bf16_diff():
     @jax.custom_vjp
     def op(x, w):
         from savgol_tpu.ops import pallas_conv
+        out_dt = jnp.float32 if x.dtype == jnp.float32 else None
         y = pallas_conv.correlate2d_valid_pallas_rowmxu_stack(
             x.astype(jnp.bfloat16), w,
-            mxu_precision=lax.Precision.DEFAULT)
+            mxu_precision=lax.Precision.DEFAULT, out_dtype=out_dt)
         # (K, ..., R', C') -> (..., K, R', C') to match the conv layout
         return jnp.moveaxis(y, 0, -3).astype(x.dtype)
 
@@ -285,6 +370,18 @@ def _pallas_corr2d_diff():
     op.defvjp(fwd, bwd)
     return op
 
+
+
+def _fold_wscale(w, scale, dtype):
+    """Fold the 1/dt scale into the (tiny) stencil instead of paying a
+    full output read+write; no-op for a concrete scale of exactly 1.0."""
+    w = jnp.asarray(w, dtype=dtype)
+    try:
+        if float(np.asarray(scale)) == 1.0:
+            return w
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        pass
+    return w * jnp.asarray(scale, dtype=dtype)
 
 
 def _apply_scale(y, scale):
@@ -331,6 +428,13 @@ def savgol2d_apply(
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if method == "pallas" and boundary is not Boundary2D.VALID:
+        if _rowmxu_exact_band(H, W):
+            # mid/wide band: row-banded MXU kernel at HIGHEST, boundary
+            # pad fused into the tile pad, scale folded into the (tiny)
+            # stencil; works for traced weights too
+            mode = _PAD_MODE_2D[boundary]
+            return _pallas_rowmxu_same_exact_diff(mode, ny, nx)(
+                x, _fold_wscale(weights, scale, x.dtype))
         # fused same-size path: ONE pad (boundary + tile alignment) and the
         # scale folded into the baked stencil when both are concrete
         try:

@@ -1526,8 +1526,9 @@ def _corr2d_rowmxu_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
-                                             "mxu_precision"))
-def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
+                                             "mxu_precision", "out_dtype"))
+def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision,
+                        out_dtype=None):
     B, Rp, Cp = xpad.shape
     out_r = Rp - _HALO_R
     out_c = Cp - _LANES
@@ -1570,7 +1571,8 @@ def _corr2d_rowmxu_call(xpad, bands, rows, cols, interpret, mxu_precision):
         out_specs=pl.BlockSpec((1, rows, cols),
                                lambda b, ri, ci: (b, ri, ci),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c), xpad.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, out_r, out_c),
+                                       out_dtype or xpad.dtype),
         interpret=interpret,
     )(bands, xpad, xpad, xpad, xpad)
 
@@ -1579,7 +1581,8 @@ def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
                                     rows: int = 256,
                                     cols: int = 512,
                                     interpret: bool | None = None,
-                                    mxu_precision=None) -> jax.Array:
+                                    mxu_precision=None,
+                                    out_dtype=None) -> jax.Array:
     # default tile 256x512: taller tiles feed the (rows+32, 256) matmuls
     # a bigger M (measured 11.3 vs 10.8 Gpix/s at 128x1024 on v5e bf16)
     """Valid 2D cross-correlation as per-stencil-row banded matmuls.
@@ -1587,6 +1590,9 @@ def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
     Same contract as :func:`correlate2d_valid_pallas` (H <= 33, W <= 129).
     Pass bf16 ``x`` with ``mxu_precision=DEFAULT`` for the 2D throughput
     mode; f32 + HIGHEST is exact but no faster than the dense kernel.
+    ``out_dtype`` lets the bf16 mode emit the f32 accumulator directly —
+    the kernel writes 4 B/pix instead of 2, but a separate up-cast pass
+    (read + write of the whole output) disappears.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -1609,14 +1615,15 @@ def correlate2d_valid_pallas_rowmxu(x: jax.Array, w,
     Cp = _round_up(out_c, cols) + _LANES
     xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
     out = _corr2d_rowmxu_call(xp, bands, rows, cols, interpret,
-                              mxu_precision)
+                              mxu_precision, out_dtype)
     return out[:, :out_r, :out_c].reshape(batch_shape + (out_r, out_c))
 
 
 def savgol2d_same_pallas_rowmxu(x: jax.Array, w, pad_mode: str,
                                 rows: int = 256, cols: int = 512,
                                 interpret: bool | None = None,
-                                mxu_precision=None) -> jax.Array:
+                                mxu_precision=None,
+                                out_dtype=None) -> jax.Array:
     """Same-size row-banded MXU apply with the boundary pad FUSED into the
     tile pad (the bf16 throughput mode's same-size form).
 
@@ -1652,11 +1659,11 @@ def savgol2d_same_pallas_rowmxu(x: jax.Array, w, pad_mode: str,
         xp = jnp.pad(xb, ((0, 0), (ny, ny), (nx, nx)), mode=pad_mode)
         out = correlate2d_valid_pallas_rowmxu(
             xp, w, rows=rows, cols=cols, interpret=interpret,
-            mxu_precision=mxu_precision)
+            mxu_precision=mxu_precision, out_dtype=out_dtype)
         return out.reshape(batch_shape + (R, C))
     xp = jnp.pad(xb, ((0, 0), (ny, pr), (nx, pc)), mode=pad_mode)
     out = _corr2d_rowmxu_call(xp, bands, rows, cols_eff, interpret,
-                              mxu_precision)
+                              mxu_precision, out_dtype)
     return out[:, :R, :C].reshape(batch_shape + (R, C))
 
 
@@ -1691,9 +1698,9 @@ def _corr2d_rowmxu_stack_kernel(bands_ref, x_ref, right_ref, bot_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret",
-                                             "mxu_precision"))
+                                             "mxu_precision", "out_dtype"))
 def _corr2d_rowmxu_stack_call(xpad, bands, rows, cols, interpret,
-                              mxu_precision):
+                              mxu_precision, out_dtype=None):
     B, Rp, Cp = xpad.shape
     out_r = Rp - _HALO_R
     out_c = Cp - _LANES
@@ -1733,7 +1740,8 @@ def _corr2d_rowmxu_stack_call(xpad, bands, rows, cols, interpret,
         out_specs=pl.BlockSpec((K, 1, rows, cols),
                                lambda b, ri, ci: (0, b, ri, ci),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, B, out_r, out_c), xpad.dtype),
+        out_shape=jax.ShapeDtypeStruct((K, B, out_r, out_c),
+                                       out_dtype or xpad.dtype),
         interpret=interpret,
     )(bands, xpad, xpad, xpad, xpad)
 
@@ -1741,7 +1749,8 @@ def _corr2d_rowmxu_stack_call(xpad, bands, rows, cols, interpret,
 def correlate2d_valid_pallas_rowmxu_stack(x: jax.Array, w_stack,
                                           rows: int = 256, cols: int = 512,
                                           interpret: bool | None = None,
-                                          mxu_precision=None) -> jax.Array:
+                                          mxu_precision=None,
+                                          out_dtype=None) -> jax.Array:
     """Valid 2D correlation of a (K, H, W) stencil stack, one input pass.
 
     Same per-stencil contract as :func:`correlate2d_valid_pallas_rowmxu`;
@@ -1767,7 +1776,7 @@ def correlate2d_valid_pallas_rowmxu_stack(x: jax.Array, w_stack,
     Cp = _round_up(out_c, cols) + _LANES
     xp = jnp.pad(xb, ((0, 0), (0, Rp - R), (0, Cp - C)))
     out = _corr2d_rowmxu_stack_call(xp, bands, rows, cols, interpret,
-                                    mxu_precision)
+                                    mxu_precision, out_dtype)
     return out[:, :, :out_r, :out_c].reshape(
         (K,) + batch_shape + (out_r, out_c))
 

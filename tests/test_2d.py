@@ -325,6 +325,127 @@ def test_gradient_stack_bf16_within_contract():
     assert np.abs(np.asarray(gy) - np.asarray(ry)).max() <= 3e-2 * s
 
 
+class TestRowmxuExactMidband:
+    """Exact-path mid/wide-band dispatch (apply2d._rowmxu_exact_band):
+    stencils of >= 11 taps route to the row-banded MXU kernel at HIGHEST
+    on TPU. These run the dispatch wrappers in interpret mode on CPU."""
+
+    def test_band_predicate(self, monkeypatch):
+        from savgol_tpu.ops import apply2d
+        # CPU backend: never routes (interpret-mode rowmxu would be slow)
+        assert not apply2d._rowmxu_exact_band(13, 13)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert apply2d._rowmxu_exact_band(11, 11)
+        assert apply2d._rowmxu_exact_band(13, 13)
+        assert apply2d._rowmxu_exact_band(5, 17)    # rectangular: max()
+        assert not apply2d._rowmxu_exact_band(9, 9)  # below the band
+        assert not apply2d._rowmxu_exact_band(35, 13)  # > _HALO_R + 1
+        assert not apply2d._rowmxu_exact_band(13, 131)  # > _LANES + 1
+
+    def test_same_size_exact_wrapper_matches_xla(self):
+        """The fused same-size rowmxu@HIGHEST wrapper the TPU dispatch
+        uses for 11+-tap windows, vs the padded XLA HIGHEST twin."""
+        from savgol_tpu.ops.apply2d import (_pallas_rowmxu_same_exact_diff,
+                                            correlate2d_valid)
+        rng = np.random.default_rng(60)
+        img = jnp.asarray(rng.standard_normal((2, 70, 90)),
+                          dtype=jnp.float32)
+        w64 = np.asarray(
+            sg.Savgol2D.create(sg.Savgol2DConfig(6, 6, 3)).weights,
+            dtype=np.float64)
+        w = jnp.asarray(w64, dtype=jnp.float32)
+        got = np.asarray(
+            _pallas_rowmxu_same_exact_diff("edge", 6, 6)(img, w))
+        want = np.asarray(correlate2d_valid(
+            jnp.pad(img, ((0, 0), (6, 6), (6, 6)), mode="edge"), w))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 2e-5 * max(
+            1.0, np.abs(want).max())
+
+    def test_valid_exact_wrapper_matches_xla_and_grad(self):
+        from savgol_tpu.ops.apply2d import (_pallas_rowmxu_exact_diff,
+                                            correlate2d_valid)
+        rng = np.random.default_rng(61)
+        img = jnp.asarray(rng.standard_normal((60, 80)), dtype=jnp.float32)
+        w = jnp.asarray(np.asarray(
+            sg.Savgol2D.create(sg.Savgol2DConfig(5, 7, 3)).weights,
+            dtype=np.float64), dtype=jnp.float32)
+        op = _pallas_rowmxu_exact_diff()
+        got = np.asarray(op(img, w))
+        want = np.asarray(correlate2d_valid(img, w))
+        assert np.abs(got - want).max() <= 2e-5 * max(
+            1.0, np.abs(want).max())
+        g = jax.grad(lambda v: jnp.sum(op(v, w) ** 2))(img)
+        g2 = jax.grad(
+            lambda v: jnp.sum(correlate2d_valid(v, w) ** 2))(img)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_same_size_exact_wrapper_traced_weights(self):
+        """The rowmxu exact wrapper must accept traced weights (the
+        dense const-baked kernel cannot) — grad w.r.t. the stencil."""
+        from savgol_tpu.ops.apply2d import (_pallas_rowmxu_same_exact_diff,
+                                            correlate2d_valid)
+        rng = np.random.default_rng(62)
+        img = jnp.asarray(rng.standard_normal((50, 60)), dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal((13, 13)) / 169,
+                        dtype=jnp.float32)
+        op = _pallas_rowmxu_same_exact_diff("symmetric", 6, 6)
+
+        def loss_pallas(wv):
+            return jnp.sum(op(img, wv) ** 2)
+
+        def loss_xla(wv):
+            xp = jnp.pad(img, ((6, 6), (6, 6)), mode="symmetric")
+            return jnp.sum(correlate2d_valid(xp, wv) ** 2)
+
+        gw = jax.grad(loss_pallas)(w)
+        gw2 = jax.grad(loss_xla)(w)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw2),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_fold_wscale(self):
+        from savgol_tpu.ops.apply2d import _fold_wscale
+        w = jnp.ones((3, 3), dtype=jnp.float64)
+        out = _fold_wscale(w, 1.0, jnp.float32)
+        assert out.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), 1.0)
+        out2 = _fold_wscale(w, 2.5, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out2), 2.5)
+        # traced scale: must not crash, folds on device
+        f = jax.jit(lambda s: _fold_wscale(w, s, jnp.float32))
+        np.testing.assert_allclose(np.asarray(f(jnp.float32(3.0))), 3.0)
+
+
+def test_rowmxu_out_dtype_f32():
+    """bf16 throughput kernels can emit their f32 accumulator directly
+    (out_dtype=f32) — same values as the bf16-out + cast form up to the
+    final rounding, one fewer full-output pass on the wrapper."""
+    from savgol_tpu.ops.pallas_conv import (
+        correlate2d_valid_pallas_rowmxu, savgol2d_same_pallas_rowmxu)
+    rng = np.random.default_rng(63)
+    img = jnp.asarray(rng.standard_normal((40, 150)), dtype=jnp.bfloat16)
+    w = jnp.asarray(np.asarray(
+        sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3)).weights,
+        dtype=np.float64), dtype=jnp.float32)
+    y32 = correlate2d_valid_pallas_rowmxu(
+        img, w, mxu_precision=jax.lax.Precision.DEFAULT,
+        out_dtype=jnp.float32)
+    ybf = correlate2d_valid_pallas_rowmxu(
+        img, w, mxu_precision=jax.lax.Precision.DEFAULT)
+    assert y32.dtype == jnp.float32
+    assert ybf.dtype == jnp.bfloat16
+    d = np.abs(np.asarray(y32, dtype=np.float64)
+               - np.asarray(ybf, dtype=np.float64))
+    assert d.max() <= 1e-2  # bf16 final-rounding difference only
+
+    ys = savgol2d_same_pallas_rowmxu(
+        img, w, "edge", mxu_precision=jax.lax.Precision.DEFAULT,
+        out_dtype=jnp.float32)
+    assert ys.dtype == jnp.float32
+    assert ys.shape == img.shape
+
+
 def test_gradient_complex_input():
     rng = np.random.default_rng(56)
     img = jnp.asarray(rng.standard_normal((60, 70))

@@ -137,6 +137,29 @@ class TestApply2D:
         want = np.asarray(f.apply_valid(img, method="xla"))
         assert np.abs(got - want).max() <= EXACT_TOL
 
+    @pytest.mark.parametrize("hw", [5, 6, 8])
+    def test_midband_rowmxu_dispatch_same_size(self, hw):
+        # 11x11 / 13x13 / 17x17 windows route the exact path through the
+        # row-banded MXU kernel at HIGHEST (apply2d._rowmxu_exact_band)
+        img = jnp.asarray(_rng(16).standard_normal((300, 400)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(hw, hw, 3),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img))
+        want = np.asarray(f.apply(img, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
+    def test_midband_rowmxu_dispatch_valid_deriv(self):
+        # VALID + derivative scale through the mid-band rowmxu route
+        img = jnp.asarray(_rng(17).standard_normal((300, 400)),
+                          dtype=jnp.float32)
+        f = sg.Savgol2D.create(
+            sg.Savgol2DConfig(6, 6, 3, deriv_x=1, delta_x=0.5),
+            dtype=jnp.float32)
+        got = np.asarray(f.apply_valid(img))
+        want = np.asarray(f.apply_valid(img, method="xla"))
+        assert np.abs(got - want).max() <= EXACT_TOL
+
     def test_bf16_contract(self):
         img = jnp.asarray(_rng(13).standard_normal((256, 512)),
                           dtype=jnp.float32)
