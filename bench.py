@@ -121,6 +121,31 @@ def main():
     secs2 = _bench(fn2_default, img, iters=10)
     gpixps = img.shape[0] * 2048 * 2048 / secs2 / 1e9
 
+    # chained on-device 2D exact rate (the wall number above re-dispatches
+    # identical inputs, which the virtualized dev stack can dedup, and
+    # carries ~2-6 ms tunnel RTT per dispatch; the k-difference cancels
+    # both). Same protocol as the bf16 chained metric below.
+    def chain2d(v, k):
+        def body(carry, _):
+            y = f2.apply(carry)
+            return (y * jnp.asarray(1e-3, dtype=y.dtype)).astype(
+                v.dtype), None
+        out, _ = jax.lax.scan(body, v, None, length=k)
+        return out
+
+    times2 = {}
+    for k in (2, 4):
+        cf = jax.jit(lambda v, k=k: chain2d(v, k))
+        out = cf(img)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = cf(out)
+        jax.block_until_ready(out)
+        times2[k] = (time.perf_counter() - t0) / 5
+    per_step2 = (times2[4] - times2[2]) / 2
+    gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
+
     fn2_xla = jax.jit(lambda v: f2.apply(v, method="xla"))
     y2_default = np.asarray(fn2_default(img[:1, :256, :256]))
     y2_xla = np.asarray(fn2_xla(img[:1, :256, :256]))
@@ -231,6 +256,7 @@ def main():
             "candidates_s": {k: round(v, 6) for k, v in candidates.items()},
             "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
+            "throughput_2d_chained_gpix_s": round(gpixps_chained, 3),
             "max_abs_err_2d_default_vs_xla": err2_gate,
             "throughput_2d_bf16_gpix_s": (round(gpixps_bf16, 3)
                                           if gpixps_bf16 else None),

@@ -262,6 +262,29 @@ def _pallas_rowmxu_same_exact_diff(pad_mode: str, ny: int, nx: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _pallas_rowmxu_stack_exact_diff():
+    """Exact (HIGHEST) stacked rowmxu: ONE input pass feeds all K
+    stencils — the per-k dispatch would re-read the image K times."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        from savgol_tpu.ops import pallas_conv
+        y = pallas_conv.correlate2d_valid_pallas_rowmxu_stack(
+            x, w, mxu_precision=lax.Precision.HIGHEST)
+        return jnp.moveaxis(y, 0, -3)   # (K, ..., R', C') -> (..., K, ...)
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(lambda x, w: correlate2d_valid(x, w), *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
 def _pallas_rowmxu_bf16_diff():
     """Differentiable wrapper for the 2D bf16 throughput mode: row-banded
     MXU kernel on bfloat16 operands at single-pass (DEFAULT) precision,
@@ -510,8 +533,12 @@ def savgol2d_apply_stack(
         else:
             method = "pallas"
     if method == "pallas":
-        y = jnp.stack([_corr2d_pallas_dispatch(x, weight_stack[k])
-                       for k in range(weight_stack.shape[0])], axis=-3)
+        if _rowmxu_exact_band(H, W):
+            # one input pass for all K stencils (stacked rowmxu@HIGHEST)
+            y = _pallas_rowmxu_stack_exact_diff()(x, weight_stack)
+        else:
+            y = jnp.stack([_corr2d_pallas_dispatch(x, weight_stack[k])
+                           for k in range(weight_stack.shape[0])], axis=-3)
     elif method == "xla":
         y = correlate2d_valid(x, weight_stack)
     if scales is not None:

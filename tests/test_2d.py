@@ -404,6 +404,28 @@ class TestRowmxuExactMidband:
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw2),
                                    rtol=1e-4, atol=1e-3)
 
+    def test_stack_exact_rowmxu_one_pass(self):
+        """The stacked rowmxu@HIGHEST wrapper apply_stack routes 11+-tap
+        stencil stacks through (one input pass for all K)."""
+        from savgol_tpu.ops.apply2d import (_pallas_rowmxu_stack_exact_diff,
+                                            _stencil_stack,
+                                            correlate2d_valid)
+        rng = np.random.default_rng(64)
+        img = jnp.asarray(rng.standard_normal((60, 80)), dtype=jnp.float32)
+        W, _ = _stencil_stack(6, 6, 3, [(2, 0), (1, 1), (0, 2)], 1.0, 1.0)
+        ws = jnp.asarray(W, dtype=jnp.float32)
+        op = _pallas_rowmxu_stack_exact_diff()
+        got = np.asarray(op(img, ws))
+        want = np.asarray(correlate2d_valid(img, ws))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 2e-5 * max(
+            1.0, np.abs(want).max())
+        g = jax.grad(lambda v: jnp.sum(op(v, ws) ** 2))(img)
+        g2 = jax.grad(
+            lambda v: jnp.sum(correlate2d_valid(v, ws) ** 2))(img)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_fold_wscale(self):
         from savgol_tpu.ops.apply2d import _fold_wscale
         w = jnp.ones((3, 3), dtype=jnp.float64)

@@ -178,6 +178,16 @@ class TestApply2D:
         assert np.abs(np.asarray(gx) - np.asarray(gx_ref)).max() <= EXACT_TOL
         assert np.abs(np.asarray(gy) - np.asarray(gy_ref)).max() <= EXACT_TOL
 
+    def test_hessian_midband_stacked_rowmxu(self):
+        # hw=6 -> 13x13 stencils: the exact stack routes through ONE
+        # stacked rowmxu@HIGHEST pass instead of K per-stencil launches
+        img = jnp.asarray(_rng(18).standard_normal((256, 256)),
+                          dtype=jnp.float32)
+        got = sg.savgol2d_hessian(img, 6, 6, 3)
+        want = sg.savgol2d_hessian(img, 6, 6, 3, method="xla")
+        for a, b in zip(got, want):
+            assert np.abs(np.asarray(a) - np.asarray(b)).max() <= EXACT_TOL
+
 
 class TestBankSweepStream:
     def test_bank(self):
