@@ -264,7 +264,10 @@ def _pallas_rowmxu_same_exact_diff(pad_mode: str, ny: int, nx: int):
 @functools.lru_cache(maxsize=None)
 def _pallas_rowmxu_stack_exact_diff():
     """Exact (HIGHEST) stacked rowmxu: ONE input pass feeds all K
-    stencils — the per-k dispatch would re-read the image K times."""
+    stencils. NOT on the dispatch path: measured 0.89-0.90x vs K single
+    launches (compute-bound at HIGHEST; see savgol2d_apply_stack).
+    Kept as a tested building block — the trade flips if HBM gets
+    relatively slower or K grows far beyond the hessian-sized stacks."""
 
     @jax.custom_vjp
     def op(x, w):
@@ -533,12 +536,16 @@ def savgol2d_apply_stack(
         else:
             method = "pallas"
     if method == "pallas":
-        if _rowmxu_exact_band(H, W):
-            # one input pass for all K stencils (stacked rowmxu@HIGHEST)
-            y = _pallas_rowmxu_stack_exact_diff()(x, weight_stack)
-        else:
-            y = jnp.stack([_corr2d_pallas_dispatch(x, weight_stack[k])
-                           for k in range(weight_stack.shape[0])], axis=-3)
+        # Exact path: per-stencil dispatch, NOT the stacked kernel. The
+        # stacked form's Kx input-reuse does not pay at HIGHEST — the
+        # 6-pass bf16 matmuls are compute-bound and holding K output
+        # tiles live costs more than the saved reads: K=3 13x13 stacks
+        # measure 0.89-0.90x vs K single launches at every tile geometry
+        # (benchmarks/probe_stack_tiles.py, chained k=16, 3 reps). The
+        # memory-bound bf16 mode above is where stacking wins. The K
+        # identical tile pads below CSE into one under jit.
+        y = jnp.stack([_corr2d_pallas_dispatch(x, weight_stack[k])
+                       for k in range(weight_stack.shape[0])], axis=-3)
     elif method == "xla":
         y = correlate2d_valid(x, weight_stack)
     if scales is not None:

@@ -405,8 +405,8 @@ class TestRowmxuExactMidband:
                                    rtol=1e-4, atol=1e-3)
 
     def test_stack_exact_rowmxu_one_pass(self):
-        """The stacked rowmxu@HIGHEST wrapper apply_stack routes 11+-tap
-        stencil stacks through (one input pass for all K)."""
+        """The stacked rowmxu@HIGHEST wrapper (building block; dispatch
+        uses per-stencil launches — see savgol2d_apply_stack)."""
         from savgol_tpu.ops.apply2d import (_pallas_rowmxu_stack_exact_diff,
                                             _stencil_stack,
                                             correlate2d_valid)
