@@ -44,6 +44,40 @@ def _bench(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_chained(fn, x, *, iters=5, k=2, feedback_scale=1e-3):
+    """On-device per-step seconds via the chained k-difference protocol:
+    time a jitted lax.scan chain of fn at lengths k and 2k and return
+    (t(2k)-t(k))/k. Each step feeds the previous output back in (scaled to
+    stay bounded) so the virtualized dev stack cannot dedup identical
+    dispatches; the difference cancels dispatch/tunnel overhead AND the
+    chain's own glue. CHEAP bodies get collapsed and report impossible
+    rates — only use for verified real computations (see CLAUDE.md)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def chained(v, kk):
+        def body(carry, _):
+            y = fn(carry)
+            return (y * jnp.asarray(feedback_scale, dtype=y.dtype)).astype(
+                v.dtype), None
+        out, _ = jax.lax.scan(body, v, None, length=kk)
+        return out
+
+    times = {}
+    for kk in (k, 2 * k):
+        cf = jax.jit(functools.partial(chained, kk=kk))
+        out = cf(x)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = cf(out)
+        jax.block_until_ready(out)
+        times[kk] = (time.perf_counter() - t0) / iters
+    return (times[2 * k] - times[k]) / k
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -98,6 +132,11 @@ def main():
     secs = candidates["default"]
     gsps = B * N / secs / 1e9
 
+    # on-device 1D rate: chained k-difference cancels the tunnel RTT and
+    # dispatch variance the wall headline carries (±20-40% run-to-run)
+    per_step_1d = _bench_chained(lambda v: flt.apply(v), x)
+    gsps_chained = B * N / per_step_1d / 1e9
+
     # ---- on-hardware parity gate: default path vs XLA HIGHEST ------------
     # (same data, same device — catches Mosaic lowering divergences that
     # interpreter-mode CPU tests cannot see). 64 rows keeps the gate on the
@@ -125,25 +164,7 @@ def main():
     # identical inputs, which the virtualized dev stack can dedup, and
     # carries ~2-6 ms tunnel RTT per dispatch; the k-difference cancels
     # both). Same protocol as the bf16 chained metric below.
-    def chain2d(v, k):
-        def body(carry, _):
-            y = f2.apply(carry)
-            return (y * jnp.asarray(1e-3, dtype=y.dtype)).astype(
-                v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=k)
-        return out
-
-    times2 = {}
-    for k in (2, 4):
-        cf = jax.jit(lambda v, k=k: chain2d(v, k))
-        out = cf(img)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times2[k] = (time.perf_counter() - t0) / 5
-    per_step2 = (times2[4] - times2[2]) / 2
+    per_step2 = _bench_chained(lambda v: f2.apply(v), img)
     gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
 
     fn2_xla = jax.jit(lambda v: f2.apply(v, method="xla"))
@@ -170,26 +191,8 @@ def main():
         # chained on-device rate (k-difference cancels dispatch + chain
         # glue; the wall number above re-dispatches identical inputs,
         # which the virtualized dev stack can dedup)
-        def chain(v, k):
-            def body(carry, _):
-                y = f2.apply(carry, method="bf16")
-                return (y * jnp.asarray(1e-3, dtype=y.dtype)).astype(
-                    v.dtype), None
-            out, _ = jax.lax.scan(body, v, None, length=k)
-            return out
-
-        imgb = img.astype(jnp.bfloat16)
-        times = {}
-        for k in (2, 4):
-            cf = jax.jit(lambda v, k=k: chain(v, k))
-            out = cf(imgb)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(5):
-                out = cf(out)
-            jax.block_until_ready(out)
-            times[k] = (time.perf_counter() - t0) / 5
-        per_step = (times[4] - times[2]) / 2
+        per_step = _bench_chained(lambda v: f2.apply(v, method="bf16"),
+                                  img.astype(jnp.bfloat16))
         gpixps_bf16_chained = img.shape[0] * 2048 * 2048 / per_step / 1e9
     except Exception as e:
         path_errors["bf16_2d"] = f"{type(e).__name__}: {e}"[:200]
@@ -254,6 +257,7 @@ def main():
         "vs_baseline": round(gsps / 5.0, 3),
         "extras": {
             "candidates_s": {k: round(v, 6) for k, v in candidates.items()},
+            "throughput_1d_chained_gs_s": round(gsps_chained, 3),
             "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
             "throughput_2d_chained_gpix_s": round(gpixps_chained, 3),
