@@ -22,9 +22,27 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+# Chained k-difference extras compile fresh jit modules; on a COLD
+# compilation cache each re-triggers its Mosaic kernel compiles through
+# the remote tunnel (~3-8 min per module pair). The guard skips those
+# optional extras (value=None) rather than risking the whole run
+# overshooting the driver's timeout; warm-cache runs are unaffected.
+_DEADLINE_S = float(os.environ.get("SAVGOL_BENCH_DEADLINE_S", "2100"))
+
+
+def _note(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _time_left(need_s: float) -> bool:
+    return (time.perf_counter() - _T0) + need_s < _DEADLINE_S
 
 # reuse Mosaic/XLA compiles across runs (first Pallas compile through the
 # remote tunnel is ~3 min; cached it is ~1 s)
@@ -93,6 +111,7 @@ def main():
 
     candidates = {}
 
+    _note(f"1D candidates on {jax.devices()[0]}")
     fn_default = jax.jit(lambda v: flt.apply(v))      # method="auto"
     candidates["default"] = _bench(fn_default, x)
 
@@ -134,8 +153,13 @@ def main():
 
     # on-device 1D rate: chained k-difference cancels the tunnel RTT and
     # dispatch variance the wall headline carries (±20-40% run-to-run)
-    per_step_1d = _bench_chained(lambda v: flt.apply(v), x)
-    gsps_chained = B * N / per_step_1d / 1e9
+    gsps_chained = None
+    if _time_left(700):
+        _note("chained 1D metric")
+        per_step_1d = _bench_chained(lambda v: flt.apply(v), x)
+        gsps_chained = B * N / per_step_1d / 1e9
+    else:
+        _note("SKIP chained 1D metric (deadline)")
 
     # ---- on-hardware parity gate: default path vs XLA HIGHEST ------------
     # (same data, same device — catches Mosaic lowering divergences that
@@ -156,6 +180,7 @@ def main():
     img = jnp.asarray(rng.standard_normal((16, 2048, 2048)),
                       dtype=jnp.float32)
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
+    _note("2D wall metrics")
     fn2_default = jax.jit(lambda v: f2.apply(v))      # method="auto"
     secs2 = _bench(fn2_default, img, iters=10)
     gpixps = img.shape[0] * 2048 * 2048 / secs2 / 1e9
@@ -164,8 +189,13 @@ def main():
     # identical inputs, which the virtualized dev stack can dedup, and
     # carries ~2-6 ms tunnel RTT per dispatch; the k-difference cancels
     # both). Same protocol as the bf16 chained metric below.
-    per_step2 = _bench_chained(lambda v: f2.apply(v), img)
-    gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
+    gpixps_chained = None
+    if _time_left(700):
+        _note("chained 2D exact metric")
+        per_step2 = _bench_chained(lambda v: f2.apply(v), img)
+        gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
+    else:
+        _note("SKIP chained 2D exact metric (deadline)")
 
     fn2_xla = jax.jit(lambda v: f2.apply(v, method="xla"))
     y2_default = np.asarray(fn2_default(img[:1, :256, :256]))
@@ -191,9 +221,14 @@ def main():
         # chained on-device rate (k-difference cancels dispatch + chain
         # glue; the wall number above re-dispatches identical inputs,
         # which the virtualized dev stack can dedup)
-        per_step = _bench_chained(lambda v: f2.apply(v, method="bf16"),
-                                  img.astype(jnp.bfloat16))
-        gpixps_bf16_chained = img.shape[0] * 2048 * 2048 / per_step / 1e9
+        if _time_left(700):
+            _note("chained 2D bf16 metric")
+            per_step = _bench_chained(lambda v: f2.apply(v, method="bf16"),
+                                      img.astype(jnp.bfloat16))
+            gpixps_bf16_chained = (img.shape[0] * 2048 * 2048
+                                   / per_step / 1e9)
+        else:
+            _note("SKIP chained 2D bf16 metric (deadline)")
     except Exception as e:
         path_errors["bf16_2d"] = f"{type(e).__name__}: {e}"[:200]
     if err2_bf16 is not None:
@@ -203,6 +238,7 @@ def main():
     # ---- secondary on-hardware parity gates ------------------------------
     # every fast path vs the XLA HIGHEST twin, on the same data on-chip
     gates = {}
+    _note("hardware parity gates")
     xs_small = jnp.asarray(rng.standard_normal((2, 20_000)),
                            dtype=jnp.float32)
     y_fold = np.asarray(jax.jit(
@@ -257,10 +293,12 @@ def main():
         "vs_baseline": round(gsps / 5.0, 3),
         "extras": {
             "candidates_s": {k: round(v, 6) for k, v in candidates.items()},
-            "throughput_1d_chained_gs_s": round(gsps_chained, 3),
+            "throughput_1d_chained_gs_s": (round(gsps_chained, 3)
+                                           if gsps_chained else None),
             "max_abs_err_default_vs_xla": err_gate,
             "throughput_2d_gpix_s": round(gpixps, 3),
-            "throughput_2d_chained_gpix_s": round(gpixps_chained, 3),
+            "throughput_2d_chained_gpix_s": (round(gpixps_chained, 3)
+                                             if gpixps_chained else None),
             "max_abs_err_2d_default_vs_xla": err2_gate,
             "throughput_2d_bf16_gpix_s": (round(gpixps_bf16, 3)
                                           if gpixps_bf16 else None),
@@ -278,6 +316,7 @@ def main():
             "samples": N,
         },
     }
+    _note("done")
     print(json.dumps(result))
 
 
