@@ -239,6 +239,59 @@ class TestReference2DFuzz:
             trials += 1
 
 
+class TestConvenienceVsReference:
+    """gradient/hessian/laplacian with NON-UNIT deltas vs the compiled
+    reference C (src/savgol2d.c:462-618 builds each from per-derivative
+    savgol2d_apply with the delta folded into the filter scale) — pins the
+    1/delta^d convention against the reference, which the analytic tests
+    above pin only against polynomial calculus."""
+
+    DX, DY = 0.5, 2.0
+
+    def _img(self):
+        rng = np.random.default_rng(91)
+        return rng.standard_normal((37, 53)).astype(np.float32)
+
+    def test_gradient_deltas(self, ref):
+        img = self._img()
+        gx, gy = sg.savgol2d_gradient(
+            jnp.asarray(img, dtype=F64), 3, 4, 2,
+            delta_x=self.DX, delta_y=self.DY,
+            boundary=sg.Boundary2D.CONSTANT)
+        for ours, (dx, dy) in ((gx, (1, 0)), (gy, (0, 1))):
+            theirs = ref.apply2d(img, 3, 4, 2, dx, dy,
+                                 delta_x=self.DX, delta_y=self.DY,
+                                 boundary="constant")
+            scale = max(1.0, np.abs(theirs).max())
+            assert np.abs(np.asarray(ours) - theirs).max() <= 5e-5 * scale
+
+    def test_hessian_deltas(self, ref):
+        img = self._img()
+        parts = sg.savgol2d_hessian(
+            jnp.asarray(img, dtype=F64), 4, 3, 3,
+            delta_x=self.DX, delta_y=self.DY,
+            boundary=sg.Boundary2D.REFLECT)
+        for ours, (dx, dy) in zip(parts, ((2, 0), (1, 1), (0, 2))):
+            theirs = ref.apply2d(img, 4, 3, 3, dx, dy,
+                                 delta_x=self.DX, delta_y=self.DY,
+                                 boundary="reflect")
+            scale = max(1.0, np.abs(theirs).max())
+            assert np.abs(np.asarray(ours) - theirs).max() <= 5e-5 * scale
+
+    def test_laplacian_deltas(self, ref):
+        img = self._img()
+        ours = np.asarray(sg.savgol2d_laplacian(
+            jnp.asarray(img, dtype=F64), 3, 3, 2,
+            delta_x=self.DX, delta_y=self.DY,
+            boundary=sg.Boundary2D.CONSTANT))
+        theirs = (ref.apply2d(img, 3, 3, 2, 2, 0, delta_x=self.DX,
+                              delta_y=self.DY, boundary="constant")
+                  + ref.apply2d(img, 3, 3, 2, 0, 2, delta_x=self.DX,
+                                delta_y=self.DY, boundary="constant"))
+        scale = max(1.0, np.abs(theirs).max())
+        assert np.abs(ours - theirs).max() <= 5e-5 * scale
+
+
 class TestBF16Mode2D:
     """method="bf16": row-banded MXU kernel on bfloat16 operands
     (~3.4x the exact dense rate on v5e at a <=5e-3 relative contract)."""
