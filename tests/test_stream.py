@@ -409,3 +409,21 @@ def test_stream_apply_rejects_batched_input():
     with pytest.raises(ValueError, match="ONE sequence"):
         sg.stream_apply(jnp.zeros((3, 100)), f.center_weights,
                         f.edge_weights, half_window=4)
+
+
+@pytest.mark.parametrize("d", [0, 1])
+def test_stream_apply_vmaps_over_batches(d):
+    """The rejection message above promises "vmap it for batches" — hold
+    that promise: vmapped stream_apply == batch apply row-for-row."""
+    n, m = 6, 3
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 130)), dtype=F64)
+    f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+
+    def one(row):
+        return sg.stream_apply(row, f.center_weights, f.edge_weights,
+                               half_window=n, dt_inv=f.dt_inv, derivative=d)
+
+    ys = np.asarray(jax.jit(jax.vmap(one))(x))
+    yb = np.asarray(f.apply(x))
+    np.testing.assert_allclose(ys, yb, atol=1e-10)
