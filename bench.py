@@ -62,38 +62,41 @@ def _bench(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
-def _bench_chained(fn, x, *, iters=5, k=2, feedback_scale=1e-3):
+def _bench_chained(fn, x, *, iters=5, k=2, feedback_scale=1e-3,
+                   _retried=False):
     """On-device per-step seconds via the chained k-difference protocol:
     time a jitted lax.scan chain of fn at lengths k and 2k and return
     (t(2k)-t(k))/k. Each step feeds the previous output back in (scaled to
     stay bounded) so the virtualized dev stack cannot dedup identical
     dispatches; the difference cancels dispatch/tunnel overhead AND the
     chain's own glue. CHEAP bodies get collapsed and report impossible
-    rates — only use for verified real computations (see CLAUDE.md)."""
-    import functools
+    rates — only use for verified real computations (see CLAUDE.md).
 
-    import jax
-    import jax.numpy as jnp
+    k-scaling is VERIFIED (t(2k)/t(k) must sit near 2; the shared dev
+    chip's jitter can otherwise produce absurd or negative differences —
+    the probes' k=2 lessons): out-of-band ratios retry once at 4k, then
+    return None so callers skip the metric rather than publish garbage.
 
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            return (y * jnp.asarray(feedback_scale, dtype=y.dtype)).astype(
-                v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
+    The protocol itself lives in benchmarks/chainlib.py (shared with the
+    probe scripts); this wrapper adds the retry/skip policy."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "benchmarks"))
+    from chainlib import bench_chain
 
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk))
-        out = cf(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    return (times[2 * k] - times[k]) / k
+    per_step, ratio, _ = bench_chain(fn, x, iters=iters, k=k,
+                                     feedback_scale=feedback_scale,
+                                     return_info=True)
+    if not 1.5 <= ratio <= 2.7:
+        if _retried:
+            _note(f"chained timing failed k-scaling twice "
+                  f"(ratio {ratio:.2f}) — skipping metric")
+            return None
+        _note(f"chained k-ratio {ratio:.2f} out of band; retrying at k={2*k}")
+        return _bench_chained(fn, x, iters=iters, k=2 * k,
+                              feedback_scale=feedback_scale, _retried=True)
+    return per_step
 
 
 def main():
@@ -157,7 +160,8 @@ def main():
     if _time_left(700):
         _note("chained 1D metric")
         per_step_1d = _bench_chained(lambda v: flt.apply(v), x)
-        gsps_chained = B * N / per_step_1d / 1e9
+        if per_step_1d is not None:
+            gsps_chained = B * N / per_step_1d / 1e9
     else:
         _note("SKIP chained 1D metric (deadline)")
 
@@ -193,7 +197,8 @@ def main():
     if _time_left(700):
         _note("chained 2D exact metric")
         per_step2 = _bench_chained(lambda v: f2.apply(v), img)
-        gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
+        if per_step2 is not None:
+            gpixps_chained = img.shape[0] * 2048 * 2048 / per_step2 / 1e9
     else:
         _note("SKIP chained 2D exact metric (deadline)")
 
@@ -225,8 +230,9 @@ def main():
             _note("chained 2D bf16 metric")
             per_step = _bench_chained(lambda v: f2.apply(v, method="bf16"),
                                       img.astype(jnp.bfloat16))
-            gpixps_bf16_chained = (img.shape[0] * 2048 * 2048
-                                   / per_step / 1e9)
+            if per_step is not None:
+                gpixps_bf16_chained = (img.shape[0] * 2048 * 2048
+                                       / per_step / 1e9)
         else:
             _note("SKIP chained 2D bf16 metric (deadline)")
     except Exception as e:

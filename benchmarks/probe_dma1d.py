@@ -26,7 +26,6 @@ from __future__ import annotations
 import argparse
 import functools
 import os
-import time
 
 import numpy as np
 
@@ -35,8 +34,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import jax
 import jax.numpy as jnp
 
-from savgol_tpu.ops.pallas_conv import (_LANES, _interpret_default,
-                                        _valid_band_matrices, pl, pltpu)
+from savgol_tpu.ops.pallas_conv import (_LANES, _valid_band_matrices,
+                                        pl, pltpu)
+
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
 
 
 def _corr1d_dma_kernel(bands_ref, tbands_ref, x_hbm, o_hbm, in_buf,
@@ -223,33 +227,16 @@ def run_correctness():
 
 
 def _bench_chain(fn, x, iters=5, k=4):
-    """Chained on-device timing with k-difference (see probe_rowmxu):
+    """Chained on-device k-difference timing (benchmarks/chainlib.py);
     output fed back as next input, re-padded to length N."""
     N = x.shape[-1]
 
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
-                          ((0, 0), (0, N - y.shape[-1])))
-            return nxt.astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
+    def fb(y, template):
+        nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
+                      ((0, 0), (0, N - y.shape[-1])))
+        return nxt.astype(template.dtype)
 
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk))
-        out = cf(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    ratio = times[2 * k] / times[k]
-    if not (1.6 <= ratio <= 2.6):
-        print(f"  !! k-scaling suspect: ratio {ratio:.2f}")
-    return (times[2 * k] - times[k]) / k
+    return bench_chain(fn, x, iters=iters, k=k, feedback=fb)
 
 
 def run_bench(iters):

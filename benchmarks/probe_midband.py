@@ -18,9 +18,7 @@ Run ON TPU:  python benchmarks/probe_midband.py [--iters 5] [--sizes 11,13,17,21
 from __future__ import annotations
 
 import argparse
-import functools
 import os
-import time
 
 import numpy as np
 
@@ -34,37 +32,19 @@ from savgol_tpu.ops import pallas_conv as pc
 from savgol_tpu.ops.apply2d import savgol2d_apply
 from savgol_tpu.ops.weights import savgol2d_weights_np
 
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
+
 
 def _bench_chain_same(fn, x, *, iters: int, k: int = 2):
-    """Chained same-size timing; returns per-step seconds from the
-    k-difference (t(2k)-t(k))/k, which cancels dispatch + chain glue.
-    Each step feeds the previous output (scaled to stay bounded) back in,
-    so the virtualized stack cannot dedup bodies."""
-
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            return (y * jnp.asarray(1e-2, dtype=y.dtype)).astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
-
-    times = {}
-    compiled = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk))
-        compiled[kk] = cf.lower(x).compile()
-        out = compiled[kk](x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = compiled[kk](out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    per_step = (times[2 * k] - times[k]) / k
-    ratio = times[2 * k] / times[k]
+    """Chained same-size k-difference timing (benchmarks/chainlib.py);
+    returns (per_step_seconds, ratio_flag, hlo_text_of_the_k_chain)."""
+    per_step, ratio, compiled_k = bench_chain(
+        fn, x, iters=iters, k=k, feedback_scale=1e-2, return_info=True)
     flag = "" if 1.6 <= ratio <= 2.6 else f"  !! k-ratio {ratio:.2f}"
-    hlo = compiled[k].as_text()
-    return per_step, flag, hlo
+    return per_step, flag, compiled_k.as_text()
 
 
 def main():

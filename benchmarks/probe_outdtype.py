@@ -15,9 +15,7 @@ Run ON TPU:  python benchmarks/probe_outdtype.py [--iters 5]
 from __future__ import annotations
 
 import argparse
-import functools
 import os
-import time
 
 import numpy as np
 
@@ -30,27 +28,15 @@ from savgol_tpu.config import Savgol2DConfig
 from savgol_tpu.ops import pallas_conv as pc
 from savgol_tpu.ops.weights import savgol2d_weights_np
 
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
+
 
 def _bench_chain(fn, x, *, iters: int, k: int = 2):
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            return (y * jnp.asarray(1e-2, dtype=y.dtype)).astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
-
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk)).lower(x).compile()
-        out = cf(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    per_step = (times[2 * k] - times[k]) / k
-    ratio = times[2 * k] / times[k]
+    per_step, ratio, _ = bench_chain(
+        fn, x, iters=iters, k=k, feedback_scale=1e-2, return_info=True)
     flag = "" if 1.6 <= ratio <= 2.6 else f"  !! k-ratio {ratio:.2f}"
     return per_step, flag
 

@@ -34,45 +34,27 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import jax
 import jax.numpy as jnp
 
-from savgol_tpu.ops import pallas_conv as pc
 from savgol_tpu.ops.pallas_conv import (_LANES, _HALO_R, _round_up,
                                         _rowband_matrices, pl, pltpu)
 
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
 
-def _bench_chain(fn, xp, *rest, iters=5, k=4, check_scaling=True):
-    """Chained on-device timing: lax.scan feeds each step's output back
-    into the next step's input (re-padded to the input geometry), so the
-    virtualized stack cannot dedup or elide bodies. Verifies k-scaling
-    (time must ~double from k to 2k) and returns the per-step time minus
-    the chain glue (estimated from the k-difference)."""
+
+def _bench_chain(fn, xp, *rest, iters=5, k=4):
+    """Chained on-device k-difference timing (benchmarks/chainlib.py):
+    each step's output is re-padded to the input geometry and fed back."""
     Rp, Cp = xp.shape[-2:]
 
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry, *rest)
-            nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
-                          ((0, 0), (0, Rp - y.shape[1]),
-                           (0, Cp - y.shape[2])))
-            return nxt.astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
+    def fb(y, template):
+        nxt = jnp.pad(y * jnp.asarray(1e-3, dtype=y.dtype),
+                      ((0, 0), (0, Rp - y.shape[1]),
+                       (0, Cp - y.shape[2])))
+        return nxt.astype(template.dtype)
 
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk))
-        out = cf(xp)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    # per-step time from the k-difference (cancels dispatch overhead)
-    per_step = (times[2 * k] - times[k]) / k
-    ratio = times[2 * k] / times[k]
-    if check_scaling and not (1.6 <= ratio <= 2.6):
-        print(f"  !! k-scaling suspect: t({2*k})/t({k}) = {ratio:.2f}")
-    return per_step
+    return bench_chain(fn, xp, *rest, iters=iters, k=k, feedback=fb)
 
 
 def _variant_kernel(bands_ref, x_ref, right_ref, bot_ref, corner_ref,

@@ -16,42 +16,27 @@ Run ON TPU:  python benchmarks/probe_stack.py [--iters 5] [--sizes 13,17,25]
 from __future__ import annotations
 
 import argparse
-import functools
 import os
-import time
 
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
 import jax.numpy as jnp
 
 from savgol_tpu.ops.apply2d import (Boundary2D, _pad2d, _stencil_stack,
                                     savgol2d_apply_stack)
 
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
+
 
 def _bench_chain(fn, x, *, iters: int, k: int = 2):
-    """Chained timing with k-difference; fn maps an image to an image."""
-
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            return (y * jnp.asarray(1e-2, dtype=y.dtype)).astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
-
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk)).lower(x).compile()
-        out = cf(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    return (times[2 * k] - times[k]) / k
+    """Chained k-difference timing (benchmarks/chainlib.py); fn maps an
+    image to an image."""
+    return bench_chain(fn, x, iters=iters, k=k, feedback_scale=1e-2)
 
 
 def main():

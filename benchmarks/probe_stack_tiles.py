@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import functools
 import os
-import time
 
 import numpy as np
 
@@ -23,29 +22,17 @@ import jax.numpy as jnp
 from savgol_tpu.ops import pallas_conv as pc
 from savgol_tpu.ops.apply2d import _stencil_stack
 
+try:
+    from chainlib import bench_chain           # run as benchmarks/probe_*.py
+except ImportError:                            # imported as benchmarks.probe_*
+    from benchmarks.chainlib import bench_chain
+
 
 def _chain(fn, x, *, iters=8, k=16):
     # k=16: sub-ms steps are swamped by host/tunnel jitter at k=2 (this
     # probe's original k=2 run claimed a 37% 128x1024 win that k=16
     # single-stencil runs (probe_tiles_exact.py) did not reproduce).
-    def chained(v, kk):
-        def body(carry, _):
-            y = fn(carry)
-            return (y * jnp.asarray(1e-2, dtype=y.dtype)).astype(v.dtype), None
-        out, _ = jax.lax.scan(body, v, None, length=kk)
-        return out
-
-    times = {}
-    for kk in (k, 2 * k):
-        cf = jax.jit(functools.partial(chained, kk=kk)).lower(x).compile()
-        out = cf(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cf(out)
-        jax.block_until_ready(out)
-        times[kk] = (time.perf_counter() - t0) / iters
-    return (times[2 * k] - times[k]) / k
+    return bench_chain(fn, x, iters=iters, k=k, feedback_scale=1e-2)
 
 
 def main():

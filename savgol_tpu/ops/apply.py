@@ -300,6 +300,9 @@ def savgol_apply_core(
     """
     if use_pallas:
         method = "pallas"
+    if not isinstance(boundary, BoundaryMode):
+        # same string coercion SavgolConfig applies ("periodic" etc.)
+        boundary = BoundaryMode(boundary)
     n = int(half_window)
     ws = 2 * n + 1
     method = _resolve_method(method, ws)

@@ -445,6 +445,9 @@ def savgol2d_apply(
     and the XLA conv elsewhere; ``use_pallas=True`` forces the kernel.
     """
     method = _resolve_method2d(method, use_pallas)
+    if not isinstance(boundary, Boundary2D):
+        # same string coercion Savgol2DConfig applies ("valid" etc.)
+        boundary = Boundary2D(boundary)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         # real-linear filter: real/imag parts as one extra batch pair
         parts = jnp.stack([x.real, x.imag])

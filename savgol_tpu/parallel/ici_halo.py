@@ -148,12 +148,18 @@ def halo_exchange_rdma(x_local: jax.Array, n: int, axis_name: str):
 
 def _halo_fwd(x_local, n, axis_name):
     # residual carries only static shape/dtype info; values unused (the
-    # exchange is linear) — residuals must be jax types, so pass the input
-    return halo_exchange_rdma(x_local, n, axis_name), x_local
+    # exchange is linear) — residuals must be jax types, so pass two
+    # ZERO-SIZE views that between them reconstruct the full shape
+    # (keeping the whole shard alive through the backward would pin a
+    # shard-sized HBM buffer for nothing)
+    res = (x_local[..., :1], x_local.reshape((-1, x_local.shape[-1]))[:1])
+    return halo_exchange_rdma(x_local, n, axis_name), res
 
 
 def _halo_bwd(n, axis_name, res, cts):
-    shape, dtype = res.shape, res.dtype
+    lead, flat = res
+    shape = lead.shape[:-1] + (flat.shape[-1],)
+    dtype = lead.dtype
     g_left, g_right = cts
     interpret = jax.default_backend() != "tpu"
     gl = g_left.astype(dtype).reshape((-1, n))
@@ -163,7 +169,13 @@ def _halo_bwd(n, axis_name, res, cts):
     # my RIGHT neighbor's head. Feeding (tail=g_right, head=g_left) to the
     # same kernel delivers exactly that: what arrives as left_out is my own
     # head's gradient, right_out my tail's.
-    g_head, g_tail = _halo_call(gr, gl, axis_name, interpret)
+    if int(lax.axis_size(axis_name)) == 1:
+        # ring of one (same guard as the forward): the exchange was the
+        # identity, so the cotangents route straight back — never issue
+        # the barrier'd remote self-copy on single-chip runtimes
+        g_head, g_tail = gr, gl
+    else:
+        g_head, g_tail = _halo_call(gr, gl, axis_name, interpret)
     gx = jnp.zeros((gl.shape[0], shape[-1]), dtype=dtype)
     gx = gx.at[:, :n].add(g_head).at[:, -n:].add(g_tail)
     return (gx.reshape(shape),)

@@ -38,14 +38,20 @@ __all__ = ["savgol_coeffs", "savgol_filter"]
 def _compat_weights_np(n: int, polyorder: int, deriv: int):
     """(center, edge) f64 weights for ANY 0 <= deriv <= polyorder.
 
-    The reference caps derivatives at 4 (src/savgolFilter.c:659) and
-    ``SavgolConfig`` keeps that cap for reference parity — but scipy allows
-    any ``deriv <= polyorder``, and the vectorized Gram recurrence
-    (ops/weights.py::_gram_table) holds for arbitrary d. The compat layer
-    therefore computes weights directly for deriv > 4, keeping the
-    validated config path for the reference-supported range.
+    The reference caps half_window at 32, poly_order at 10 and
+    derivatives at 4 (src/savgolFilter.c:639-677) and ``SavgolConfig``
+    keeps those caps for reference parity — but scipy allows any
+    ``polyorder < window_length`` and ``deriv <= polyorder``, and the
+    vectorized Gram recurrence (ops/weights.py::_gram_table) holds for
+    arbitrary (n, m, d). The compat layer therefore computes weights
+    directly whenever the request falls outside the reference envelope,
+    keeping the validated config path inside it.
     """
-    if deriv <= 4:
+    if polyorder >= 2 * n + 1:
+        # scipy's own constraint (raised before any branch so the direct
+        # path can't dodge it into a 0/0 in the recurrence)
+        raise ValueError("polyorder must be less than window_length")
+    if deriv <= 4 and n <= 32 and polyorder <= 10:
         cfg = SavgolConfig(n, polyorder, deriv)
         return savgol_weights_np(cfg, dtype=np.float64)
     pts = np.arange(-n, n + 1, dtype=np.float64)
@@ -70,6 +76,8 @@ def savgol_coeffs(window_length: int, polyorder: int, deriv: int = 0,
     """
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
     n = window_length // 2
     if deriv > polyorder:
         # scipy semantics: the fitted polynomial's higher derivatives vanish
@@ -112,6 +120,8 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     """scipy.signal.savgol_filter equivalent on the savgol_tpu stack."""
     if window_length % 2 != 1:
         raise ValueError("window_length must be odd")
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
     n = window_length // 2
     x = jnp.asarray(x)
     if deriv > polyorder:

@@ -178,9 +178,11 @@ class TestApply2D:
         assert np.abs(np.asarray(gx) - np.asarray(gx_ref)).max() <= EXACT_TOL
         assert np.abs(np.asarray(gy) - np.asarray(gy_ref)).max() <= EXACT_TOL
 
-    def test_hessian_midband_stacked_rowmxu(self):
-        # hw=6 -> 13x13 stencils: the exact stack routes through ONE
-        # stacked rowmxu@HIGHEST pass instead of K per-stencil launches
+    def test_hessian_midband_rowmxu(self):
+        # hw=6 -> 13x13 stencils: the exact stack dispatches K per-stencil
+        # rowmxu@HIGHEST launches (the ONE-stacked-pass form measured
+        # 0.89-0.90x and was reverted, commit 9bee13b; the stacked kernel
+        # remains on the bf16 path, covered below)
         img = jnp.asarray(_rng(18).standard_normal((256, 256)),
                           dtype=jnp.float32)
         got = sg.savgol2d_hessian(img, 6, 6, 3)

@@ -143,6 +143,55 @@ class TestHighDerivatives:
         with pytest.raises(ValueError):
             SavgolConfig(7, 6, 5)
 
+    def test_polyorder_ge_window_rejected(self):
+        """scipy semantics: polyorder >= window_length is a ValueError on
+        EVERY branch (a deriv that routes to the direct Gram path must not
+        dodge validation into a 0/0 in the recurrence)."""
+        for d in (0, 5, 11):
+            with pytest.raises(ValueError, match="polyorder"):
+                savgol_coeffs(11, 11, deriv=d)
+            with pytest.raises(ValueError, match="polyorder"):
+                savgol_filter(jnp.zeros(64), 11, 12, deriv=d)
+
+
+class TestBeyondReferenceEnvelope:
+    """Windows and orders past the reference caps (n <= 32, m <= 10) keep
+    working through the direct Gram path — the 'drop-in with an import
+    swap' claim holds for any scipy-legal (window, order, deriv)."""
+
+    @pytest.mark.parametrize("wl,po,d", [(101, 3, 0), (101, 5, 5)])
+    def test_coeffs_match_scipy(self, wl, po, d):
+        ours = savgol_coeffs(wl, po, deriv=d)
+        ref = sp_coeffs(wl, po, deriv=d)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale)
+
+    @pytest.mark.parametrize("wl,po,d", [
+        (75, 12, 0), (75, 12, 2), (33, 14, 14)])
+    def test_high_order_coeffs_match_exact_rational(self, wl, po, d):
+        """At high polyorder scipy's OWN lstsq construction drifts (its
+        (75, 12, d=0) center coefficients are off by 1.2e-1 relative vs
+        exact rational arithmetic) — so the oracle here is the rational
+        normal-equations solve, which the Gram recurrence matches to
+        ~1e-16 while remaining the scipy-API surface."""
+        from tests.test_weights import exact_weights
+        n = wl // 2
+        exact = exact_weights(n, po, d, 0)
+        ours = savgol_coeffs(wl, po, deriv=d, use="dot")
+        scale = max(1.0, np.abs(exact).max())
+        np.testing.assert_allclose(ours, exact, atol=1e-12 * scale)
+
+    @pytest.mark.parametrize("mode", ["interp", "wrap"])
+    def test_filter_matches_scipy_large_window(self, mode):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(600)
+        ours = np.asarray(savgol_filter(
+            jnp.asarray(x, dtype=F64), 101, 4, deriv=1, mode=mode))
+        ref = sp_filter(x, 101, 4, deriv=1, mode=mode)
+        scale = max(1.0, np.abs(ref).max())
+        np.testing.assert_allclose(ours, ref, atol=1e-8 * scale,
+                                   err_msg=f"mode={mode}")
+
     @pytest.mark.parametrize("pos", [2, 7.5])
     def test_high_deriv_pos(self, pos):
         ours = savgol_coeffs(15, 6, deriv=5, pos=pos)

@@ -293,6 +293,29 @@ class TestRdmaHalo:
         g_pp = np.asarray(jax.grad(lambda v: loss(v, "ppermute"))(x))
         np.testing.assert_allclose(g_rdma, g_pp, atol=1e-12)
 
+    def test_gradient_through_rdma_size1_ring(self):
+        """Ring of ONE device: forward short-circuits the kernel (a
+        barrier'd remote self-copy wedges single-chip runtimes) and the
+        backward must take the same identity route — grad == the
+        unsharded filter's grad."""
+        mesh1 = make_mesh(("seq",), shape=(1,), devices=jax.devices()[:1])
+        rng = np.random.default_rng(73)
+        x = jnp.asarray(rng.standard_normal((2, 256)), dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
+
+        def loss(v, **kw):
+            y = apply_sharded(v, f.center_weights, f.edge_weights,
+                              half_window=4,
+                              boundary=sg.BoundaryMode.PERIODIC, **kw)
+            return jnp.sum(y ** 2)
+
+        g1 = np.asarray(jax.grad(
+            lambda v: loss(v, mesh=mesh1, halo="rdma"))(x))
+        g0 = np.asarray(jax.grad(
+            lambda v: jnp.sum(f.apply(
+                v, boundary=sg.BoundaryMode.PERIODIC) ** 2))(x))
+        np.testing.assert_allclose(g1, g0, atol=1e-12)
+
     def test_invalid_halo_rejected(self, mesh8):
         f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
         with pytest.raises(ValueError, match="halo"):
