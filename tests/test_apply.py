@@ -90,6 +90,22 @@ class TestBoundaryModes:
         y = f.apply(x)
         np.testing.assert_allclose(np.asarray(y), 7.0, atol=1e-9)
 
+    @pytest.mark.parametrize("name", ["polynomial", "reflect", "periodic",
+                                      "constant"])
+    def test_boundary_accepts_strings(self, name):
+        """apply(boundary=...) coerces the same strings SavgolConfig does."""
+        f = make_filter(4, 2)
+        x = jnp.asarray(np.random.default_rng(9).standard_normal(64),
+                        dtype=F64)
+        a = np.asarray(f.apply(x, boundary=name))
+        b = np.asarray(f.apply(x, boundary=sg.BoundaryMode(name)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_bad_boundary_string_rejected(self):
+        f = make_filter(4, 2)
+        with pytest.raises(ValueError):
+            f.apply(jnp.zeros(64, dtype=F64), boundary="mirror")
+
     def test_periodic_on_periodic_signal(self):
         """On an exactly periodic signal, PERIODIC edges behave like the
         interior."""
