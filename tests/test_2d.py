@@ -166,6 +166,24 @@ class TestReferenceGoldenParity2D:
         assert np.abs(ours - theirs).max() <= 2e-6 * scale
 
 
+class TestBoundaryStrings:
+    @pytest.mark.parametrize("name", ["valid", "constant", "reflect"])
+    def test_apply_accepts_strings(self, name):
+        """apply(boundary=...) coerces the same strings Savgol2DConfig
+        does."""
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        img = jnp.asarray(np.random.default_rng(13).standard_normal((24, 24)),
+                          dtype=F64)
+        a = np.asarray(f.apply(img, boundary=name))
+        b = np.asarray(f.apply(img, boundary=sg.Boundary2D(name)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_bad_boundary_string_rejected(self):
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        with pytest.raises(ValueError):
+            f.apply(jnp.zeros((24, 24), dtype=F64), boundary="wrap")
+
+
 class TestBatching:
     def test_batched_images(self):
         rng = np.random.default_rng(13)
