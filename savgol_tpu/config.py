@@ -49,6 +49,16 @@ class BoundaryMode(enum.Enum):
     CONSTANT = "constant"    # numpy pad mode: edge
 
 
+# The one place the pad-boundary -> numpy/jnp pad-mode mapping lives
+# (note REFLECT means the reference's edge-duplicating 'symmetric', NOT
+# numpy 'reflect' — /root/reference/src/savgolFilter.c:452-463).
+PAD_MODE = {
+    BoundaryMode.REFLECT: "symmetric",
+    BoundaryMode.PERIODIC: "wrap",
+    BoundaryMode.CONSTANT: "edge",
+}
+
+
 class Boundary2D(enum.Enum):
     """Edge handling for the 2D filter.
 

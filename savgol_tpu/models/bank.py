@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from savgol_tpu.config import BoundaryMode, SavgolConfig
+from savgol_tpu.config import PAD_MODE, BoundaryMode, SavgolConfig
 from savgol_tpu.ops.apply import savgol_apply_core
 from savgol_tpu.ops.weights import savgol_weights_np
 
@@ -118,7 +118,7 @@ class SavgolBank:
             # disabled (reference_edge_sign=True) and applied here instead.
             y = savgol_apply_core(
                 x, cw, ew, n, boundary, dt,
-                derivative=0, reference_edge_sign=True)
+                derivative=0, reference_edge_sign=True, method="xla")
             if boundary is BoundaryMode.POLYNOMIAL:
                 s = jnp.where(reference_edge_sign, 1.0, sign).astype(y.dtype)
                 head = y[..., :n] * s
@@ -138,7 +138,6 @@ class SavgolBank:
                            reference_edge_sign: bool) -> jax.Array:
         """Shared-input-pass bank: Pallas K-stencil center kernel + XLA
         edge fixups (POLYNOMIAL) or pad modes."""
-        from savgol_tpu.config import BoundaryMode
         from savgol_tpu.ops import pallas_conv as pc
 
         n = self.half_window
@@ -166,9 +165,7 @@ class SavgolBank:
             return pc.correlate_valid_bank_pallas(xin, wdt)
 
         if boundary is not BoundaryMode.POLYNOMIAL:
-            mode = {BoundaryMode.REFLECT: "symmetric",
-                    BoundaryMode.PERIODIC: "wrap",
-                    BoundaryMode.CONSTANT: "edge"}[boundary]
+            mode = PAD_MODE[boundary]
             pad = [(0, 0)] * (x.ndim - 1) + [(n, n)]
             xp = jnp.pad(x, pad, mode=mode)
             y = bank_corr(xp)

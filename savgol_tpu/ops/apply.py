@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from savgol_tpu.config import BoundaryMode
+from savgol_tpu.config import PAD_MODE, BoundaryMode
 
 __all__ = [
     "correlate_valid",
@@ -63,11 +63,7 @@ __all__ = [
     "savgol_apply_valid",
 ]
 
-_PAD_MODE = {
-    BoundaryMode.REFLECT: "symmetric",   # edge sample duplicated — see header
-    BoundaryMode.PERIODIC: "wrap",
-    BoundaryMode.CONSTANT: "edge",
-}
+_PAD_MODE = PAD_MODE   # canonical mapping lives next to BoundaryMode
 
 # batch width from which the fused boundary-pad MXU kernel beats the
 # jnp.pad + VPU-kernel route (mirrors the poly kernels' MXU crossover)

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from savgol_tpu.config import (MAX_HALF_WINDOW, MAX_POLY_ORDER, BoundaryMode)
+from savgol_tpu.config import (MAX_HALF_WINDOW, MAX_POLY_ORDER,
+                               PAD_MODE, BoundaryMode)
 
 __all__ = ["savgol_weights_masked", "savgol_apply_sweep"]
 
@@ -136,11 +137,7 @@ def savgol_weights_masked(n, m, derivative: int = 0, dtype=jnp.float32):
     return center, lead, trail
 
 
-_PAD_MODE = {
-    BoundaryMode.REFLECT: "symmetric",
-    BoundaryMode.PERIODIC: "wrap",
-    BoundaryMode.CONSTANT: "edge",
-}
+_PAD_MODE = PAD_MODE   # canonical mapping lives next to BoundaryMode
 
 
 def _bank_conv_xla(x, w_stack, precision=jax.lax.Precision.HIGHEST):
@@ -269,6 +266,10 @@ def savgol_apply_sweep(
     """
     hw = jnp.asarray(half_windows)
     po = jnp.asarray(poly_orders)
+    if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        # promote int/bool input to the sweep's working dtype (casting the
+        # float weights DOWN to an int dtype would truncate them to zero)
+        x = jnp.asarray(x, dtype=dtype)
     N = x.shape[-1]
     try:
         max_n = int(jnp.max(hw))

@@ -233,30 +233,42 @@ def savgol2d_weights_np(config: Savgol2DConfig, dtype=np.float32) -> np.ndarray:
     order = config.poly_order
     dx, dy = config.deriv_x, config.deriv_y
     A = _design_matrix_np(nx, ny, order)
+    # Degenerate window geometries make monomial columns coincide on the
+    # grid (e.g. half_window_y=1 with order 3: y^3 == y on {-1,0,1}), so
+    # the LS fit is ill-posed. Neither a Cholesky failure nor a solve
+    # residual detects these reliably: LAPACK can factor the singular
+    # normal matrix by rounding luck, and when e_k lies in its range the
+    # residual is ~0 for a WRONG pseudo-solution (observed: (8,1,order 3,
+    # dy=1) returned d/dy weights off by 10x with residual 4e-14). The
+    # scale-invariant detector is the rank of the column-normalized
+    # design matrix — measured gap: valid geometries have
+    # sigma_min/sigma_max >= 4.5e-3, degenerate ones <= 2e-16.
+    _check_design_rank(A, config.window_height, config.window_width, order)
     ata = A.T @ A
     e = np.zeros(A.shape[1], dtype=np.float64)
     e[monomial_index(dx, dy)] = 1.0
     try:
         L = np.linalg.cholesky(ata)
         c = np.linalg.solve(L.T, np.linalg.solve(L, e))
-    except np.linalg.LinAlgError:
-        c = None
-    # Degenerate window geometries make monomial columns coincide on the
-    # grid (e.g. half_window_y=1 with order 3: y^3 == y on {-1,0,1}), so
-    # the normal matrix is singular. LAPACK's Cholesky can "succeed" on
-    # such systems by rounding luck where the reference's refuses
-    # (src/savgol2d.c:144-148); verify the solve residual to reject them
-    # deterministically.
-    if c is None or not np.isfinite(c).all() or (
-            np.abs(ata @ c - e).max() > 1e-6 * max(1.0, np.abs(c).max())):
+    except np.linalg.LinAlgError as err:
         raise np.linalg.LinAlgError(
-            f"degenerate 2D window: the order-{order} monomial basis is "
-            f"rank-deficient on a {config.window_height}x"
-            f"{config.window_width} grid (coincident monomial columns); "
-            "increase the half-windows or lower poly_order")
+            f"2D normal matrix not factorable in f64 for order {order} on "
+            f"a {config.window_height}x{config.window_width} grid") from err
     scale = math.factorial(dx) * math.factorial(dy)
     w = (A @ c) * scale
     return w.reshape(config.window_height, config.window_width).astype(dtype)
+
+
+def _check_design_rank(A: np.ndarray, wh: int, ww: int, order: int) -> None:
+    """Reject rank-deficient monomial bases (reference analog:
+    src/savgol2d.c:144-148 refusing non-SPD systems)."""
+    An = A / np.linalg.norm(A, axis=0, keepdims=True)
+    s = np.linalg.svd(An, compute_uv=False)
+    if s[-1] <= 1e-8 * s[0]:
+        raise np.linalg.LinAlgError(
+            f"degenerate 2D window: the order-{order} monomial basis is "
+            f"rank-deficient on a {wh}x{ww} grid (coincident monomial "
+            "columns); increase the half-windows or lower poly_order")
 
 
 @functools.lru_cache(maxsize=None)
@@ -274,21 +286,19 @@ def _validate_2d_geometry(nx: int, ny: int, order: int,
     factorization fails even though f64 LAPACK would cope — for those, use
     the host generator ``savgol2d_weights_np``."""
     A = _design_matrix_np(nx, ny, order)
-    ata = A.T @ A
-    ok = np.linalg.matrix_rank(ata) == A.shape[1]
-    if ok:
-        try:
-            np.linalg.cholesky(ata.astype(np_dtype))
-        except np.linalg.LinAlgError:
-            ok = False
-    if not ok:
+    # scale-invariant rank test (raw matrix_rank on the huge-entry normal
+    # matrix falsely rejects valid large configs, e.g. (16,16,order 6),
+    # whose f64 solve is exact) ...
+    _check_design_rank(A, 2 * ny + 1, 2 * nx + 1, order)
+    # ... then predict working-dtype factorability of the actual system
+    try:
+        np.linalg.cholesky((A.T @ A).astype(np_dtype))
+    except np.linalg.LinAlgError:
         raise np.linalg.LinAlgError(
-            f"degenerate 2D window for the on-device generator: the "
-            f"order-{order} monomial normal matrix is singular (or not "
-            f"factorable in the working dtype) on a "
-            f"{2 * ny + 1}x{2 * nx + 1} grid; increase the half-windows, "
-            "lower poly_order, or use the host generator "
-            "savgol2d_weights_np")
+            f"2D window not factorable in the working dtype for the "
+            f"on-device generator: order-{order} normal matrix on a "
+            f"{2 * ny + 1}x{2 * nx + 1} grid; use a wider dtype or the "
+            "host generator savgol2d_weights_np")
 
 
 @functools.partial(jax.jit, static_argnames=(

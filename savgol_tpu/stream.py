@@ -203,7 +203,10 @@ def stream_push_full(
     outputs = jnp.where(ready, outputs, jnp.zeros_like(outputs))
     count = jnp.where(ready, jnp.where(just_filled, n + 1, 1), 0)
     if max_outputs is not None:
-        count = jnp.minimum(count, int(max_outputs))
+        # clamp to [0, .]: the C returns 0 outputs for max_outputs <= 0
+        # (src/savgol_stream.c:183) — a negative bound must not drive
+        # counts (and samples_output) negative
+        count = jnp.minimum(count, max(0, int(max_outputs)))
         outputs = jnp.where(jnp.arange(n + 1) < count, outputs, 0.0)
     state = state._replace(
         samples_output=state.samples_output + count.astype(jnp.int32))
@@ -224,7 +227,7 @@ def stream_flush(
     """
     del center_w  # kept for API symmetry
     n = (state.buffer.shape[0] - 1) // 2
-    k = n if max_count is None else min(int(max_count), n)
+    k = n if max_count is None else min(max(0, int(max_count)), n)
     ready = stream_ready(state)
     aligned = _aligned(state)
     dt = jnp.asarray(dt_inv, dtype=aligned.dtype)
@@ -245,7 +248,7 @@ def stream_flush_leading(
 ) -> Tuple[StreamState, jax.Array, jax.Array]:
     """Leading-edge flush (src/savgol_stream.c:254-275)."""
     n = (state.buffer.shape[0] - 1) // 2
-    k = n if max_count is None else min(int(max_count), n)
+    k = n if max_count is None else min(max(0, int(max_count)), n)
     ready = stream_ready(state)
     aligned = _aligned(state)
     dt = jnp.asarray(dt_inv, dtype=aligned.dtype)
@@ -293,17 +296,22 @@ def stream_apply(
         lead_sign = -1.0
 
     def step(state, sample):
-        state, outs, _ = stream_push_full(state, sample, cw, ew, dt,
-                                          lead_sign=lead_sign)
-        return state, outs
+        # scalar-center push: stacking push_full's (n+1,) emission per
+        # step would materialize a (T, n+1) buffer of which only one row
+        # and one column are consumed — (n+1)x the useful output memory
+        state, value, _ = stream_push(state, sample, cw, dt)
+        return state, value
 
     state0 = stream_init(n, dtype=x.dtype)
-    state, emitted = jax.lax.scan(step, state0, x)   # emitted: (T, n+1)
+    state, centers = jax.lax.scan(step, state0, x)   # (T,) center values
     _, tail, _ = stream_flush(state, cw, ew, dt)     # (n,)
 
-    head = emitted[ws - 1]                 # n leading + first center
-    steady = emitted[ws:, 0]               # one center per later push
-    return jnp.concatenate([head, steady, tail], axis=-1)
+    # the n leading-edge values are a pure function of the first window —
+    # identical to the fill-completing push_full emission, whose ring is
+    # aligned to x[:ws] at that step
+    dtv = jnp.asarray(dt, dtype=x.dtype)
+    lead = _leading_outputs(x[:ws], ew, dtv, lead_sign=lead_sign)
+    return jnp.concatenate([lead, centers[ws - 1:], tail], axis=-1)
 
 
 class ChunkState(NamedTuple):

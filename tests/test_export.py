@@ -74,10 +74,21 @@ class TestCLI:
 class TestCompileAndRun:
     @pytest.mark.parametrize("n,m,d", [(5, 2, 0), (8, 3, 1)])
     def test_generated_header_executes(self, tmp_path, n, m, d):
+        self._compile_and_compare(tmp_path, sg.SavgolConfig(n, m, d))
+
+    def test_time_step_folded_into_tables(self, tmp_path):
+        """time_step != 1 folds 1/dt^d into the emitted tables (review
+        finding: the header used to emit unscaled weights, disagreeing
+        with the library by 1/dt^d with nothing recording it) and emits a
+        TIME_STEP macro."""
+        cfg = sg.SavgolConfig(5, 3, 1, time_step=0.01)
+        assert "GEN_TIME_STEP" in generate_header(cfg, prefix="GEN")
+        self._compile_and_compare(tmp_path, cfg)
+
+    def _compile_and_compare(self, tmp_path, cfg):
         """Compile the generated header's inline apply and compare against
         the library (reference edge sign, since the generated C applies the
         leading edge over reversed data like the reference)."""
-        cfg = sg.SavgolConfig(n, m, d)
         hdr = tmp_path / "coeffs.h"
         hdr.write_text(generate_header(cfg, prefix="GEN"))
         driver = tmp_path / "driver.c"
@@ -100,7 +111,8 @@ class TestCompileAndRun:
         f = sg.Savgol1D.create(cfg, dtype=F64)
         ours = np.asarray(
             f.apply(jnp.asarray(x, dtype=F64), reference_edge_sign=True))
-        assert np.abs(out - ours).max() <= 2e-6
+        scale = max(1.0, float(np.abs(ours).max()))
+        assert np.abs(out - ours).max() <= 2e-6 * scale
 
     def test_matches_reference_exporter(self, tmp_path):
         """Our header's weight tables agree with the reference

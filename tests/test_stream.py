@@ -371,6 +371,20 @@ class TestReferenceStreamDifferential:
         scale = max(1.0, np.abs(theirs).max())
         assert np.abs(np.array(ours) - theirs).max() <= 2e-5 * scale
 
+    @pytest.mark.parametrize("bad", [0, -1, -7])
+    def test_push_full_nonpositive_clamp_emits_nothing(self, bad):
+        """max_outputs <= 0 emits NOTHING and leaves samples_output at 0
+        (the C returns 0 for max_outputs <= 0, src/savgol_stream.c:183) —
+        a negative bound must not drive the counters negative."""
+        n = 4
+        s = make(n, 2)
+        for v in range(3 * n):
+            out = s.push_full(float(v), max_outputs=bad)
+            assert out.size == 0
+        assert s.samples_output == 0
+        assert s.flush(max_count=bad).size == 0
+        assert s.samples_output == 0
+
     def test_push_full_clamp_counter_counts_delivered(self):
         """samples_output must equal delivered samples under clamping —
         the round-2 over-count bug (core emitted n+1, shell clamped)."""

@@ -164,3 +164,19 @@ class TestSweepApply:
                                             jnp.asarray([2]), dtype=F64))
         f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
         np.testing.assert_allclose(out[0], np.asarray(f.apply(x)), atol=1e-8)
+
+    @pytest.mark.parametrize("boundary", [sg.BoundaryMode.POLYNOMIAL,
+                                          sg.BoundaryMode.CONSTANT])
+    def test_integer_input_promoted(self, boundary):
+        """Integer data must be promoted to the working dtype, not cast the
+        float weights down to int (review repro: int32 input returned all
+        zeros for pad boundaries and a scatter TypeError for POLYNOMIAL)."""
+        xi = jnp.arange(100, dtype=jnp.int32)
+        out = np.asarray(savgol_apply_sweep(
+            xi[None], jnp.asarray([2]), jnp.asarray([2]), dtype=F64,
+            boundary=boundary))
+        assert out.dtype == np.float64
+        # smoothing a ramp reproduces the ramp in the interior
+        np.testing.assert_allclose(out[0, 0, 10:90],
+                                   np.arange(10, 90, dtype=np.float64),
+                                   atol=1e-8)

@@ -249,3 +249,29 @@ class TestOnDevice2DDegeneracy:
     def test_valid_geometry_still_works(self):
         w = savgol2d_weights(3, 3, 2)
         assert np.isfinite(np.asarray(w)).all()
+
+    def test_large_valid_geometry_not_falsely_rejected(self):
+        """(16,16,order 6) is nonsingular but its raw normal matrix spans
+        ~1e21 — a raw matrix_rank pre-check misclassified it (review
+        finding); the scale-invariant rank test must accept it and the f64
+        solve must give exact derivative weights."""
+        w = np.asarray(savgol2d_weights(16, 16, 6, 1, 0, dtype=jnp.float64))
+        xs = np.arange(-16, 17, dtype=np.float64)
+        X, _ = np.meshgrid(xs, xs)
+        assert abs(float((w * X).sum()) - 1.0) < 1e-9   # d/dx of f=x
+
+    @pytest.mark.parametrize("nx,ny,order,kw", [
+        (8, 1, 3, dict(deriv_y=1)),   # y^3 == y on {-1,0,1}: consistent
+        (16, 1, 3, {}),               # singular system — Cholesky can
+        (1, 8, 3, {}),                # "succeed" with ~0 residual but a
+        (2, 2, 5, dict(deriv_x=1)),   # WRONG pseudo-solution
+    ])
+    def test_consistent_singular_geometries_rejected_on_host(
+            self, nx, ny, order, kw):
+        """Degenerate-but-consistent systems defeat residual checks (the
+        review's repro: (8,1,3,dy=1) returned d/dy weights off by 10x with
+        residual 4e-14); the host generator must reject them by rank."""
+        from savgol_tpu.ops.weights import savgol2d_weights_np
+        cfg = sg.Savgol2DConfig(nx, ny, order, **kw)
+        with pytest.raises(np.linalg.LinAlgError, match="degenerate"):
+            savgol2d_weights_np(cfg)
