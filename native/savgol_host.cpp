@@ -463,6 +463,7 @@ void* sgh_create(int half_window, int poly_order, int derivative,
       derivative > poly_order)
     return nullptr;
   if (!(time_step > 0.0f)) return nullptr;
+  if (boundary < 0 || boundary > 3) return nullptr;  // see sgh::Boundary
   return new sgh::Filter(half_window, poly_order, derivative, time_step,
                          static_cast<sgh::Boundary>(boundary));
 }

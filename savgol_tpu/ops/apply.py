@@ -65,9 +65,14 @@ __all__ = [
 
 _PAD_MODE = PAD_MODE   # canonical mapping lives next to BoundaryMode
 
-# batch width from which the fused boundary-pad MXU kernel beats the
-# jnp.pad + VPU-kernel route (mirrors the poly kernels' MXU crossover)
-_MXU_MIN_BATCH_PAD = 24
+
+def _mxu_min_batch_pad() -> int:
+    """Batch width from which the fused boundary-pad MXU kernel beats the
+    jnp.pad + VPU-kernel route — the SAME measured crossover as the poly
+    kernels', read from its single home (lazy import: pallas_conv imports
+    are deferred everywhere in this module)."""
+    from savgol_tpu.ops import pallas_conv
+    return pallas_conv._MXU_MIN_BATCH
 
 
 def _resolve_method(method: str, ws: int) -> str:
@@ -350,7 +355,7 @@ def savgol_apply_core(
         for s in x.shape[:-1]:
             B *= s
         if (method in ("pallas", "bf16") and n >= 1
-                and B >= _MXU_MIN_BATCH_PAD
+                and B >= _mxu_min_batch_pad()
                 and jax.default_backend() == "tpu"):
             # wide batches: boundary pad fused into the banded-MXU kernel
             # (the jnp.pad copy of the full input costs a whole HBM pass)

@@ -454,6 +454,10 @@ def savgol2d_apply(
         y = savgol2d_apply(parts, weights, boundary=boundary, scale=scale,
                            method=method)
         return lax.complex(y[0], y[1])
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        # promote int/bool images: the Pallas paths cast the WEIGHTS to
+        # x.dtype (fractional stencils would truncate to zero)
+        x = x.astype(jnp.result_type(weights.dtype, jnp.float32))
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if method == "pallas" and boundary is not Boundary2D.VALID:
@@ -514,11 +518,19 @@ def savgol2d_apply_stack(
 ) -> jax.Array:
     """Apply K stencils (K, H, W) in one conv; output (..., K, R', C')."""
     method = _resolve_method2d(method, use_pallas)
+    if not isinstance(boundary, Boundary2D):
+        # same string coercion as savgol2d_apply (a string previously
+        # KeyError'd in _pad2d)
+        boundary = Boundary2D(boundary)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
         parts = jnp.stack([x.real, x.imag])
         y = savgol2d_apply_stack(parts, weight_stack, boundary=boundary,
                                  scales=scales, method=method)
         return lax.complex(y[0], y[1])
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        # promote int/bool images (see savgol2d_apply): weights and scales
+        # must never be cast down to an integer dtype
+        x = x.astype(jnp.result_type(weight_stack.dtype, jnp.float32))
     H, W = weight_stack.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     if boundary is not Boundary2D.VALID:
@@ -552,7 +564,9 @@ def savgol2d_apply_stack(
     elif method == "xla":
         y = correlate2d_valid(x, weight_stack)
     if scales is not None:
-        y = y * jnp.asarray(scales, dtype=x.dtype)[..., :, None, None]
+        # y.dtype, not x.dtype (matches the bf16 branch): fractional
+        # derivative scales must not truncate through an integer input
+        y = y * jnp.asarray(scales, dtype=y.dtype)[..., :, None, None]
     return y
 
 

@@ -1990,8 +1990,8 @@ def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
     Exact for polynomial-least-squares stencils (their rank is structural,
     order+1 at most) up to f64 SVD rounding.
 
-    ``engine``: "mxu" (double-banded matmuls — default on TPU), "vpu"
-    (shifted tap loops), or "auto".
+    ``engine``: "vpu" (shifted tap loops — what "auto" picks), or "mxu"
+    (double-banded matmul formulation, selectable for probes/tuning).
     """
     import numpy as np
     if interpret is None:

@@ -174,6 +174,10 @@ def apply_sharded(
     """
     if halo not in ("ppermute", "rdma"):
         raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
+    if not isinstance(boundary, BoundaryMode):
+        # same string coercion as savgol_apply — the enum identity checks
+        # in _local_apply would silently treat a string as CONSTANT
+        boundary = BoundaryMode(boundary)
     from savgol_tpu.ops.apply import _resolve_method
 
     n = int(half_window)

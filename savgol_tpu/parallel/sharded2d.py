@@ -98,6 +98,10 @@ def apply2d_sharded(
     from savgol_tpu.ops.apply2d import _resolve_method2d
 
     method = _resolve_method2d(method, use_pallas=False)
+    if not isinstance(boundary, Boundary2D):
+        # same string coercion as savgol2d_apply — a string would skip the
+        # VALID row trim and silently route to CONSTANT halo synthesis
+        boundary = Boundary2D(boundary)
     H, W = weights.shape[-2:]
     ny, nx = (H - 1) // 2, (W - 1) // 2
     squeeze = x.ndim == 2

@@ -166,6 +166,38 @@ class TestReferenceGoldenParity2D:
         assert np.abs(ours - theirs).max() <= 2e-6 * scale
 
 
+class TestIntegerInput2D:
+    """Integer images must be promoted, never the weights/scales cast down
+    (review repro: the TPU Pallas paths cast the WEIGHTS to x.dtype,
+    truncating fractional stencils to zero; scales had the same bug)."""
+
+    def test_pallas_path_promotes(self):
+        img_i = jnp.arange(24 * 24, dtype=jnp.int32).reshape(24, 24) % 7
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+        y = np.asarray(f.apply(img_i, method="pallas"))
+        yx = np.asarray(f.apply(img_i.astype(F64), method="xla"))
+        assert y.dtype == np.float64
+        np.testing.assert_allclose(y, yx, atol=1e-9)
+
+    def test_gradient_scales_not_truncated(self):
+        img_i = jnp.arange(24 * 24, dtype=jnp.int32).reshape(24, 24) % 7
+        gx, gy = sg.savgol2d_gradient(img_i, 3, 3, 2,
+                                      delta_x=2.0, delta_y=2.0)
+        gxf, gyf = sg.savgol2d_gradient(img_i.astype(F64), 3, 3, 2,
+                                        delta_x=2.0, delta_y=2.0)
+        assert float(jnp.abs(gx - gxf).max()) == 0.0
+        assert float(jnp.abs(gy - gyf).max()) == 0.0
+
+    def test_stack_accepts_boundary_string(self):
+        img = jnp.asarray(np.random.default_rng(3).standard_normal((24, 24)),
+                          dtype=F64)
+        got = sg.savgol2d_hessian(img, 3, 3, 2, boundary="reflect")
+        want = sg.savgol2d_hessian(img, 3, 3, 2,
+                                   boundary=sg.Boundary2D.REFLECT)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestBoundaryStrings:
     @pytest.mark.parametrize("name", ["valid", "constant", "reflect"])
     def test_apply_accepts_strings(self, name):

@@ -73,6 +73,18 @@ class TestHost1D:
         with pytest.raises(ValueError):
             hf.apply(np.zeros(5, dtype=np.float32))
 
+    def test_out_of_range_boundary_rejected(self):
+        """sgh_create must reject boundary ints outside the enum (a bad
+        value used to static_cast through and silently zero-fill edges)."""
+        import ctypes
+        lib = native.load_library()
+        for bad in (-1, 4, 99):
+            h = lib.sgh_create(5, 2, 0, ctypes.c_float(1.0), bad)
+            assert not bool(h), f"boundary={bad} accepted"
+        h = lib.sgh_create(5, 2, 0, ctypes.c_float(1.0), 0)
+        assert bool(h)
+        lib.sgh_destroy(h)
+
 
 class TestHostStream:
     def test_conservation_and_parity(self, rng):

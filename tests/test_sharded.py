@@ -136,6 +136,22 @@ class TestSharded2D:
         want = np.asarray(f2.apply(imgs))
         np.testing.assert_allclose(got, want, atol=1e-12)
 
+    def test_boundary_string_coerced_2d(self, mesh8):
+        """'valid' as a string must behave exactly like Boundary2D.VALID
+        (review finding: the string skipped the VALID row trim — wrong
+        shape AND values, silently)."""
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.standard_normal((64, 40)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2), dtype=F64)
+        a = np.asarray(apply2d_sharded(img, f2.weights, mesh=mesh8,
+                                       boundary="valid", scale=f2.scale))
+        b = np.asarray(apply2d_sharded(img, f2.weights, mesh=mesh8,
+                                       boundary=sg.Boundary2D.VALID,
+                                       scale=f2.scale))
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
     def test_row_shard_too_small(self, mesh8):
         from savgol_tpu.parallel.sharded2d import apply2d_sharded
         f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
@@ -315,6 +331,21 @@ class TestRdmaHalo:
             lambda v: jnp.sum(f.apply(
                 v, boundary=sg.BoundaryMode.PERIODIC) ** 2))(x))
         np.testing.assert_allclose(g1, g0, atol=1e-12)
+
+    def test_boundary_string_coerced(self, mesh_seq):
+        """String boundaries must coerce (review finding: the enum identity
+        checks silently routed 'polynomial' to CONSTANT-clamp semantics)."""
+        rng = np.random.default_rng(74)
+        x = jnp.asarray(rng.standard_normal((2, 512)), dtype=F64)
+        f = sg.Savgol1D.create(sg.SavgolConfig(5, 3, 1), dtype=F64)
+        kw = dict(half_window=5, mesh=mesh_seq, dt_inv=f.dt_inv,
+                  derivative=1)
+        a = np.asarray(apply_sharded(x, f.center_weights, f.edge_weights,
+                                     boundary="polynomial", **kw))
+        b = np.asarray(apply_sharded(x, f.center_weights, f.edge_weights,
+                                     boundary=sg.BoundaryMode.POLYNOMIAL,
+                                     **kw))
+        np.testing.assert_array_equal(a, b)
 
     def test_invalid_halo_rejected(self, mesh8):
         f = sg.Savgol1D.create(sg.SavgolConfig(4, 2), dtype=F64)
