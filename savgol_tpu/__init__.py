@@ -65,7 +65,7 @@ from savgol_tpu.stream import (
     stream_reset,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "BoundaryMode", "Boundary2D", "SavgolConfig", "Savgol2DConfig",
