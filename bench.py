@@ -99,7 +99,33 @@ def _bench_chained(fn, x, *, iters=5, k=2, feedback_scale=1e-3,
     return per_step
 
 
+def _require_backend(timeout_s: float = 900.0):
+    """Fail FAST (rc 3) if the device backend cannot initialize.
+
+    During tunnel outages ``jax.devices()`` hangs indefinitely; better an
+    explicit error than a silent hang the driver has to kill (and better
+    no JSON line than a bogus zero-throughput one)."""
+    import threading
+
+    import jax
+
+    devs = []
+
+    def probe():
+        devs.extend(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or not devs:
+        _note(f"FATAL: backend failed to initialize within {timeout_s:.0f}s "
+              "(tunnel outage?) — no metrics emitted")
+        os._exit(3)
+    return devs
+
+
 def main():
+    _require_backend()
     import jax
     import jax.numpy as jnp
 
