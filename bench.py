@@ -308,6 +308,33 @@ def main():
     for k, v in gates.items():
         assert v <= 2e-5, f"hardware parity gate failed: {k} err {v:.3e}"
 
+    # ---- native host engine vs the compiled reference (pure CPU) ---------
+    # The reference's only published benchmark is host-CPU Msamples/s
+    # (test/iterative/test_savgol_main.c:136-155); benchmarks/bench_native.py
+    # times both engines with identical in-process loops at -O3
+    # -march=native. No tunnel dependency; guarded only by the deadline.
+    native_speedup = None
+    native_rows = None
+    if _time_left(240):
+        _note("native host head-to-head")
+        try:
+            import subprocess
+            proc = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benchmarks", "bench_native.py")],
+                capture_output=True, text=True, timeout=220)
+            if proc.returncode == 0:
+                nat = json.loads(proc.stdout.strip().splitlines()[-1])
+                native_speedup = nat["value"]
+                native_rows = nat["extras"]["rows"]
+            else:
+                path_errors["native_host"] = proc.stderr[-200:]
+        except Exception as e:
+            path_errors["native_host"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        _note("SKIP native host head-to-head (deadline)")
+
     # ---- accuracy: DEFAULT f32 pipeline vs scipy f64 oracle --------------
     try:
         from scipy.signal import savgol_filter
@@ -340,6 +367,8 @@ def main():
             "max_abs_err_2d_bf16_vs_xla": err2_bf16,
             "hardware_parity_gates": {k: round(v, 10)
                                       for k, v in gates.items()},
+            "native_host_vs_reference_geomean_speedup": native_speedup,
+            "native_host_rows": native_rows,
             "max_abs_err_vs_scipy_f64": max_err,
             "max_abs_err_bf16_vs_xla": err_bf16,
             "path_errors": path_errors,
