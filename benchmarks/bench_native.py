@@ -51,8 +51,10 @@ def build_all() -> tuple[str, str]:
 
 def main() -> int:
     ours, ref = build_all()
-    proc = subprocess.run([BENCH_EXE, ours, ref], capture_output=True,
-                          text=True)
+    cmd = [BENCH_EXE, ours, ref]
+    if "--quick" in sys.argv[1:]:
+        cmd.append("--quick")
+    proc = subprocess.run(cmd, capture_output=True, text=True)
     sys.stdout.write(proc.stdout)
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr)

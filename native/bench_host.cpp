@@ -10,7 +10,9 @@
 // controlled by the Python wrapper (benchmarks/bench_native.py), which
 // compiles the reference with the same -O3 -march=native as our Makefile.
 //
-// Usage: bench_host <ours.so> <reference.so>
+// Usage: bench_host <ours.so> <reference.so> [--quick]
+//   --quick: small sizes + short timing windows (CI smoke; numbers are
+//   NOT meaningful, only parity and plumbing are checked).
 // Output: human-readable table rows + one final JSON line.
 
 #include <cstdint>
@@ -97,8 +99,10 @@ void* must_sym(void* lib, const char* name) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 3) {
-    fprintf(stderr, "usage: %s <ours.so> <reference.so>\n", argv[0]);
+  bool quick = argc == 4 && std::strcmp(argv[3], "--quick") == 0;
+  if (argc != 3 && !quick) {
+    fprintf(stderr, "usage: %s <ours.so> <reference.so> [--quick]\n",
+            argv[0]);
     return 2;
   }
   void* ours = dlopen(argv[1], RTLD_NOW);
@@ -124,7 +128,12 @@ int main(int argc, char** argv) {
   // n=12,m=4: the BASELINE headline config.
   const Case cases[] = {{6, 3, 0, "n6_m3_d0"}, {12, 4, 0, "n12_m4_d0"},
                         {12, 4, 1, "n12_m4_d1"}};
-  const size_t sizes[] = {360, 4096, 65536, 1048576};
+  std::vector<size_t> sizes = {360, 4096, 65536, 1048576};
+  double min_s = 0.25;
+  if (quick) {
+    sizes = {360, 4096};
+    min_s = 0.01;
+  }
 
   std::string json = "{\"rows\": [";
   bool first = true;
@@ -156,19 +165,19 @@ int main(int argc, char** argv) {
             for (long i = 0; i < it; ++i)
               ref_apply(rf, x.data(), yr.data(), N);
           },
-          N);
+          N, min_s);
       double r_ours = best_rate(
           [&](long it) {
             for (long i = 0; i < it; ++i)
               sgh_apply(of, x.data(), yo.data(), int64_t(N), 1);
           },
-          N);
+          N, min_s);
       double r_thr = best_rate(
           [&](long it) {
             for (long i = 0; i < it; ++i)
               sgh_apply_threaded(of, x.data(), yo.data(), int64_t(N), 1, 0);
           },
-          N);
+          N, min_s);
       printf("%-10s N=%-8zu ref %8.2f Ms/s   ours %8.2f Ms/s (%.2fx)   "
              "ours-mt %8.2f Ms/s (%.2fx)   maxdiff %.3e\n",
              c.tag, N, r_ref / 1e6, r_ours / 1e6, r_ours / r_ref,

@@ -1,0 +1,36 @@
+"""Smoke test for the host head-to-head benchmark harness.
+
+Runs ``benchmarks/bench_native.py --quick`` (small sizes, short timing
+windows): checks the build plumbing, the dlopen ABI match against the
+compiled reference, and output parity (max abs diff) for every row.
+Throughput numbers in quick mode are meaningless and are not asserted.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(shutil.which("g++") is None or
+                    shutil.which("gcc") is None,
+                    reason="no host compiler")
+def test_bench_native_quick_parity():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_native.py"),
+         "--quick"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["metric"] == "native_host_vs_reference_geomean_speedup"
+    rows = summary["extras"]["rows"]
+    # 3 configs x 2 quick sizes
+    assert len(rows) == 6
+    for r in rows:
+        assert r["max_abs_diff"] <= 5e-7, r
+        assert r["ref_ms_s"] > 0 and r["ours_ms_s"] > 0
