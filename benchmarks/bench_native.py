@@ -40,10 +40,11 @@ def _run(cmd, **kw):
 
 def build_all() -> tuple[str, str]:
     _run(["make", "-C", NATIVE])
-    # Reference at full optimization; only the 1D batch library is timed.
+    # Reference at full optimization (1D batch + 2D libraries).
     _run(["gcc", "-O3", "-march=native", "-shared", "-fPIC",
           f"-I{REF_ROOT}/include/iterative",
-          f"{REF_ROOT}/src/savgolFilter.c", "-lm", "-o", REF_SO])
+          f"{REF_ROOT}/src/savgolFilter.c", f"{REF_ROOT}/src/savgol2d.c",
+          "-lm", "-o", REF_SO])
     _run(["g++", "-O3", "-std=c++17", "-march=native",
           os.path.join(NATIVE, "bench_host.cpp"), "-ldl", "-o", BENCH_EXE])
     return os.path.join(NATIVE, "libsavgolhost.so"), REF_SO
@@ -59,11 +60,15 @@ def main() -> int:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr)
         return proc.returncode
-    rows = json.loads(proc.stdout.strip().splitlines()[-1])["rows"]
+    parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+    rows = parsed["rows"]
+    rows2d = parsed.get("rows_2d", [])
     worst_diff = max(r["max_abs_diff"] for r in rows)
     gmean = math.exp(sum(math.log(r["speedup"]) for r in rows) / len(rows))
     gmean_mt = math.exp(
         sum(math.log(r["speedup_mt"]) for r in rows) / len(rows))
+    gmean_2d = (math.exp(sum(math.log(r["speedup"]) for r in rows2d)
+                         / len(rows2d)) if rows2d else None)
     ncpu = os.cpu_count() or 1
     summary = {
         "metric": "native_host_vs_reference_geomean_speedup",
@@ -71,9 +76,15 @@ def main() -> int:
         "unit": "x",
         "extras": {
             "geomean_speedup_threaded": round(gmean_mt, 3),
+            "geomean_speedup_2d": (round(gmean_2d, 3)
+                                   if gmean_2d else None),
             "n_host_cpus": ncpu,
             "worst_max_abs_diff": worst_diff,
+            "worst_max_abs_diff_2d": (max(r["max_abs_diff"]
+                                          for r in rows2d)
+                                      if rows2d else None),
             "rows": rows,
+            "rows_2d": rows2d,
         },
     }
     print(json.dumps(summary))

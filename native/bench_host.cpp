@@ -40,12 +40,37 @@ using ref_create_t = void* (*)(const RefConfig*);
 using ref_destroy_t = void (*)(void*);
 using ref_apply_t = int (*)(void*, const float*, float*, size_t);
 
-// Our ABI (native/savgol_host.cpp).
+// Reference 2D ABI (include/iterative/savgol2d.h).
+struct RefConfig2D {
+  uint8_t half_window_x;
+  uint8_t half_window_y;
+  uint8_t poly_order;
+  uint8_t deriv_x;
+  uint8_t deriv_y;
+  float delta_x;
+  float delta_y;
+};
+
+using ref2_create_t = void* (*)(const RefConfig2D*);
+using ref2_destroy_t = void (*)(void*);
+using ref2_apply_t = int (*)(void*, const float*, int, int, int, float*,
+                             int, int);
+// savgol2d_apply with VALID insets the output into a FULL-SIZE buffer
+// (src/savgol2d.c:410-414); savgol2d_apply_valid writes compactly — use
+// it for the apples-to-apples VALID comparison.
+using ref2_apply_valid_t = int (*)(void*, const float*, int, int, int,
+                                   float*, int);
+
+// Our ABI (native/savgol_host.cpp / savgol_host2d.cpp).
 using sgh_create_t = void* (*)(int, int, int, float, int);
 using sgh_destroy_t = void (*)(void*);
 using sgh_apply_t = int (*)(const void*, const float*, float*, int64_t, int);
 using sgh_apply_threaded_t =
     int (*)(const void*, const float*, float*, int64_t, int, int);
+using sgh2_create_t = void* (*)(int, int, int, int, int, float, float);
+using sgh2_destroy_t = void (*)(void*);
+using sgh2_apply_t = int (*)(const void*, const float*, int64_t, int64_t,
+                             int64_t, float*, int64_t, int);
 
 double now_s() {
   timespec ts;
@@ -119,6 +144,14 @@ int main(int argc, char** argv) {
   auto ref_create = (ref_create_t)must_sym(ref, "savgol_create");
   auto ref_destroy = (ref_destroy_t)must_sym(ref, "savgol_destroy");
   auto ref_apply = (ref_apply_t)must_sym(ref, "savgol_apply");
+  auto sgh2_create = (sgh2_create_t)must_sym(ours, "sgh2_create");
+  auto sgh2_destroy = (sgh2_destroy_t)must_sym(ours, "sgh2_destroy");
+  auto sgh2_apply = (sgh2_apply_t)must_sym(ours, "sgh2_apply");
+  auto ref2_create = (ref2_create_t)must_sym(ref, "savgol2d_create");
+  auto ref2_destroy = (ref2_destroy_t)must_sym(ref, "savgol2d_destroy");
+  auto ref2_apply = (ref2_apply_t)must_sym(ref, "savgol2d_apply");
+  auto ref2_apply_valid =
+      (ref2_apply_valid_t)must_sym(ref, "savgol2d_apply_valid");
 
   struct Case {
     int n, m, d;
@@ -197,6 +230,87 @@ int main(int argc, char** argv) {
     }
     ref_destroy(rf);
     sgh_destroy(of);
+  }
+  json += "], \"rows_2d\": [";
+
+  // ---- 2D: 11x11 order-3 smoothing, CONSTANT (same-size) and VALID ----
+  // (reference hot loop: per-pixel per-tap scalar with boundary index
+  // remap, src/savgol2d.c:398-456; ours is the blocked engine in
+  // savgol_host2d.cpp)
+  struct Case2D {
+    int hw, order, mode;  // mode: 0 valid, 1 constant (both ABIs)
+    const char* tag;
+  };
+  const Case2D cases2[] = {{5, 3, 1, "2d_11x11_o3_constant"},
+                           {5, 3, 0, "2d_11x11_o3_valid"}};
+  std::vector<size_t> dims = {512, 1024};
+  if (quick) dims = {128};
+  first = true;
+  for (const Case2D& c : cases2) {
+    RefConfig2D rc2{uint8_t(c.hw), uint8_t(c.hw), uint8_t(c.order), 0, 0,
+                    1.0f, 1.0f};
+    void* rf = ref2_create(&rc2);
+    void* of = sgh2_create(c.hw, c.hw, c.order, 0, 0, 1.0f, 1.0f);
+    if (!rf || !of) {
+      fprintf(stderr, "2d create failed for %s\n", c.tag);
+      return 2;
+    }
+    for (size_t D : dims) {
+      const int64_t rows = int64_t(D), cols = int64_t(D);
+      const int64_t orows = c.mode == 0 ? rows - 2 * c.hw : rows;
+      const int64_t ocols = c.mode == 0 ? cols - 2 * c.hw : cols;
+      std::vector<float> img(size_t(rows * cols));
+      std::vector<float> yo(size_t(orows * ocols)), yr(yo.size());
+      fill_input(img);
+      auto run_ref = [&]() {
+        return c.mode == 0
+                   ? ref2_apply_valid(rf, img.data(), int(rows), int(cols),
+                                      int(cols), yr.data(), int(ocols))
+                   : ref2_apply(rf, img.data(), int(rows), int(cols),
+                                int(cols), yr.data(), int(ocols), c.mode);
+      };
+      if (sgh2_apply(of, img.data(), rows, cols, cols, yo.data(), ocols,
+                     c.mode) != 0 ||
+          run_ref() != 0) {
+        fprintf(stderr, "2d apply failed for %s D=%zu\n", c.tag, D);
+        return 2;
+      }
+      float max_diff = 0.0f;
+      for (size_t i = 0; i < yo.size(); ++i) {
+        float d = yo[i] - yr[i];
+        if (d < 0) d = -d;
+        if (d > max_diff) max_diff = d;
+      }
+      const size_t pix = size_t(orows * ocols);  // output pixels produced
+      double r_ref = best_rate(
+          [&](long it) {
+            for (long i = 0; i < it; ++i) run_ref();
+          },
+          pix, min_s);
+      double r_ours = best_rate(
+          [&](long it) {
+            for (long i = 0; i < it; ++i)
+              sgh2_apply(of, img.data(), rows, cols, cols, yo.data(),
+                         ocols, c.mode);
+          },
+          pix, min_s);
+      printf("%-22s %zux%-6zu ref %8.2f Mpix/s   ours %8.2f Mpix/s "
+             "(%.2fx)   maxdiff %.3e\n",
+             c.tag, D, D, r_ref / 1e6, r_ours / 1e6, r_ours / r_ref,
+             double(max_diff));
+      fflush(stdout);
+      char row[512];
+      snprintf(row, sizeof row,
+               "%s{\"config\": \"%s\", \"dim\": %zu, "
+               "\"ref_mpix_s\": %.3f, \"ours_mpix_s\": %.3f, "
+               "\"speedup\": %.3f, \"max_abs_diff\": %.3e}",
+               first ? "" : ", ", c.tag, D, r_ref / 1e6, r_ours / 1e6,
+               r_ours / r_ref, double(max_diff));
+      json += row;
+      first = false;
+    }
+    ref2_destroy(rf);
+    sgh2_destroy(of);
   }
   json += "]}";
   printf("%s\n", json.c_str());

@@ -113,6 +113,19 @@ inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+constexpr int kBlock = 64;
+
+// Remap an out-of-range index into [0, n) by edge-clamp (CONSTANT) or
+// symmetric reflection with the reference's double-reflection clamp
+// (src/savgol2d.c:428-441).
+inline int64_t remap_index(int64_t i, int64_t n, bool reflect) {
+  if (reflect) {
+    if (i < 0) i = -i - 1;
+    else if (i >= n) i = 2 * n - i - 1;
+  }
+  return clampi(i, 0, n - 1);
+}
+
 void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
            int64_t stride, float* out, int64_t out_stride, Boundary b) {
   const int nx = f.nx, ny = f.ny;
@@ -120,33 +133,63 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
     // f32 weights + output-blocked inner loop (vectorizes across columns)
     std::vector<float> wf(f.weights.begin(), f.weights.end());
     const float sc = static_cast<float>(f.scale);
-    constexpr int kBlock = 64;
     const int64_t out_cols = cols - 2 * nx;
+    auto run_block = [&](int64_t oy, int64_t ox) {
+      float acc[kBlock] = {0};
+      const float* wp = wf.data();
+      for (int wy = 0; wy < f.height; ++wy) {
+        const float* r = in + (oy + wy) * stride + ox;
+        for (int wx = 0; wx < f.width; ++wx) {
+          const float wk = *wp++;
+          for (int t = 0; t < kBlock; ++t) acc[t] += wk * r[wx + t];
+        }
+      }
+      float* o = out + oy * out_stride + ox;
+      for (int t = 0; t < kBlock; ++t) o[t] = acc[t] * sc;
+    };
     for (int64_t oy = 0; oy + 2 * ny < rows; ++oy) {
       int64_t ox = 0;
-      for (; ox + kBlock <= out_cols; ox += kBlock) {
-        float acc[kBlock] = {0};
-        const float* wp = wf.data();
-        for (int wy = 0; wy < f.height; ++wy) {
-          const float* r = in + (oy + wy) * stride + ox;
-          for (int wx = 0; wx < f.width; ++wx) {
-            const float wk = *wp++;
-            for (int t = 0; t < kBlock; ++t) acc[t] += wk * r[wx + t];
+      for (; ox + kBlock <= out_cols; ox += kBlock) run_block(oy, ox);
+      if (ox < out_cols) {
+        if (out_cols >= kBlock) {
+          // Shift the final block back so it ends exactly at out_cols.
+          // The overlap rewrites identical values (per-output tap order
+          // is position-independent), keeping the whole row vectorized.
+          run_block(oy, out_cols - kBlock);
+        } else {
+          for (; ox < out_cols; ++ox) {
+            double s = 0.0;
+            const double* w = f.weights.data();
+            for (int wy = 0; wy < f.height; ++wy) {
+              const float* r = in + (oy + wy) * stride + ox;
+              for (int wx = 0; wx < f.width; ++wx) s += *w++ * r[wx];
+            }
+            out[oy * out_stride + ox] = static_cast<float>(s * f.scale);
           }
         }
-        float* o = out + oy * out_stride + ox;
-        for (int t = 0; t < kBlock; ++t) o[t] = acc[t] * sc;
-      }
-      for (; ox < out_cols; ++ox) {
-        double s = 0.0;
-        const double* w = f.weights.data();
-        for (int wy = 0; wy < f.height; ++wy) {
-          const float* r = in + (oy + wy) * stride + ox;
-          for (int wx = 0; wx < f.width; ++wx) s += *w++ * r[wx];
-        }
-        out[oy * out_stride + ox] = static_cast<float>(s * f.scale);
       }
     }
+    return;
+  }
+  // Wide images: synthesize the (rows+2ny, cols+2nx) boundary-padded
+  // image once and run the blocked VALID kernel over it — every output
+  // pixel (border ring included) then takes the vector path instead of
+  // the per-tap index-remap loop below. Gated on kBlock so narrow
+  // images (and the small-image parity tests) keep the f64 scalar path.
+  if (cols >= kBlock) {
+    const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
+    std::vector<float> pad(static_cast<size_t>(prow) * pcol);
+    const bool refl = (b == kReflect);
+    for (int64_t py = 0; py < prow; ++py) {
+      const float* src = in + remap_index(py - ny, rows, refl) * stride;
+      float* dst = pad.data() + py * pcol;
+      for (int64_t px = 0; px < nx; ++px)
+        dst[px] = src[remap_index(px - nx, cols, refl)];
+      std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
+      for (int64_t px = nx + cols; px < pcol; ++px)
+        dst[px] = src[remap_index(px - nx, cols, refl)];
+    }
+    apply(f, pad.data(), prow, pcol, pcol, out, out_stride, kValid);
     return;
   }
   // Full-size output: interior pixels are a plain VALID stencil — reuse the

@@ -157,6 +157,23 @@ class TestHost2D:
         wp = sg.savgol2d_weights_np(cfg, dtype=np.float64)
         np.testing.assert_allclose(hf.weights(), wp, atol=1e-10)
 
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.VALID])
+    def test_wide_image_vector_path_matches_jax(self, rng, boundary):
+        """Images with >= 64 columns take the blocked f32 paths (padded
+        boundary synthesis + overlapping final block); parity vs the f64
+        JAX oracle within f32 accumulation error."""
+        img = rng.standard_normal((70, 100)).astype(np.float32)
+        cfg = sg.Savgol2DConfig(5, 4, 3, deriv_x=1)
+        hf = native.HostSavgol2D(cfg)
+        jf = sg.Savgol2D.create(cfg, dtype=F64)
+        got = hf.apply(img, boundary)
+        want = np.asarray(jf.apply(jnp.asarray(img, dtype=F64),
+                                   boundary=boundary))
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() <= 3e-6 * scale
+
     def test_matches_reference_c_2d(self, ref, rng):
         img = rng.standard_normal((20, 20)).astype(np.float32)
         hf = native.HostSavgol2D(sg.Savgol2DConfig(3, 3, 3))
