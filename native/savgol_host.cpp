@@ -295,7 +295,9 @@ int apply_threaded(const Filter& f, const float* in, float* out,
   const int n = f.n;
   const int64_t interior = len - 2 * n;
   if (n_threads <= 0) {
-    unsigned hc = std::thread::hardware_concurrency();
+    // cached: glibc's hardware_concurrency reads sysfs per call (~us),
+    // which would dominate small-N dispatches
+    static const unsigned hc = std::thread::hardware_concurrency();
     n_threads = hc ? static_cast<int>(hc) : 1;
   }
   // below ~1M interior samples the spawn cost beats the speedup
@@ -330,7 +332,9 @@ int apply_batch(const Filter& f, const float* in, float* out, int64_t batch,
   if (len < f.width || batch < 0) return -1;
   if (batch == 0) return 0;
   if (n_threads <= 0) {
-    unsigned hc = std::thread::hardware_concurrency();
+    // cached: glibc's hardware_concurrency reads sysfs per call (~us),
+    // which would dominate small-N dispatches
+    static const unsigned hc = std::thread::hardware_concurrency();
     n_threads = hc ? static_cast<int>(hc) : 1;
   }
   n_threads = static_cast<int>(std::max<int64_t>(
