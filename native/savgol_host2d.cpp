@@ -10,6 +10,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace sgh2 {
@@ -227,6 +228,76 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
   }
 }
 
+// Threaded apply: output rows are independent (input is read-only), so
+// partitioning them across threads is bit-identical to the single-thread
+// pass. Boundary modes pad once on the calling thread, then the threads
+// each run the blocked VALID kernel on a disjoint output-row span.
+// n_threads <= 0 means hardware concurrency; small images run inline.
+int apply_threaded(const Filter2D& f, const float* in, int64_t rows,
+                   int64_t cols, int64_t stride, float* out,
+                   int64_t out_stride, Boundary b, int n_threads) {
+  const int nx = f.nx, ny = f.ny;
+  if (n_threads <= 0) {
+    // cached: glibc's hardware_concurrency reads sysfs per call (~us)
+    static const unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? static_cast<int>(hc) : 1;
+  }
+  const int64_t out_rows = b == kValid ? rows - 2 * ny : rows;
+  if (out_rows <= 0 || cols - (b == kValid ? 2 * nx : 0) <= 0) return -1;
+  // below ~256k output pixels per thread the spawn cost beats the win
+  const int64_t out_cols_n = b == kValid ? cols - 2 * nx : cols;
+  const int64_t kMinPixPerThread = 1 << 18;
+  n_threads = static_cast<int>(std::max<int64_t>(
+      1, std::min<int64_t>(n_threads,
+                           out_rows * out_cols_n / kMinPixPerThread)));
+  // narrow boundary-mode images take the f64 scalar border path in the
+  // single-thread engine; keep them there so threading stays
+  // bit-identical
+  if (b != kValid && cols < kBlock) n_threads = 1;
+  if (n_threads <= 1) {
+    apply(f, in, rows, cols, stride, out, out_stride, b);
+    return 0;
+  }
+  // Reduce boundary modes to VALID over a padded image (same reduction
+  // the single-thread path uses for wide images).
+  std::vector<float> pad;
+  const float* vin = in;
+  int64_t vcols = cols, vstride = stride;
+  if (b != kValid) {
+    const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
+    pad.resize(static_cast<size_t>(prow) * pcol);
+    const bool refl = (b == kReflect);
+    for (int64_t py = 0; py < prow; ++py) {
+      const float* src = in + remap_index(py - ny, rows, refl) * stride;
+      float* dst = pad.data() + py * pcol;
+      for (int64_t px = 0; px < nx; ++px)
+        dst[px] = src[remap_index(px - nx, cols, refl)];
+      std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
+      for (int64_t px = nx + cols; px < pcol; ++px)
+        dst[px] = src[remap_index(px - nx, cols, refl)];
+    }
+    vin = pad.data();
+    vcols = pcol;
+    vstride = pcol;
+  }
+  // Each thread gets a contiguous span of output rows; its VALID call
+  // sees the input rows that feed exactly that span.
+  const int64_t per = (out_rows + n_threads - 1) / n_threads;
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t r0 = t * per;
+    const int64_t r1 = std::min<int64_t>(out_rows, r0 + per);
+    if (r0 >= r1) break;
+    pool.emplace_back([&, r0, r1]() {
+      apply(f, vin + r0 * vstride, (r1 - r0) + 2 * ny, vcols, vstride,
+            out + r0 * out_stride, out_stride, kValid);
+    });
+  }
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 }  // namespace sgh2
 
 extern "C" {
@@ -262,6 +333,16 @@ int sgh2_apply(const void* h, const float* in, int64_t rows, int64_t cols,
               stride, out, out_stride,
               static_cast<sgh2::Boundary>(boundary));
   return 0;
+}
+
+int sgh2_apply_threaded(const void* h, const float* in, int64_t rows,
+                        int64_t cols, int64_t stride, float* out,
+                        int64_t out_stride, int boundary, int n_threads) {
+  if (!h || !in || !out) return -1;
+  return sgh2::apply_threaded(*static_cast<const sgh2::Filter2D*>(h), in,
+                              rows, cols, stride, out, out_stride,
+                              static_cast<sgh2::Boundary>(boundary),
+                              n_threads);
 }
 
 int sgh2_weights(const void* h, double* out) {

@@ -126,6 +126,11 @@ def load_library() -> ctypes.CDLL:
         lib.sgh2_apply.argtypes = [ctypes.c_void_p, _f32p, ctypes.c_int64,
                                    ctypes.c_int64, ctypes.c_int64, _f32p,
                                    ctypes.c_int64, ctypes.c_int]
+        lib.sgh2_apply_threaded.restype = ctypes.c_int
+        lib.sgh2_apply_threaded.argtypes = [
+            ctypes.c_void_p, _f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, _f32p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int]
         lib.sgh2_weights.restype = ctypes.c_int
         lib.sgh2_weights.argtypes = [ctypes.c_void_p, _f64p]
         _lib = lib
@@ -344,6 +349,29 @@ class HostSavgol2D:
         rc = self._lib.sgh2_apply(self._h, _ptr32(img), rows, cols, cols,
                                   _ptr32(out), ostride,
                                   _BOUNDARY_2D[boundary])
+        if rc != 0:
+            raise ValueError("native 2d apply failed")
+        return out
+
+    def apply_threaded(self, img, boundary: Boundary2D = Boundary2D.CONSTANT,
+                       n_threads: int = 0) -> np.ndarray:
+        """Multithreaded 2D apply: output rows partitioned across host
+        threads, bit-identical to :meth:`apply` (rows are independent;
+        boundary modes pad once, then each thread runs the blocked VALID
+        kernel on a disjoint row span). ``n_threads<=0`` = hardware
+        concurrency; small images silently run single-threaded."""
+        img = np.ascontiguousarray(img, dtype=np.float32)
+        rows, cols = img.shape
+        if boundary is Boundary2D.VALID:
+            ny, nx = self.config.half_window_y, self.config.half_window_x
+            out = np.empty((rows - 2 * ny, cols - 2 * nx), dtype=np.float32)
+            ostride = out.shape[1]
+        else:
+            out = np.empty_like(img)
+            ostride = cols
+        rc = self._lib.sgh2_apply_threaded(
+            self._h, _ptr32(img), rows, cols, cols, _ptr32(out), ostride,
+            _BOUNDARY_2D[boundary], int(n_threads))
         if rc != 0:
             raise ValueError("native 2d apply failed")
         return out

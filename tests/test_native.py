@@ -221,6 +221,27 @@ class TestThreadedApply:
         with pytest.raises(ValueError):
             host1d.apply_threaded(np.zeros((2, 3, 4), dtype=np.float32))
 
+    @pytest.mark.parametrize("boundary", list(sg.Boundary2D))
+    def test_threaded_2d_bit_identical(self, boundary):
+        rng = np.random.default_rng(73)
+        img = rng.standard_normal((700, 900)).astype(np.float32)
+        hf = native.HostSavgol2D(sg.Savgol2DConfig(5, 4, 3, deriv_x=1))
+        want = hf.apply(img, boundary)
+        np.testing.assert_array_equal(
+            hf.apply_threaded(img, boundary), want)
+        np.testing.assert_array_equal(
+            hf.apply_threaded(img, boundary, n_threads=5), want)
+
+    def test_threaded_2d_narrow_boundary_bit_identical(self):
+        # narrow images keep the f64 scalar border path — threading must
+        # not silently switch them to the padded f32 reduction
+        rng = np.random.default_rng(74)
+        img = rng.standard_normal((20_000, 40)).astype(np.float32)
+        hf = native.HostSavgol2D(sg.Savgol2DConfig(3, 3, 2))
+        np.testing.assert_array_equal(
+            hf.apply_threaded(img, sg.Boundary2D.REFLECT, n_threads=4),
+            hf.apply(img, sg.Boundary2D.REFLECT))
+
 
 class TestStridedApply:
     """Native strided apply (reference savgol_apply_strided parity,
