@@ -314,7 +314,9 @@ def main():
     # times both engines with identical in-process loops at -O3
     # -march=native. No tunnel dependency; guarded only by the deadline.
     native_speedup = None
+    native_speedup_2d = None
     native_rows = None
+    native_rows_2d = None
     if _time_left(240):
         _note("native host head-to-head")
         try:
@@ -327,7 +329,9 @@ def main():
             if proc.returncode == 0:
                 nat = json.loads(proc.stdout.strip().splitlines()[-1])
                 native_speedup = nat["value"]
+                native_speedup_2d = nat["extras"]["geomean_speedup_2d"]
                 native_rows = nat["extras"]["rows"]
+                native_rows_2d = nat["extras"]["rows_2d"]
             else:
                 path_errors["native_host"] = proc.stderr[-200:]
         except Exception as e:
@@ -368,7 +372,9 @@ def main():
             "hardware_parity_gates": {k: round(v, 10)
                                       for k, v in gates.items()},
             "native_host_vs_reference_geomean_speedup": native_speedup,
+            "native_host_vs_reference_geomean_speedup_2d": native_speedup_2d,
             "native_host_rows": native_rows,
+            "native_host_rows_2d": native_rows_2d,
             "max_abs_err_vs_scipy_f64": max_err,
             "max_abs_err_bf16_vs_xla": err_bf16,
             "path_errors": path_errors,

@@ -35,7 +35,11 @@ BENCH_EXE = "/tmp/savgol_bench_host"
 
 
 def _run(cmd, **kw):
-    subprocess.run(cmd, check=True, capture_output=True, text=True, **kw)
+    proc = subprocess.run(cmd, capture_output=True, text=True, **kw)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr)
+        raise RuntimeError(f"{cmd[0]} failed (rc {proc.returncode}); "
+                           "stderr above")
 
 
 def build_all() -> tuple[str, str]:

@@ -127,6 +127,25 @@ inline int64_t remap_index(int64_t i, int64_t n, bool reflect) {
   return clampi(i, 0, n - 1);
 }
 
+// Synthesize the (rows+2ny, cols+2nx) boundary-padded image (CONSTANT
+// clamp or REFLECT). Shared by the single-thread and threaded paths so
+// their padded reductions stay bit-identical by construction.
+void pad_boundary(const float* in, int64_t rows, int64_t cols,
+                  int64_t stride, int nx, int ny, bool reflect,
+                  std::vector<float>* pad) {
+  const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
+  pad->resize(static_cast<size_t>(prow) * pcol);
+  for (int64_t py = 0; py < prow; ++py) {
+    const float* src = in + remap_index(py - ny, rows, reflect) * stride;
+    float* dst = pad->data() + py * pcol;
+    for (int64_t px = 0; px < nx; ++px)
+      dst[px] = src[remap_index(px - nx, cols, reflect)];
+    std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
+    for (int64_t px = nx + cols; px < pcol; ++px)
+      dst[px] = src[remap_index(px - nx, cols, reflect)];
+  }
+}
+
 void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
            int64_t stride, float* out, int64_t out_stride, Boundary b) {
   const int nx = f.nx, ny = f.ny;
@@ -177,20 +196,11 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
   // pixel (border ring included) then takes the vector path instead of
   // the per-tap index-remap loop below. Gated on kBlock so narrow
   // images (and the small-image parity tests) keep the f64 scalar path.
-  if (cols >= kBlock) {
-    const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
-    std::vector<float> pad(static_cast<size_t>(prow) * pcol);
-    const bool refl = (b == kReflect);
-    for (int64_t py = 0; py < prow; ++py) {
-      const float* src = in + remap_index(py - ny, rows, refl) * stride;
-      float* dst = pad.data() + py * pcol;
-      for (int64_t px = 0; px < nx; ++px)
-        dst[px] = src[remap_index(px - nx, cols, refl)];
-      std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
-      for (int64_t px = nx + cols; px < pcol; ++px)
-        dst[px] = src[remap_index(px - nx, cols, refl)];
-    }
-    apply(f, pad.data(), prow, pcol, pcol, out, out_stride, kValid);
+  if (cols >= kBlock && rows > 0) {
+    std::vector<float> pad;
+    pad_boundary(in, rows, cols, stride, nx, ny, b == kReflect, &pad);
+    apply(f, pad.data(), rows + 2 * ny, cols + 2 * nx, cols + 2 * nx, out,
+          out_stride, kValid);
     return;
   }
   // Full-size output: interior pixels are a plain VALID stencil — reuse the
@@ -264,21 +274,10 @@ int apply_threaded(const Filter2D& f, const float* in, int64_t rows,
   const float* vin = in;
   int64_t vcols = cols, vstride = stride;
   if (b != kValid) {
-    const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
-    pad.resize(static_cast<size_t>(prow) * pcol);
-    const bool refl = (b == kReflect);
-    for (int64_t py = 0; py < prow; ++py) {
-      const float* src = in + remap_index(py - ny, rows, refl) * stride;
-      float* dst = pad.data() + py * pcol;
-      for (int64_t px = 0; px < nx; ++px)
-        dst[px] = src[remap_index(px - nx, cols, refl)];
-      std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
-      for (int64_t px = nx + cols; px < pcol; ++px)
-        dst[px] = src[remap_index(px - nx, cols, refl)];
-    }
+    pad_boundary(in, rows, cols, stride, nx, ny, b == kReflect, &pad);
     vin = pad.data();
-    vcols = pcol;
-    vstride = pcol;
+    vcols = cols + 2 * nx;
+    vstride = vcols;
   }
   // Each thread gets a contiguous span of output rows; its VALID call
   // sees the input rows that feed exactly that span.
@@ -328,7 +327,7 @@ void sgh2_destroy(void* h) { delete static_cast<sgh2::Filter2D*>(h); }
 int sgh2_apply(const void* h, const float* in, int64_t rows, int64_t cols,
                int64_t stride, float* out, int64_t out_stride,
                int boundary) {
-  if (!h || !in || !out) return -1;
+  if (!h || !in || !out || rows <= 0 || cols <= 0) return -1;
   sgh2::apply(*static_cast<const sgh2::Filter2D*>(h), in, rows, cols,
               stride, out, out_stride,
               static_cast<sgh2::Boundary>(boundary));
@@ -338,7 +337,7 @@ int sgh2_apply(const void* h, const float* in, int64_t rows, int64_t cols,
 int sgh2_apply_threaded(const void* h, const float* in, int64_t rows,
                         int64_t cols, int64_t stride, float* out,
                         int64_t out_stride, int boundary, int n_threads) {
-  if (!h || !in || !out) return -1;
+  if (!h || !in || !out || rows <= 0 || cols <= 0) return -1;
   return sgh2::apply_threaded(*static_cast<const sgh2::Filter2D*>(h), in,
                               rows, cols, stride, out, out_stride,
                               static_cast<sgh2::Boundary>(boundary),

@@ -335,8 +335,8 @@ class HostSavgol2D:
             self._lib.sgh2_destroy(self._h)
             self._h = None
 
-    def apply(self, img, boundary: Boundary2D = Boundary2D.CONSTANT
-              ) -> np.ndarray:
+    def _run_apply(self, img, boundary: Boundary2D,
+                   n_threads: Optional[int]) -> np.ndarray:
         img = np.ascontiguousarray(img, dtype=np.float32)
         rows, cols = img.shape
         if boundary is Boundary2D.VALID:
@@ -346,12 +346,21 @@ class HostSavgol2D:
         else:
             out = np.empty_like(img)
             ostride = cols
-        rc = self._lib.sgh2_apply(self._h, _ptr32(img), rows, cols, cols,
-                                  _ptr32(out), ostride,
-                                  _BOUNDARY_2D[boundary])
+        if n_threads is None:
+            rc = self._lib.sgh2_apply(self._h, _ptr32(img), rows, cols,
+                                      cols, _ptr32(out), ostride,
+                                      _BOUNDARY_2D[boundary])
+        else:
+            rc = self._lib.sgh2_apply_threaded(
+                self._h, _ptr32(img), rows, cols, cols, _ptr32(out),
+                ostride, _BOUNDARY_2D[boundary], int(n_threads))
         if rc != 0:
             raise ValueError("native 2d apply failed")
         return out
+
+    def apply(self, img, boundary: Boundary2D = Boundary2D.CONSTANT
+              ) -> np.ndarray:
+        return self._run_apply(img, boundary, None)
 
     def apply_threaded(self, img, boundary: Boundary2D = Boundary2D.CONSTANT,
                        n_threads: int = 0) -> np.ndarray:
@@ -360,21 +369,7 @@ class HostSavgol2D:
         boundary modes pad once, then each thread runs the blocked VALID
         kernel on a disjoint row span). ``n_threads<=0`` = hardware
         concurrency; small images silently run single-threaded."""
-        img = np.ascontiguousarray(img, dtype=np.float32)
-        rows, cols = img.shape
-        if boundary is Boundary2D.VALID:
-            ny, nx = self.config.half_window_y, self.config.half_window_x
-            out = np.empty((rows - 2 * ny, cols - 2 * nx), dtype=np.float32)
-            ostride = out.shape[1]
-        else:
-            out = np.empty_like(img)
-            ostride = cols
-        rc = self._lib.sgh2_apply_threaded(
-            self._h, _ptr32(img), rows, cols, cols, _ptr32(out), ostride,
-            _BOUNDARY_2D[boundary], int(n_threads))
-        if rc != 0:
-            raise ValueError("native 2d apply failed")
-        return out
+        return self._run_apply(img, boundary, n_threads)
 
     def weights(self) -> np.ndarray:
         out = np.empty((self.config.window_height,

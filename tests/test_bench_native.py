@@ -20,6 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.skipif(shutil.which("g++") is None or
                     shutil.which("gcc") is None,
                     reason="no host compiler")
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference checkout unavailable")
 def test_bench_native_quick_parity():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks", "bench_native.py"),
@@ -34,3 +36,9 @@ def test_bench_native_quick_parity():
     for r in rows:
         assert r["max_abs_diff"] <= 5e-7, r
         assert r["ref_ms_s"] > 0 and r["ours_ms_s"] > 0
+    rows_2d = summary["extras"]["rows_2d"]
+    # 2 configs (constant / valid) x 1 quick size
+    assert len(rows_2d) == 2
+    for r in rows_2d:
+        assert r["max_abs_diff"] <= 5e-7, r
+        assert r["ref_mpix_s"] > 0 and r["ours_mpix_s"] > 0
