@@ -174,6 +174,17 @@ class TestHost2D:
         scale = max(1.0, np.abs(want).max())
         assert np.abs(got - want).max() <= 3e-6 * scale
 
+    @pytest.mark.parametrize("boundary", ["constant", "reflect"])
+    def test_wide_image_matches_reference_c(self, ref, rng, boundary):
+        """The padded vector path (>= 64 cols) against the compiled
+        reference's per-tap boundary remap — same f32 accumulation order,
+        so agreement is at float-weight level."""
+        img = rng.standard_normal((80, 96)).astype(np.float32)
+        hf = native.HostSavgol2D(sg.Savgol2DConfig(4, 5, 3))
+        theirs = ref.apply2d(img, 4, 5, 3, boundary=boundary)
+        got = hf.apply(img, sg.Boundary2D[boundary.upper()])
+        assert np.abs(got - theirs).max() <= 2e-6
+
     def test_matches_reference_c_2d(self, ref, rng):
         img = rng.standard_normal((20, 20)).astype(np.float32)
         hf = native.HostSavgol2D(sg.Savgol2DConfig(3, 3, 3))
