@@ -199,8 +199,7 @@ void apply_interior_range(const Filter& f, const float* in, float* out,
   const float dtf = static_cast<float>(f.dt_inv);
   constexpr int kBlock = 64;
   const float* wf = f.center_f.data();
-  int64_t j = j0;
-  for (; j + kBlock <= j1; j += kBlock) {
+  auto run_block = [&](int64_t j) {
     float acc[kBlock] = {0};
     const float* base = in + (j - n);
     for (int k = 0; k < f.width; ++k) {
@@ -209,9 +208,22 @@ void apply_interior_range(const Filter& f, const float* in, float* out,
       for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
     }
     for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
+  };
+  int64_t j = j0;
+  for (; j + kBlock <= j1; j += kBlock) run_block(j);
+  if (j < j1) {
+    if (j1 - j0 >= kBlock) {
+      // Shift the final block back so it ends exactly at j1: per-output
+      // tap order is block-alignment-independent, so the overlapping
+      // rewrite is value-identical and the whole range stays vectorized
+      // (also keeps the threaded split bit-identical — the last thread
+      // produces the same overlap block the single-thread pass does).
+      run_block(j1 - kBlock);
+    } else {
+      for (; j < j1; ++j)
+        out[j] = static_cast<float>(f.dot_center(in + j - n) * f.dt_inv);
+    }
   }
-  for (; j < j1; ++j)
-    out[j] = static_cast<float>(f.dot_center(in + j - n) * f.dt_inv);
 }
 
 // Boundary regions (first and last n outputs), shared by the plain and
