@@ -312,12 +312,13 @@ def main():
     # The reference's only published benchmark is host-CPU Msamples/s
     # (test/iterative/test_savgol_main.c:136-155); benchmarks/bench_native.py
     # times both engines with identical in-process loops at -O3
-    # -march=native. No tunnel dependency; guarded only by the deadline.
+    # -march=native (1D + 2D rows, ~100-150s). No tunnel dependency;
+    # guarded only by the deadline.
     native_speedup = None
     native_speedup_2d = None
     native_rows = None
     native_rows_2d = None
-    if _time_left(240):
+    if _time_left(380):
         _note("native host head-to-head")
         try:
             import subprocess
@@ -325,7 +326,7 @@ def main():
                 [sys.executable, os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "benchmarks", "bench_native.py")],
-                capture_output=True, text=True, timeout=220)
+                capture_output=True, text=True, timeout=360)
             if proc.returncode == 0:
                 nat = json.loads(proc.stdout.strip().splitlines()[-1])
                 native_speedup = nat["value"]
