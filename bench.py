@@ -119,7 +119,29 @@ def _require_backend(timeout_s: float = 900.0):
     t.join(timeout_s)
     if t.is_alive() or not devs:
         _note(f"FATAL: backend failed to initialize within {timeout_s:.0f}s "
-              "(tunnel outage?) — no metrics emitted")
+              "(tunnel outage?) — emitting the CPU-only native fallback "
+              "metric and exiting 3")
+        # Emit an honest CPU-only metric rather than nothing: the native
+        # host head-to-head needs no device. The metric NAME/UNIT make
+        # clear this is not the TPU headline (see BENCH_r02 for that).
+        try:
+            import subprocess
+            proc = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "benchmarks", "bench_native.py")],
+                capture_output=True, text=True, timeout=360)
+            if proc.returncode == 0:
+                nat = json.loads(proc.stdout.strip().splitlines()[-1])
+                nat["vs_baseline"] = None
+                nat["extras"]["tpu_unavailable"] = True
+                nat["extras"]["note"] = (
+                    "TPU backend did not initialize (tunnel outage); this "
+                    "line is the host-CPU native-engine head-to-head only. "
+                    "TPU metrics: see the previous round's BENCH record.")
+                print(json.dumps(nat))
+        except Exception as e:
+            _note(f"native fallback failed too: {type(e).__name__}: {e}")
         os._exit(3)
     return devs
 
