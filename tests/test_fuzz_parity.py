@@ -1,0 +1,105 @@
+"""Seeded cross-engine fuzz parity: JAX vs native C++ vs compiled reference.
+
+The grid tests pin specific (n, m, d, boundary) points; this file samples
+the config space broadly (deterministic seed) and checks that three
+independent implementations agree on the same random data:
+
+  * the JAX apply in f64 (the accuracy master),
+  * the native C++ engine (f32 SIMD, f64 weights),
+  * the compiled reference C library (f32 weights + f32 convolution).
+
+Tolerances: native-vs-JAX is f32-accumulation error; reference-vs-JAX is
+looser because the reference computes its Gram recurrence in f32
+(/root/reference/src/savgolFilter.c:236-303), which costs accuracy at
+large (n, m). reference_edge_sign=True aligns the odd-derivative leading
+edge with the reference.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import savgol_tpu as sg
+from savgol_tpu import native
+
+F64 = jnp.float64
+
+_rng = np.random.default_rng(0xF022)
+_CASES = []
+while len(_CASES) < 30:
+    n = int(_rng.integers(1, 33))
+    m = int(_rng.integers(0, min(2 * n, 11)))
+    d = int(_rng.integers(0, min(m, 4) + 1))
+    boundary = _rng.choice(list(sg.BoundaryMode))
+    N = int(_rng.integers(2 * n + 1, 5000))
+    _CASES.append((n, m, d, boundary, N))
+
+
+@pytest.mark.parametrize("n,m,d,boundary,N", _CASES)
+def test_three_way_parity(ref, n, m, d, boundary, N):
+    x = np.random.default_rng(n * 1000 + N).standard_normal(N)
+    x = x.astype(np.float32)
+    cfg = sg.SavgolConfig(n, m, d, boundary=boundary)
+
+    f = sg.Savgol1D.create(cfg, dtype=F64)
+    ours = np.asarray(f.apply(jnp.asarray(x, dtype=F64),
+                              reference_edge_sign=True))
+    scale = max(1.0, np.abs(ours).max())
+
+    got_native = native.HostSavgol1D(cfg).apply(x, reference_edge_sign=True)
+    assert np.abs(got_native - ours).max() <= 4e-6 * scale, (n, m, d,
+                                                             boundary, N)
+
+    theirs = ref.apply(x, n, m, d, boundary=boundary.name.lower())
+    # the reference's f32 weight recurrence drifts at large (n, m);
+    # 2e-4 relative bounds the worst observed drift while still catching
+    # real disagreements (wrong edges/signs/boundaries are O(1))
+    assert np.abs(theirs - ours).max() <= 2e-4 * scale, (n, m, d,
+                                                         boundary, N)
+
+
+_CASES_2D = []
+_rng2 = np.random.default_rng(0xF023)
+while len(_CASES_2D) < 20:
+    hx = int(_rng2.integers(1, 9))
+    hy = int(_rng2.integers(1, 9))
+    order = int(_rng2.integers(0, 7))
+    terms = (order + 1) * (order + 2) // 2
+    if (2 * hx + 1) * (2 * hy + 1) < terms:
+        continue
+    pool = [(dx, dy) for dx in range(order + 1) for dy in range(order + 1)
+            if dx + dy <= order]
+    dx, dy = pool[int(_rng2.integers(0, len(pool)))]
+    boundary = _rng2.choice(list(sg.Boundary2D))
+    rows = int(_rng2.integers(2 * hy + 1, 90))
+    cols = int(_rng2.integers(2 * hx + 1, 110))
+    _CASES_2D.append((hx, hy, order, dx, dy, boundary, rows, cols))
+
+
+@pytest.mark.parametrize("hx,hy,order,dx,dy,boundary,rows,cols", _CASES_2D)
+def test_three_way_parity_2d(ref, hx, hy, order, dx, dy, boundary, rows,
+                             cols):
+    img = np.random.default_rng(rows * 100 + cols).standard_normal(
+        (rows, cols)).astype(np.float32)
+    cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+    try:
+        f = sg.Savgol2D.create(cfg, dtype=F64)
+    except np.linalg.LinAlgError:
+        # truly singular geometry — the reference's Cholesky must also
+        # reject it (its pivot-free factorization is stricter, so any
+        # geometry we reject it must reject too)
+        assert ref.apply2d(img, hx, hy, order, dx, dy) is None
+        return
+    ours = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                              boundary=boundary))
+    scale = max(1.0, np.abs(ours).max())
+
+    got_native = native.HostSavgol2D(cfg).apply(img, boundary)
+    assert np.abs(got_native - ours).max() <= 4e-6 * scale
+
+    theirs = ref.apply2d(img, hx, hy, order, dx, dy,
+                         boundary=boundary.name.lower())
+    if theirs is None:
+        return  # reference's stricter Cholesky refused an ill-conditioned
+                # (but solvable) geometry — documented divergence
+    assert np.abs(theirs - ours).max() <= 2e-4 * scale
