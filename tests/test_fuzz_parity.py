@@ -103,3 +103,46 @@ def test_three_way_parity_2d(ref, hx, hy, order, dx, dy, boundary, rows,
         return  # reference's stricter Cholesky refused an ill-conditioned
                 # (but solvable) geometry — documented divergence
     assert np.abs(theirs - ours).max() <= 2e-4 * scale
+
+
+_CASES_STREAM = []
+_rng3 = np.random.default_rng(0xF024)
+while len(_CASES_STREAM) < 10:
+    n = int(_rng3.integers(1, 33))
+    m = int(_rng3.integers(0, min(2 * n, 11)))
+    d = int(_rng3.integers(0, min(m, 4) + 1))
+    N = int(_rng3.integers(2 * n + 1, 800))
+    _CASES_STREAM.append((n, m, d, N))
+
+
+@pytest.mark.parametrize("n,m,d,N", _CASES_STREAM)
+def test_stream_three_way_parity(ref, n, m, d, N):
+    """Streaming protocol fuzz: the JAX shell, the native stream engine,
+    and the reference stream all emit the same sequence (conservation:
+    outputs == inputs after flush), matching the batch apply."""
+    x = np.random.default_rng(n * 31 + N).standard_normal(N)
+    x = x.astype(np.float32)
+    cfg = sg.SavgolConfig(n, m, d)
+
+    theirs = ref.stream_run(x, n, m, d)
+
+    # JAX shell and native stream default to the CORRECT leading-edge
+    # sign; the reference stream emits the flipped one for odd d —
+    # compare each against the matching-sign batch output.
+    s = sg.SavgolStream(cfg)
+    ours = [v for smp in x for v in s.push_full(float(smp))]
+    ours = np.asarray(ours + list(s.flush()), dtype=np.float32)
+
+    hs = native.HostSavgolStream(cfg)
+    got = [v for smp in x for v in hs.push_full(float(smp))]
+    got = np.asarray(got + list(hs.flush()), dtype=np.float32)
+
+    engine = native.HostSavgol1D(cfg)
+    batch = engine.apply(x)
+    batch_refsign = engine.apply(x, reference_edge_sign=True)
+
+    assert ours.size == N and got.size == N and len(theirs) == N
+    scale = max(1.0, np.abs(batch).max())
+    assert np.abs(got - batch).max() <= 4e-6 * scale
+    assert np.abs(ours - batch).max() <= 4e-6 * scale
+    assert np.abs(np.asarray(theirs) - batch_refsign).max() <= 2e-4 * scale
