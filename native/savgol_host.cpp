@@ -242,13 +242,15 @@ void apply_edges(const Filter& f, const float* in, float* out, int64_t len,
           static_cast<float>(f.dot_edge(e, in + len - f.width) * dt);
     }
   } else {
-    std::vector<float> window(f.width);
+    // stack buffer: width <= 2*kMaxHalfWindow+1; a heap allocation here
+    // would tax the repeated-small-apply (embedded) pattern
+    float window[2 * kMaxHalfWindow + 1];
     for (int64_t j : {int64_t(0), len - n}) {
       const int64_t hi = (j == 0) ? n : len;
       for (int64_t c = j; c < hi; ++c) {
         for (int i = 0; i < f.width; ++i)
           window[i] = boundary_sample(in, len, c - n + i, f.boundary);
-        out[c] = static_cast<float>(f.dot_center(window.data()) * dt);
+        out[c] = static_cast<float>(f.dot_center(window) * dt);
       }
     }
   }
