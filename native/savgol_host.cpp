@@ -388,8 +388,7 @@ int64_t apply_valid(const Filter& f, const float* in, int64_t len,
   const float dtf = static_cast<float>(f.dt_inv);
   constexpr int kBlock = 64;
   const float* wf = f.center_f.data();
-  int64_t j = 0;
-  for (; j + kBlock <= out_len; j += kBlock) {
+  auto run_block = [&](int64_t j) {
     float acc[kBlock] = {0};
     for (int k = 0; k < f.width; ++k) {
       const float wk = wf[k];
@@ -397,9 +396,18 @@ int64_t apply_valid(const Filter& f, const float* in, int64_t len,
       for (int t = 0; t < kBlock; ++t) acc[t] += wk * xk[t];
     }
     for (int t = 0; t < kBlock; ++t) out[j + t] = acc[t] * dtf;
+  };
+  int64_t j = 0;
+  for (; j + kBlock <= out_len; j += kBlock) run_block(j);
+  if (j < out_len) {
+    if (out_len >= kBlock) {
+      run_block(out_len - kBlock);  // overlapping final block (see
+                                    // apply_interior_range)
+    } else {
+      for (; j < out_len; ++j)
+        out[j] = static_cast<float>(f.dot_center(in + j) * f.dt_inv);
+    }
   }
-  for (; j < out_len; ++j)
-    out[j] = static_cast<float>(f.dot_center(in + j) * f.dt_inv);
   return out_len;
 }
 
