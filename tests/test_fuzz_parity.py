@@ -115,6 +115,98 @@ while len(_CASES_STREAM) < 10:
     _CASES_STREAM.append((n, m, d, N))
 
 
+# ---- scipy-compat fuzz: random (window, order, deriv, mode, axis, delta) ---
+# Samples the DROP-IN surface broadly, including the beyond-reference
+# envelope (deriv > 4 exceeds the reference cap but scipy allows it —
+# scipy_compat serves those through the direct Gram path). Oracle:
+# scipy.signal.savgol_filter in f64 — but scipy's own lstsq weight
+# construction drifts from the exact answer at high polyorder (adjudicated
+# against the exact-rational oracle: at wl=25 po=10 pos=15.5 scipy is off
+# 9.6e-6 relative while our Gram path is at 2e-16; at wl=27 po=8 edge rows
+# scipy is 2e-8, ours 5e-16). The scipy comparison is therefore tight
+# (1e-8) for po <= 7 and loose (1e-4, still catches wrong modes/axes/
+# signs, which are O(1)) above; the coeffs fuzz below adjudicates failures
+# against exact rationals instead of trusting either side.
+_CASES_SCIPY = []
+_rng4 = np.random.default_rng(0xF025)
+while len(_CASES_SCIPY) < 25:
+    wl = int(_rng4.integers(1, 21)) * 2 + 1             # odd, 3..41
+    po = int(_rng4.integers(0, min(wl - 1, 10) + 1))
+    d = int(_rng4.integers(0, po + 1))                  # incl. d > 4
+    mode = str(_rng4.choice(
+        ["interp", "mirror", "nearest", "wrap", "constant"]))
+    ndim = int(_rng4.integers(1, 4))
+    axis = int(_rng4.integers(0, ndim))
+    delta = float(_rng4.choice([0.5, 1.0, 2.0]))
+    cval = float(_rng4.uniform(-2.0, 2.0))
+    N = int(_rng4.integers(wl, 300))
+    _CASES_SCIPY.append((wl, po, d, mode, ndim, axis, delta, cval, N))
+
+
+@pytest.mark.parametrize("wl,po,d,mode,ndim,axis,delta,cval,N", _CASES_SCIPY)
+def test_scipy_compat_fuzz(wl, po, d, mode, ndim, axis, delta, cval, N):
+    from scipy.signal import savgol_filter as sp_filter
+
+    from savgol_tpu.scipy_compat import savgol_filter
+
+    shape = [3] * ndim
+    shape[axis] = N
+    x = np.random.default_rng(wl * 7919 + N).standard_normal(tuple(shape))
+
+    ours = np.asarray(savgol_filter(
+        jnp.asarray(x, dtype=F64), wl, po, deriv=d, delta=delta,
+        axis=axis, mode=mode, cval=cval))
+    ref = sp_filter(x, wl, po, deriv=d, delta=delta, axis=axis,
+                    mode=mode, cval=cval)
+    scale = max(1.0, np.abs(ref).max())
+    tol = 1e-8 if po <= 7 else 1e-4   # scipy's own drift at high order
+    assert np.abs(ours - ref).max() <= tol * scale, (
+        wl, po, d, mode, ndim, axis, delta, N)
+
+
+_CASES_COEFFS = []
+_rng5 = np.random.default_rng(0xF026)
+while len(_CASES_COEFFS) < 15:
+    wl = int(_rng5.integers(1, 21)) * 2 + 1
+    po = int(_rng5.integers(0, min(wl - 1, 10) + 1))
+    d = int(_rng5.integers(0, po + 1))
+    # integer, half-integer and arbitrary-float positions
+    pos = float(_rng5.choice([int(_rng5.integers(0, wl)),
+                              int(_rng5.integers(0, wl - 1)) + 0.5,
+                              float(_rng5.uniform(0, wl - 1e-9))]))
+    use = str(_rng5.choice(["conv", "dot"]))
+    _CASES_COEFFS.append((wl, po, d, pos, use))
+
+
+@pytest.mark.parametrize("wl,po,d,pos,use", _CASES_COEFFS)
+def test_scipy_coeffs_fuzz(wl, po, d, pos, use):
+    from scipy.signal import savgol_coeffs as sp_coeffs
+
+    from savgol_tpu.scipy_compat import savgol_coeffs
+
+    ours = np.asarray(savgol_coeffs(wl, po, deriv=d, pos=pos, use=use))
+    ref = sp_coeffs(wl, po, deriv=d, pos=pos, use=use)
+    scale = max(1.0, np.abs(ref).max())
+    if np.abs(ours - ref).max() <= 1e-8 * scale:
+        return
+    # Disagreement with scipy: adjudicate against the exact-rational
+    # least-squares oracle (tests/test_weights.py). scipy's lstsq drifts
+    # at high polyorder; OUR side must match the exact answer to f64
+    # roundoff or this is a real bug.
+    from fractions import Fraction
+
+    from test_weights import exact_weights
+    n = wl // 2
+    ex = exact_weights(n, po, d, Fraction(pos) - n)
+    if use == "conv":
+        ex = ex[::-1]
+    ex_scale = max(1.0, np.abs(ex).max())
+    assert np.abs(ours - ex).max() <= 1e-12 * ex_scale, (
+        f"{(wl, po, d, pos, use)}: ours vs exact "
+        f"{np.abs(ours - ex).max():.3e}, scipy vs exact "
+        f"{np.abs(ref - ex).max():.3e}")
+
+
 @pytest.mark.parametrize("n,m,d,N", _CASES_STREAM)
 def test_stream_three_way_parity(ref, n, m, d, N):
     """Streaming protocol fuzz: the JAX shell, the native stream engine,
