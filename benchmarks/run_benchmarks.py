@@ -218,8 +218,15 @@ def bench_4(quick):
     res["sep_valid"] = (B * 2048 * 2048 / _t_chain(
         valid_same(lambda v: pc.correlate2d_valid_pallas_sep(v, w_np)),
         imgp, iters=2 if quick else 5) / 1e9)
-    _emit("4_2d_2048_11x11_order3", gpix_s={k: round(v, 3)
-                                            for k, v in res.items()})
+    # speed-of-light fraction of the exact row-banded model (the default
+    # path's kernel at this window; utils/roofline.py)
+    from savgol_tpu.utils.roofline import speed_of_light_2d
+    rl = speed_of_light_2d(11, shape=(B, 2048, 2048))
+    _emit("4_2d_2048_11x11_order3",
+          gpix_s={k: round(v, 3) for k, v in res.items()},
+          roofline_pct_default=round(
+              100 * res["default_api"] * 1e9 / rl.ceiling_per_s, 1),
+          roofline_ceiling_gpix_s=round(rl.ceiling_per_s / 1e9, 2))
 
 
 def bench_5(quick):
@@ -251,8 +258,12 @@ def bench_5(quick):
         return y.sum(axis=0) * 1e-3 + v      # same shape for chaining
 
     secs_sw = _t_chain(sweep_one, xs, iters=2 if quick else 5)
+    from savgol_tpu.utils.roofline import speed_of_light_1d
+    rl = speed_of_light_1d((chan_chunk, N))
     _emit("5_multichannel_8192x1M", gsamples_s=round(gsps, 3),
           chunk=[chan_chunk, N], chunks=n_chunks,
+          roofline_pct=round(100 * gsps * 1e9 / rl.ceiling_per_s, 1),
+          roofline_ceiling_gs_s=round(rl.ceiling_per_s / 1e9, 2),
           sweep_6cfg_gsamples_s=round(6 * xs.size / secs_sw / 1e9, 3))
 
 

@@ -353,3 +353,83 @@ class TestRdmaHalo:
             apply_sharded(jnp.zeros((2, 256), dtype=F64),
                           f.center_weights, f.edge_weights, half_window=4,
                           mesh=mesh8, halo="nccl")
+
+
+# ---- fuzz: random configs x mesh splits x halo impl vs single device -------
+# The grid tests above pin specific points; this lane samples the sharded
+# surface broadly (deterministic seed): (n, m, d) x boundary x sequence
+# split x batch width x halo implementation, always against the
+# single-device apply to 1e-12.
+_FUZZ_CASES = []
+_frng = np.random.default_rng(0xF027)
+while len(_FUZZ_CASES) < 12:
+    n = int(_frng.integers(1, 33))
+    m = int(_frng.integers(0, min(2 * n, 11)))
+    d = int(_frng.integers(0, min(m, 4) + 1))
+    boundary = _frng.choice(list(sg.BoundaryMode))
+    seq = int(_frng.choice([2, 4, 8]))
+    B = (8 // seq) * int(_frng.integers(1, 3))
+    L = int(_frng.integers(2 * n + 1, 400))     # per-shard length
+    halo = str(_frng.choice(["ppermute", "rdma"]))
+    _FUZZ_CASES.append((n, m, d, boundary, seq, B, seq * L, halo))
+
+
+@pytest.mark.parametrize("n,m,d,boundary,seq,B,N,halo", _FUZZ_CASES)
+def test_sharded_fuzz_matches_single_device(n, m, d, boundary, seq, B, N,
+                                            halo):
+    if halo == "rdma":
+        # interpret mode can only discharge remote DMAs on single-named-
+        # axis meshes (see mesh_seq above); size-`seq` ring, no batch axis
+        mesh = make_mesh(("seq",), shape=(seq,),
+                         devices=jax.devices()[:seq])
+    else:
+        mesh = make_mesh(("batch", "seq"), shape=(8 // seq, seq))
+    rng = np.random.default_rng(n * 97 + N)
+    x = jnp.asarray(rng.standard_normal((B, N)), dtype=F64)
+    f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+    got = np.asarray(apply_sharded(
+        x, f.center_weights, f.edge_weights, half_window=n, mesh=mesh,
+        boundary=boundary, dt_inv=f.dt_inv, derivative=d, halo=halo))
+    want = np.asarray(f.apply(x, boundary=boundary))
+    np.testing.assert_allclose(got, want, atol=1e-12,
+                               err_msg=f"{(n, m, d, boundary, seq, B, N, halo)}")
+
+
+_FUZZ2D_CASES = []
+_frng2 = np.random.default_rng(0xF028)
+while len(_FUZZ2D_CASES) < 8:
+    hx = int(_frng2.integers(1, 9))
+    hy = int(_frng2.integers(1, 9))
+    order = int(_frng2.integers(0, 5))
+    if (2 * hx + 1) * (2 * hy + 1) < (order + 1) * (order + 2) // 2:
+        continue
+    pool = [(dx, dy) for dx in range(order + 1) for dy in range(order + 1)
+            if dx + dy <= order]
+    dx, dy = pool[int(_frng2.integers(0, len(pool)))]
+    boundary = _frng2.choice([sg.Boundary2D.CONSTANT, sg.Boundary2D.REFLECT,
+                              sg.Boundary2D.VALID])
+    seq = int(_frng2.choice([2, 4, 8]))
+    R = seq * int(_frng2.integers(max(2 * hy + 1, 8), 40))
+    C = int(_frng2.integers(2 * hx + 1, 100))
+    _FUZZ2D_CASES.append((hx, hy, order, dx, dy, boundary, seq, R, C))
+
+
+@pytest.mark.parametrize("hx,hy,order,dx,dy,boundary,seq,R,C",
+                         _FUZZ2D_CASES)
+def test_sharded2d_fuzz_matches_single_device(hx, hy, order, dx, dy,
+                                              boundary, seq, R, C):
+    from savgol_tpu.parallel.sharded2d import apply2d_sharded
+
+    mesh = make_mesh(("batch", "seq"), shape=(8 // seq, seq))
+    rng = np.random.default_rng(R * 31 + C)
+    img = jnp.asarray(rng.standard_normal((R, C)), dtype=F64)
+    cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+    try:
+        f = sg.Savgol2D.create(cfg, dtype=F64)
+    except np.linalg.LinAlgError:
+        return                     # singular geometry: covered elsewhere
+    got = np.asarray(apply2d_sharded(img, f.weights, mesh=mesh,
+                                     boundary=boundary, scale=f.scale))
+    want = np.asarray(f.apply(img, boundary=boundary))
+    np.testing.assert_allclose(got, want, atol=1e-12,
+                               err_msg=f"{(hx, hy, order, dx, dy, boundary, seq, R, C)}")
