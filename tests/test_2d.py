@@ -581,3 +581,61 @@ def test_gradient_complex_input():
     assert gx.dtype == jnp.complex64
     np.testing.assert_allclose(np.asarray(gx).real, np.asarray(rx),
                                atol=1e-5)
+
+
+_POLY2D_CASES = []
+_prng2d = np.random.default_rng(0xF02A)
+while len(_POLY2D_CASES) < 10:
+    hx = int(_prng2d.integers(1, 9))
+    hy = int(_prng2d.integers(1, 9))
+    order = int(_prng2d.integers(0, 7))
+    if (2 * hx + 1) * (2 * hy + 1) < (order + 1) * (order + 2) // 2:
+        continue
+    pool = [(dx, dy) for dx in range(order + 1) for dy in range(order + 1)
+            if dx + dy <= order]
+    dx, dy = pool[int(_prng2d.integers(0, len(pool)))]
+    R = int(_prng2d.integers(2 * hy + 1, 60))
+    C = int(_prng2d.integers(2 * hx + 1, 60))
+    _POLY2D_CASES.append((hx, hy, order, dx, dy, R, C))
+
+
+class TestPolynomialReproductionFuzz:
+    """The defining property against mathematics (cf. the 1D lane in
+    test_apply.py): any bivariate polynomial with total degree <= order
+    is an exact fixed point of the 2D least-squares fit, so VALID mode
+    must return its exact (dx, dy) mixed derivative. Tolerance scales
+    with the 1/(h_x^dx h_y^dy) rounding amplification plus the normal-
+    equations conditioning at high order; real bugs (wrong monomial
+    ordering, swapped axes, off-by-one windows) are O(1)."""
+
+    @pytest.mark.parametrize("hx,hy,order,dx,dy,R,C", _POLY2D_CASES)
+    def test_valid_reproduces_polynomial(self, hx, hy, order, dx, dy, R, C):
+        h_x, h_y = 4.0 / C, 4.0 / R
+        try:
+            f = sg.Savgol2D.create(
+                sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy,
+                                  delta_x=h_x, delta_y=h_y), dtype=F64)
+        except np.linalg.LinAlgError:
+            return                      # singular geometry: covered elsewhere
+        xs = (np.arange(C) - C // 2) * h_x
+        ys = (np.arange(R) - R // 2) * h_y
+        X, Y = np.meshgrid(xs, ys)
+        rng = np.random.default_rng(R * 17 + C)
+        img = np.zeros((R, C))
+        want = np.zeros((R, C))
+        import math
+        for i in range(order + 1):
+            for j in range(order + 1 - i):
+                c = rng.uniform(-1, 1)
+                img += c * X ** i * Y ** j
+                if i >= dx and j >= dy:
+                    fi = math.factorial(i) // math.factorial(i - dx)
+                    fj = math.factorial(j) // math.factorial(j - dy)
+                    want += c * fi * fj * X ** (i - dx) * Y ** (j - dy)
+        got = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                                 boundary=sg.Boundary2D.VALID))
+        want_v = want[hy:R - hy, hx:C - hx]
+        amp = (1.0 / h_x) ** dx * (1.0 / h_y) ** dy
+        tol = 1e-11 * amp * max(1.0, np.abs(want_v).max())
+        np.testing.assert_allclose(got, want_v, atol=tol,
+                                   err_msg=f"{(hx, hy, order, dx, dy, R, C)}")

@@ -43,6 +43,41 @@ class TestAnalyticInvariants:
         y = f.apply(x)
         np.testing.assert_allclose(np.asarray(y), 3.0, atol=1e-9)
 
+    _POLY_CASES = []
+    _prng = np.random.default_rng(0xF029)
+    while len(_POLY_CASES) < 12:
+        n = int(_prng.integers(1, 33))
+        m = int(_prng.integers(0, min(2 * n, 11)))
+        d = int(_prng.integers(0, min(m, 4) + 1))
+        q = int(_prng.integers(d, m + 1))           # poly degree <= order
+        N = int(_prng.integers(2 * n + 1, 500))
+        _POLY_CASES.append((n, m, d, q, N))
+
+    @pytest.mark.parametrize("n,m,d,q,N", _POLY_CASES)
+    def test_polynomial_reproduction_fuzz(self, n, m, d, q, N):
+        """The defining SG property, against mathematics rather than
+        another implementation: any polynomial of degree q <= m is an
+        EXACT fixed point of the least-squares fit, so the filter must
+        return its exact d-th derivative at every output — including the
+        asymmetric POLYNOMIAL edges. Random (n, m, d, deg, N).
+
+        The sample grid is mapped to t in [-2, 2] (time_step h) so
+        values stay O(1); the 1/h^d scaling amplifies f64 rounding by
+        ~(N/4)^d, which the tolerance accounts for — a wrong edge row or
+        sign is O(1) and cannot hide under it."""
+        h = 4.0 / N
+        cfg = sg.SavgolConfig(n, m, d, time_step=h)
+        f = sg.Savgol1D.create(cfg, dtype=F64)
+        t = (np.arange(N) - N // 2) * h
+        coeffs = np.random.default_rng(q * 131 + N).uniform(-1, 1, q + 1)
+        P = np.polynomial.Polynomial(coeffs)
+        x = jnp.asarray(P(t), dtype=F64)
+        want = P.deriv(d)(t) if d <= q else np.zeros_like(t)
+        got = np.asarray(f.apply(x))
+        tol = 1e-13 * (1.0 / h) ** d * max(1.0, np.abs(want).max())
+        np.testing.assert_allclose(got, want, atol=tol,
+                                   err_msg=f"{(n, m, d, q, N)}")
+
     def test_reference_edge_sign_compat(self):
         """reference_edge_sign=True reproduces the C's -3 at the leading
         edge for odd derivatives."""
