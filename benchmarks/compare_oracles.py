@@ -77,6 +77,45 @@ def main():
             col_native = f"{np.abs(ours - hv).max():.3e}"
         print(f"  n={n:2d} m={m} d={d} | {col_scipy:>12} | {col_native:>14}")
 
+    # ---- coefficient accuracy vs the EXACT rational least-squares answer --
+    # (the adjudicating oracle the fuzz suite uses: tests/test_weights.py).
+    # scipy builds coefficients with f64 lstsq, which drifts at high
+    # polyorder; the Gram three-term recurrence stays at f64 roundoff.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    try:
+        from test_weights import exact_weights
+        from savgol_tpu.scipy_compat import savgol_coeffs as our_coeffs
+        if have_scipy:
+            from scipy.signal import savgol_coeffs as sp_coeffs
+        print()
+        print("coefficient max-abs-err vs exact rational LS "
+              "(pos: c=center, 0=leading edge row)")
+        print(f"{'config':>22} | {'savgol_tpu':>12} | {'scipy':>12}")
+        print("-" * 52)
+        coeff_cfgs = [(5, 2, 0), (25, 4, 2), (21, 10, 0), (25, 10, 0),
+                      (37, 12, 0), (37, 12, 5)]
+        for (wl, po, d) in coeff_cfgs:
+            n = wl // 2
+            for pos, tag in ((None, "c"), (0, "0")):
+                tt = 0 if pos is None else pos - n
+                ex = exact_weights(n, po, d, tt)
+                ours_c = np.asarray(our_coeffs(wl, po, deriv=d, pos=pos,
+                                               use="dot"))
+                e_ours = f"{np.abs(ours_c - ex).max():.3e}"
+                e_sp = "n/a"
+                if have_scipy:
+                    try:
+                        spc = sp_coeffs(wl, po, deriv=d, pos=pos, use="dot")
+                        e_sp = f"{np.abs(spc - ex).max():.3e}"
+                    except Exception as exc:     # scipy rejects some configs
+                        e_sp = type(exc).__name__
+                print(f"  wl={wl:2d} m={po:2d} d={d} pos={tag} |"
+                      f" {e_ours:>12} | {e_sp:>12}")
+    except ImportError:
+        print("(exact-rational oracle unavailable outside the repo checkout)")
+
     if args.plot:
         try:
             import matplotlib

@@ -42,3 +42,22 @@ def test_bench_native_quick_parity():
     for r in rows_2d:
         assert r["max_abs_diff"] <= 5e-7, r
         assert r["ref_mpix_s"] > 0 and r["ours_mpix_s"] > 0
+
+
+def test_compare_oracles_smoke():
+    """The oracle-comparison tool must run end-to-end and its exact-
+    rational table must show our coefficients at f64 roundoff (the
+    drop-in accuracy claim) for every listed config."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "benchmarks", "compare_oracles.py"),
+         "--n-samples", "200"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "coefficient max-abs-err vs exact rational LS" in out
+    import re
+    ours_cols = re.findall(r"pos=[c0] \|\s+([0-9.e+-]+) \|", out)
+    assert len(ours_cols) == 12            # 6 configs x (center, edge)
+    assert all(float(v) < 1e-13 for v in ours_cols), ours_cols
