@@ -44,7 +44,11 @@ def main():
 
     print(f"backend: {jax.default_backend()}, devices: {len(jax.devices())}")
     rng = np.random.default_rng(0)
-    B, N = 64, 262_144
+    # SAVGOL_EXAMPLE_QUICK shrinks the workload for CI smoke runs — the
+    # bf16 Pallas kernel runs INTERPRETED off-TPU, where the full size
+    # takes minutes (rates are only meaningful on hardware anyway)
+    quick = bool(os.environ.get("SAVGOL_EXAMPLE_QUICK"))
+    B, N = (8, 16_384) if quick else (64, 262_144)
     x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
     flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
 
