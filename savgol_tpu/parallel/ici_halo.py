@@ -29,7 +29,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["halo_exchange_rdma"]
+__all__ = ["halo_exchange_rdma", "halo_exchange_rdma_rows"]
 
 # Distinct collective_id for the halo-exchange barrier semaphore; must not
 # collide with any other Pallas collective kernel in the same program.
@@ -113,6 +113,22 @@ def _halo_call(tail, head, axis_name: str, interpret: bool):
     )(tail, head)
 
 
+def _exchange(tail: jax.Array, head: jax.Array, axis_name: str):
+    """Ring-exchange two flattened 2D blocks; size-1-ring-safe.
+
+    Returns ``(left_in, right_in)``: my left neighbor's ``tail`` and my
+    right neighbor's ``head``. On a ring of one the exchange is the
+    identity (my own wrap-around) and the kernel is skipped — a barrier'd
+    remote copy to self must not be issued on single-chip runtimes
+    (observed to wedge the device on the virtualized dev chip, whose
+    semaphore routing assumes a real multi-chip topology).
+    """
+    if int(lax.axis_size(axis_name)) == 1:
+        return tail, head
+    interpret = jax.default_backend() != "tpu"
+    return _halo_call(tail, head, axis_name, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def halo_exchange_rdma(x_local: jax.Array, n: int, axis_name: str):
     """Ring halo exchange over ICI remote DMA.
@@ -128,20 +144,9 @@ def halo_exchange_rdma(x_local: jax.Array, n: int, axis_name: str):
     swapped — halo cotangents travel back to the shard that contributed
     the samples and accumulate into its head/tail positions.
     """
-    interpret = jax.default_backend() != "tpu"
     shape = x_local.shape
     xb = x_local.reshape((-1, shape[-1]))
-    tail = xb[:, -n:]
-    head = xb[:, :n]
-    if int(lax.axis_size(axis_name)) == 1:
-        # ring of one: the exchange is the identity (my own wrap-around);
-        # skip the kernel — a barrier'd remote copy to self must not be
-        # issued on single-chip runtimes (observed to wedge the device on
-        # the virtualized dev chip, whose semaphore routing assumes a
-        # real multi-chip topology)
-        left, right = tail, head
-    else:
-        left, right = _halo_call(tail, head, axis_name, interpret)
+    left, right = _exchange(xb[:, -n:], xb[:, :n], axis_name)
     return (left.reshape(shape[:-1] + (n,)),
             right.reshape(shape[:-1] + (n,)))
 
@@ -161,24 +166,83 @@ def _halo_bwd(n, axis_name, res, cts):
     shape = lead.shape[:-1] + (flat.shape[-1],)
     dtype = lead.dtype
     g_left, g_right = cts
-    interpret = jax.default_backend() != "tpu"
     gl = g_left.astype(dtype).reshape((-1, n))
     gr = g_right.astype(dtype).reshape((-1, n))
     # Forward sent my tail right / my head left; so my left_halo cotangent
     # must return to my LEFT neighbor's tail and my right_halo cotangent to
     # my RIGHT neighbor's head. Feeding (tail=g_right, head=g_left) to the
     # same kernel delivers exactly that: what arrives as left_out is my own
-    # head's gradient, right_out my tail's.
-    if int(lax.axis_size(axis_name)) == 1:
-        # ring of one (same guard as the forward): the exchange was the
-        # identity, so the cotangents route straight back — never issue
-        # the barrier'd remote self-copy on single-chip runtimes
-        g_head, g_tail = gr, gl
-    else:
-        g_head, g_tail = _halo_call(gr, gl, axis_name, interpret)
+    # head's gradient, right_out my tail's. (_exchange short-circuits the
+    # size-1 ring to the identity, matching the forward's route.)
+    g_head, g_tail = _exchange(gr, gl, axis_name)
     gx = jnp.zeros((gl.shape[0], shape[-1]), dtype=dtype)
     gx = gx.at[:, :n].add(g_head).at[:, -n:].add(g_tail)
     return (gx.reshape(shape),)
 
 
 halo_exchange_rdma.defvjp(_halo_fwd, _halo_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def halo_exchange_rdma_rows(x_local: jax.Array, ny: int, axis_name: str):
+    """Ring halo exchange of ROW blocks (axis -2) over ICI remote DMA.
+
+    The 2D analog of :func:`halo_exchange_rdma`, with the same contract as
+    the ppermute-based ``_halo_rows`` (parallel/sharded2d.py): returns
+    ``(top_halo, bottom_halo)``, each ``(..., ny, C)`` — the last ``ny``
+    rows of the upper neighbor and the first ``ny`` rows of the lower
+    neighbor, with ring wrap-around (outer shards overwrite for
+    REFLECT/CONSTANT exactly as on the ppermute path). Call INSIDE
+    ``shard_map``. A row block is contiguous ``(..., ny, C)`` data, so the
+    exchange flattens it to one 2D VMEM block per send — same kernel, no
+    transposes.
+
+    Differentiable: the VJP is the same exchange with the send directions
+    swapped; halo-row cotangents accumulate into the contributing shard's
+    head/tail rows.
+    """
+    shape = x_local.shape
+    C = shape[-1]
+    tail = x_local[..., -ny:, :].reshape((-1, C))
+    head = x_local[..., :ny, :].reshape((-1, C))
+    top, bot = _exchange(tail, head, axis_name)
+    hshape = shape[:-2] + (ny, C)
+    return top.reshape(hshape), bot.reshape(hshape)
+
+
+def _rows_fwd(x_local, ny, axis_name):
+    # Residuals must be jax types and should be tiny (the exchange is
+    # linear — keeping the full shard alive through the backward would pin
+    # a shard-sized HBM buffer for nothing): carry two sliver views that
+    # between them reconstruct the full (..., R, C) shape and dtype — a
+    # (..., 1, 1) probe for leading dims/dtype and a one-column (1, R)
+    # view for the row count. (Not zero-sized: a 0-width residual makes
+    # shard_map's transpose emit a replicated-vs-P('seq') sharding assert.)
+    res = (x_local[..., :1, :1],
+           x_local[..., :, :1].reshape((-1, x_local.shape[-2]))[:1])
+    return halo_exchange_rdma_rows(x_local, ny, axis_name), res
+
+
+def _rows_bwd(ny, axis_name, res, cts):
+    probe, rowview = res
+    R = rowview.shape[-1]
+    g_top, g_bot = cts
+    C = g_top.shape[-1]
+    full_shape = probe.shape[:-2] + (R, C)
+    dtype = probe.dtype
+    gt = g_top.astype(dtype).reshape((-1, C))
+    gb = g_bot.astype(dtype).reshape((-1, C))
+    # Forward sent my tail rows down / my head rows up; my top-halo
+    # cotangent returns to my UPPER neighbor's tail and my bottom-halo
+    # cotangent to my LOWER neighbor's head — the same exchange with
+    # (tail=g_bot, head=g_top) delivers my own head rows' gradient as the
+    # first output and my tail rows' as the second.
+    g_head, g_tail = _exchange(gb, gt, axis_name)
+    nlead = gt.shape[0] // ny
+    gx = jnp.zeros((nlead, R, C), dtype=dtype)
+    gx = gx.at[:, :ny, :].add(g_head.reshape((nlead, ny, C)))
+    gx = gx.at[:, -ny:, :].add(g_tail.reshape((nlead, ny, C)))
+    return (gx.reshape(full_shape),)
+
+
+halo_exchange_rdma_rows.defvjp(_rows_fwd, _rows_bwd)

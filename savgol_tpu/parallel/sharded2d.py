@@ -33,7 +33,8 @@ def _halo_rows(x_local, ny: int, axis_name: str):
     return top_halo, bot_halo
 
 
-def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
+def _local2d(x_local, weights, scale, boundary, axis_name, method="xla",
+             halo="ppermute"):
     from savgol_tpu.ops.apply2d import (_corr2d_pallas_dispatch,
                                         correlate2d_valid)
 
@@ -49,7 +50,11 @@ def _local2d(x_local, weights, scale, boundary, axis_name, method="xla"):
     is_first = idx == 0
     is_last = idx == size - 1
 
-    top, bot = _halo_rows(x_local, ny, axis_name)
+    if halo == "rdma":
+        from savgol_tpu.parallel.ici_halo import halo_exchange_rdma_rows
+        top, bot = halo_exchange_rdma_rows(x_local, ny, axis_name)
+    else:
+        top, bot = _halo_rows(x_local, ny, axis_name)
     # Outer shards: replace the wrapped halo with virtual rows.
     if boundary is Boundary2D.REFLECT:
         vtop = x_local[..., :ny, :][..., ::-1, :]
@@ -86,6 +91,7 @@ def apply2d_sharded(
     seq_axis: str = "seq",
     batch_axis: Optional[str] = "batch",
     method: str = "auto",
+    halo: str = "ppermute",
 ) -> jax.Array:
     """2D filter with rows sharded over ``mesh[seq_axis]``.
 
@@ -94,9 +100,16 @@ def apply2d_sharded(
     support; callers wanting the fully-VALID output slice rows
     [ny : R-ny] afterwards — done here automatically for unsharded-row
     semantics parity).
+
+    ``halo`` selects the row-halo exchange implementation: ``"ppermute"``
+    (default, XLA collectives) or ``"rdma"`` (Pallas
+    ``make_async_remote_copy`` ring — see
+    :mod:`savgol_tpu.parallel.ici_halo`); both produce identical results.
     """
     from savgol_tpu.ops.apply2d import _resolve_method2d
 
+    if halo not in ("ppermute", "rdma"):
+        raise ValueError(f"halo must be 'ppermute' or 'rdma', got {halo!r}")
     method = _resolve_method2d(method, use_pallas=False)
     if not isinstance(boundary, Boundary2D):
         # same string coercion as savgol2d_apply — a string would skip the
@@ -120,7 +133,7 @@ def apply2d_sharded(
 
     fn = functools.partial(_local2d, weights=weights, scale=scale,
                            boundary=boundary, axis_name=seq_axis,
-                           method=method)
+                           method=method, halo=halo)
     y = jax.shard_map(fn, mesh=mesh, in_specs=(in_spec,),
                       out_specs=in_spec, check_vma=False)(x)
     if boundary is Boundary2D.VALID:

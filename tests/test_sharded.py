@@ -355,6 +355,92 @@ class TestRdmaHalo:
                           mesh=mesh8, halo="nccl")
 
 
+class TestRdmaHalo2D:
+    """halo='rdma' on the ROW-sharded 2D path: the row-block remote-DMA
+    exchange (ici_halo.halo_exchange_rdma_rows) must be indistinguishable
+    from the ppermute default — validated in TPU interpret mode on the
+    virtual CPU mesh so real multi-chip hardware needs only the flag."""
+
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.VALID])
+    def test_rdma_matches_single_device(self, mesh_seq, boundary):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(80)
+        img = jnp.asarray(rng.standard_normal((2, 64, 48)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 3, 2, deriv_y=1),
+                                dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            img, f2.weights, mesh=mesh_seq, boundary=boundary,
+            scale=f2.scale, halo="rdma"))
+        want = np.asarray(f2.apply(img, boundary=boundary))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_rdma_equals_ppermute_bitwise(self, mesh_seq):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(81)
+        img = jnp.asarray(rng.standard_normal((64, 80)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
+        kw = dict(mesh=mesh_seq, boundary=sg.Boundary2D.REFLECT,
+                  scale=f2.scale)
+        a = np.asarray(apply2d_sharded(img, f2.weights, halo="rdma",
+                                       **kw))
+        b = np.asarray(apply2d_sharded(img, f2.weights, halo="ppermute",
+                                       **kw))
+        np.testing.assert_array_equal(a, b)
+
+    def test_gradient_through_rdma_rows(self, mesh_seq):
+        """The row exchange's custom VJP (swapped send directions,
+        accumulation into head/tail rows) must reproduce the ppermute
+        path's gradient exactly."""
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(82)
+        img = jnp.asarray(rng.standard_normal((64, 32)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+
+        def loss(v, halo):
+            y = apply2d_sharded(v, f2.weights, mesh=mesh_seq,
+                                boundary=sg.Boundary2D.CONSTANT,
+                                scale=f2.scale, halo=halo)
+            return jnp.sum(y ** 2)
+
+        g_rdma = np.asarray(jax.grad(lambda v: loss(v, "rdma"))(img))
+        g_pp = np.asarray(jax.grad(lambda v: loss(v, "ppermute"))(img))
+        np.testing.assert_allclose(g_rdma, g_pp, atol=1e-12)
+
+    def test_rdma_size1_ring(self):
+        """Ring of one device: the exchange short-circuits to the identity
+        (wrap-around halo == my own rows) for forward AND backward."""
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        mesh1 = make_mesh(("seq",), shape=(1,), devices=jax.devices()[:1])
+        rng = np.random.default_rng(83)
+        img = jnp.asarray(rng.standard_normal((32, 40)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+
+        def loss(v):
+            y = apply2d_sharded(v, f2.weights, mesh=mesh1,
+                                boundary=sg.Boundary2D.CONSTANT,
+                                scale=f2.scale, halo="rdma")
+            return jnp.sum(y ** 2)
+
+        got = np.asarray(apply2d_sharded(
+            img, f2.weights, mesh=mesh1,
+            boundary=sg.Boundary2D.CONSTANT, scale=f2.scale, halo="rdma"))
+        want = np.asarray(f2.apply(img, boundary=sg.Boundary2D.CONSTANT))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        g1 = np.asarray(jax.grad(loss)(img))
+        g0 = np.asarray(jax.grad(lambda v: jnp.sum(f2.apply(
+            v, boundary=sg.Boundary2D.CONSTANT) ** 2))(img))
+        np.testing.assert_allclose(g1, g0, atol=1e-12)
+
+    def test_invalid_halo_rejected(self, mesh8):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        with pytest.raises(ValueError, match="halo"):
+            apply2d_sharded(jnp.zeros((32, 32), dtype=F64),
+                            jnp.zeros((5, 5), dtype=F64), mesh=mesh8,
+                            halo="nccl")
+
+
 # ---- fuzz: random configs x mesh splits x halo impl vs single device -------
 # The grid tests above pin specific points; this lane samples the sharded
 # surface broadly (deterministic seed): (n, m, d) x boundary x sequence
@@ -411,16 +497,23 @@ while len(_FUZZ2D_CASES) < 8:
     seq = int(_frng2.choice([2, 4, 8]))
     R = seq * int(_frng2.integers(max(2 * hy + 1, 8), 40))
     C = int(_frng2.integers(2 * hx + 1, 100))
-    _FUZZ2D_CASES.append((hx, hy, order, dx, dy, boundary, seq, R, C))
+    halo = str(_frng2.choice(["ppermute", "rdma"]))
+    _FUZZ2D_CASES.append((hx, hy, order, dx, dy, boundary, seq, R, C, halo))
 
 
-@pytest.mark.parametrize("hx,hy,order,dx,dy,boundary,seq,R,C",
+@pytest.mark.parametrize("hx,hy,order,dx,dy,boundary,seq,R,C,halo",
                          _FUZZ2D_CASES)
 def test_sharded2d_fuzz_matches_single_device(hx, hy, order, dx, dy,
-                                              boundary, seq, R, C):
+                                              boundary, seq, R, C, halo):
     from savgol_tpu.parallel.sharded2d import apply2d_sharded
 
-    mesh = make_mesh(("batch", "seq"), shape=(8 // seq, seq))
+    if halo == "rdma":
+        # interpret mode can only discharge remote DMAs on single-named-
+        # axis meshes (see mesh_seq above); size-`seq` ring, no batch axis
+        mesh = make_mesh(("seq",), shape=(seq,),
+                         devices=jax.devices()[:seq])
+    else:
+        mesh = make_mesh(("batch", "seq"), shape=(8 // seq, seq))
     rng = np.random.default_rng(R * 31 + C)
     img = jnp.asarray(rng.standard_normal((R, C)), dtype=F64)
     cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
@@ -429,7 +522,8 @@ def test_sharded2d_fuzz_matches_single_device(hx, hy, order, dx, dy,
     except np.linalg.LinAlgError:
         return                     # singular geometry: covered elsewhere
     got = np.asarray(apply2d_sharded(img, f.weights, mesh=mesh,
-                                     boundary=boundary, scale=f.scale))
+                                     boundary=boundary, scale=f.scale,
+                                     halo=halo))
     want = np.asarray(f.apply(img, boundary=boundary))
     np.testing.assert_allclose(got, want, atol=1e-12,
-                               err_msg=f"{(hx, hy, order, dx, dy, boundary, seq, R, C)}")
+                               err_msg=f"{(hx, hy, order, dx, dy, boundary, seq, R, C, halo)}")
