@@ -1,0 +1,334 @@
+"""Offline fuzz campaign: high-volume randomized parity across the surface.
+
+The committed fuzz lanes (tests/test_fuzz_parity.py, tests/test_sharded.py,
+tests/test_scipy_compat.py) pin ~100 deterministic cases so the suite stays
+fast. This driver samples the SAME contracts at campaign volume with a
+fresh seed each run — hundreds of cases per lane against the compiled
+reference C, the native C++ engine, scipy, exact mathematics, and the
+single-device path. Any failure found here gets distilled into a committed
+regression test.
+
+    python benchmarks/fuzz_campaign.py --seed 1 --cases 200 [--lanes 1d,2d]
+
+Exit code 0 = all lanes clean; 1 = failures (printed per case).
+Run from the repo root (imports tests/conftest.py for the reference
+oracle; that import forces CPU + x64 + 8 virtual devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import ReferenceOracle, _build_reference_so  # noqa: E402
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import savgol_tpu as sg  # noqa: E402
+from savgol_tpu import native  # noqa: E402
+
+F64 = jnp.float64
+
+
+def _sample_1d(rng):
+    n = int(rng.integers(1, 33))
+    m = int(rng.integers(0, min(2 * n, 11)))
+    d = int(rng.integers(0, min(m, 4) + 1))
+    boundary = rng.choice(list(sg.BoundaryMode))
+    N = int(rng.integers(2 * n + 1, 8000))
+    return n, m, d, boundary, N
+
+
+def lane_1d(rng, cases, ref):
+    """Three-way 1D parity: JAX f64 vs native C++ vs compiled reference,
+    plus the VALID mode and random dt on a subset."""
+    fails = []
+    for _ in range(cases):
+        n, m, d, boundary, N = _sample_1d(rng)
+        dt = float(rng.choice([1.0, 0.25, 2.0])) if d else 1.0
+        x = rng.standard_normal(N).astype(np.float32)
+        cfg = sg.SavgolConfig(n, m, d, time_step=dt, boundary=boundary)
+        f = sg.Savgol1D.create(cfg, dtype=F64)
+        ours = np.asarray(f.apply(jnp.asarray(x, dtype=F64),
+                                  reference_edge_sign=True))
+        scale = max(1.0, np.abs(ours).max())
+        got_native = native.HostSavgol1D(cfg).apply(
+            x, reference_edge_sign=True)
+        theirs = ref.apply(x, n, m, d, boundary=boundary.name.lower(),
+                           time_step=dt)
+        err_n = np.abs(got_native - ours).max() / scale
+        err_r = np.abs(theirs - ours).max() / scale
+        if err_n > 4e-6 or err_r > 2e-4:
+            fails.append(dict(lane="1d", case=(n, m, d, boundary.name, N, dt),
+                              err_native=float(err_n), err_ref=float(err_r)))
+        if N >= 2 * (2 * n + 1):          # VALID-mode parity on a subset
+            v_ours = np.asarray(f.apply_valid(jnp.asarray(x, dtype=F64)))
+            v_ref = ref.apply_valid(x, n, m, d, time_step=dt)
+            err_v = np.abs(v_ref - v_ours).max() / scale
+            if v_ours.shape != v_ref.shape or err_v > 2e-4:
+                fails.append(dict(lane="1d-valid",
+                                  case=(n, m, d, boundary.name, N, dt),
+                                  err=float(err_v)))
+    return fails
+
+
+def lane_2d(rng, cases, ref):
+    """2D parity: JAX f64 vs native C++ 2D vs compiled reference."""
+    fails = []
+    done = 0
+    while done < cases:
+        hx = int(rng.integers(1, 17))
+        hy = int(rng.integers(1, 17))
+        order = int(rng.integers(0, 7))
+        if (2 * hx + 1) * (2 * hy + 1) < (order + 1) * (order + 2) // 2:
+            continue
+        pool = [(dx, dy) for dx in range(order + 1)
+                for dy in range(order + 1) if dx + dy <= order]
+        dx, dy = pool[int(rng.integers(0, len(pool)))]
+        boundary = rng.choice(list(sg.Boundary2D))
+        R = int(rng.integers(2 * hy + 1, 96))
+        C = int(rng.integers(2 * hx + 1, 96))
+        cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+        img = rng.standard_normal((R, C)).astype(np.float32)
+        try:
+            f = sg.Savgol2D.create(cfg, dtype=F64)
+        except np.linalg.LinAlgError:
+            # truly singular geometry: the reference must reject it too
+            if ref.apply2d(img, hx, hy, order, dx, dy) is not None:
+                fails.append(dict(lane="2d-reject",
+                                  case=(hx, hy, order, dx, dy)))
+            continue
+        done += 1
+        ours = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                                  boundary=boundary))
+        scale = max(1.0, np.abs(ours).max())
+        got_native = native.HostSavgol2D(cfg).apply(img, boundary)
+        err_n = np.abs(got_native - ours).max() / scale
+        # f32 conv accumulation; up to 33x33 taps at the campaign's
+        # hw<=16 (the committed lane's 4e-6 covers 17x17)
+        if err_n > 1e-5:
+            fails.append(dict(lane="2d-native",
+                              case=(hx, hy, order, dx, dy,
+                                    boundary.name, R, C),
+                              err=float(err_n)))
+        theirs = ref.apply2d(img, hx, hy, order, deriv_x=dx, deriv_y=dy,
+                             boundary=boundary.name.lower())
+        if theirs is None:
+            continue  # reference's stricter Cholesky refused — documented
+        err_r = np.abs(theirs - ours).max() / scale
+        # the reference solves its normal equations in double but stores
+        # f32 weights; high-order big-window configs drift accordingly
+        if err_r > 5e-4:
+            fails.append(dict(lane="2d",
+                              case=(hx, hy, order, dx, dy,
+                                    boundary.name, R, C),
+                              err_ref=float(err_r)))
+    return fails
+
+
+def lane_scipy(rng, cases):
+    """scipy.signal.savgol_filter drop-in parity over all modes/axes."""
+    from scipy.signal import savgol_filter as scipy_savgol
+    from savgol_tpu.scipy_compat import savgol_filter
+    fails = []
+    for _ in range(cases):
+        n = int(rng.integers(1, 26))
+        wl = 2 * n + 1
+        po = int(rng.integers(0, min(wl - 1, 13)))
+        d = int(rng.integers(0, po + 1)) if po else 0
+        mode = str(rng.choice(["interp", "mirror", "nearest", "wrap",
+                               "constant"]))
+        delta = float(rng.choice([1.0, 0.5, 3.0])) if d else 1.0
+        cval = float(rng.integers(-3, 4))
+        ndim = int(rng.integers(1, 3))
+        if ndim == 1:
+            shape, axis = (int(rng.integers(wl, 600)),), -1
+        else:
+            shape = (int(rng.integers(2, 6)), int(rng.integers(wl, 300)))
+            axis = int(rng.choice([0, 1])) if shape[0] >= wl else 1
+        x = rng.standard_normal(shape)
+        want = scipy_savgol(x, wl, po, deriv=d, delta=delta, axis=axis,
+                            mode=mode, cval=cval)
+        got = np.asarray(savgol_filter(jnp.asarray(x, dtype=F64), wl, po,
+                                       deriv=d, delta=delta, axis=axis,
+                                       mode=mode, cval=cval))
+        scale = max(1.0, np.abs(want).max())
+        err = np.abs(got - want).max() / scale
+        # scipy's own lstsq drifts at high polyorder (adjudicated against
+        # exact rationals — tests/test_fuzz_parity.py scipy lane): tight
+        # for po <= 7, loose above (still catches O(1) mode/axis/sign bugs)
+        tol = 1e-8 if po <= 7 else 1e-4
+        if err > tol:
+            fails.append(dict(lane="scipy",
+                              case=(wl, po, d, mode, delta, cval, shape,
+                                    axis),
+                              err=float(err)))
+    return fails
+
+
+def lane_stream(rng, cases, ref):
+    """Streaming three-way parity: JAX shell vs native vs reference
+    (conservation: outputs == inputs after flush), against the batch
+    output of matching leading-edge sign."""
+    fails = []
+    for _ in range(cases):
+        n = int(rng.integers(1, 17))
+        m = int(rng.integers(0, min(2 * n, 11)))
+        d = int(rng.integers(0, min(m, 4) + 1))
+        N = int(rng.integers(2 * n + 1, 1200))
+        cfg = sg.SavgolConfig(n, m, d)
+        x = rng.standard_normal(N).astype(np.float32)
+
+        engine = native.HostSavgol1D(cfg)
+        batch = engine.apply(x)
+        batch_refsign = engine.apply(x, reference_edge_sign=True)
+        scale = max(1.0, np.abs(batch).max())
+
+        s = sg.SavgolStream(cfg)
+        ours = [v for smp in x for v in s.push_full(float(smp))]
+        ours = np.asarray(ours + list(s.flush()), dtype=np.float32)
+        hs = native.HostSavgolStream(cfg)
+        got = [v for smp in x for v in hs.push_full(float(smp))]
+        got = np.asarray(got + list(hs.flush()), dtype=np.float32)
+        theirs = np.asarray(ref.stream_run(x, n, m, d), dtype=np.float32)
+
+        for name, y, base, tol in (("jax", ours, batch, 4e-6),
+                                   ("native", got, batch, 4e-6),
+                                   ("ref", theirs, batch_refsign, 2e-4)):
+            if y.size != N:
+                fails.append(dict(lane="stream", impl=name,
+                                  case=(n, m, d, N), err="conservation"))
+                continue
+            err = np.abs(y - base).max() / scale
+            if err > tol:
+                fails.append(dict(lane="stream", impl=name,
+                                  case=(n, m, d, N), err=float(err)))
+    return fails
+
+
+def lane_sharded(rng, cases):
+    """Random sharded configs vs single device (1D + 2D, both halos)."""
+    from savgol_tpu.parallel.sharded import apply_sharded, make_mesh
+    from savgol_tpu.parallel.sharded2d import apply2d_sharded
+    fails = []
+    for _ in range(cases):
+        if rng.random() < 0.5:
+            n, m, d, boundary, _ = _sample_1d(rng)
+            seq = int(rng.choice([2, 4, 8]))
+            halo = str(rng.choice(["ppermute", "rdma"]))
+            L = int(rng.integers(2 * n + 1, 500))
+            B = int(rng.integers(1, 5))
+            mesh = make_mesh(("seq",), shape=(seq,),
+                             devices=jax.devices()[:seq])
+            x = jnp.asarray(rng.standard_normal((B, seq * L)), dtype=F64)
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+            got = np.asarray(apply_sharded(
+                x, f.center_weights, f.edge_weights, half_window=n,
+                mesh=mesh, boundary=boundary, dt_inv=f.dt_inv,
+                derivative=d, halo=halo))
+            want = np.asarray(f.apply(x, boundary=boundary))
+            if np.abs(got - want).max() > 1e-12:
+                fails.append(dict(lane="sharded-1d",
+                                  case=(n, m, d, boundary.name, seq, B, L,
+                                        halo),
+                                  err=float(np.abs(got - want).max())))
+        else:
+            hx = int(rng.integers(1, 9))
+            hy = int(rng.integers(1, 9))
+            order = int(rng.integers(0, 5))
+            if ((2 * hx + 1) * (2 * hy + 1)
+                    < (order + 1) * (order + 2) // 2):
+                continue
+            boundary = rng.choice([sg.Boundary2D.CONSTANT,
+                                   sg.Boundary2D.REFLECT,
+                                   sg.Boundary2D.VALID])
+            seq = int(rng.choice([2, 4, 8]))
+            halo = str(rng.choice(["ppermute", "rdma"]))
+            R = seq * int(rng.integers(max(2 * hy + 1, 8), 32))
+            C = int(rng.integers(2 * hx + 1, 80))
+            try:
+                f2 = sg.Savgol2D.create(sg.Savgol2DConfig(hx, hy, order),
+                                        dtype=F64)
+            except np.linalg.LinAlgError:
+                continue
+            mesh = make_mesh(("seq",), shape=(seq,),
+                             devices=jax.devices()[:seq])
+            img = jnp.asarray(rng.standard_normal((R, C)), dtype=F64)
+            got = np.asarray(apply2d_sharded(img, f2.weights, mesh=mesh,
+                                             boundary=boundary,
+                                             scale=f2.scale, halo=halo))
+            want = np.asarray(f2.apply(img, boundary=boundary))
+            if np.abs(got - want).max() > 1e-12:
+                fails.append(dict(lane="sharded-2d",
+                                  case=(hx, hy, order, boundary.name, seq,
+                                        R, C, halo),
+                                  err=float(np.abs(got - want).max())))
+    return fails
+
+
+def lane_property(rng, cases):
+    """Mathematics: a degree-q<=m polynomial is an exact fixed point of
+    the LS fit, so the filter must return its exact d-th derivative at
+    every output, edges included (same setup and tolerance model as
+    tests/test_apply.py::test_polynomial_reproduction_fuzz)."""
+    fails = []
+    for _ in range(cases):
+        n = int(rng.integers(1, 33))
+        m = int(rng.integers(0, min(2 * n, 11)))
+        d = int(rng.integers(0, min(m, 4) + 1))
+        q = int(rng.integers(d, m + 1))
+        N = int(rng.integers(2 * n + 1, 800))
+        h = 4.0 / N
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d, time_step=h),
+                               dtype=F64)
+        t = (np.arange(N) - N // 2) * h
+        P = np.polynomial.Polynomial(rng.uniform(-1, 1, q + 1))
+        want = P.deriv(d)(t) if d <= q else np.zeros_like(t)
+        got = np.asarray(f.apply(jnp.asarray(P(t), dtype=F64)))
+        tol = 1e-13 * (1.0 / h) ** d * max(1.0, np.abs(want).max())
+        err = np.abs(got - want).max()
+        if err > tol:
+            fails.append(dict(lane="property", case=(n, m, d, q, N),
+                              err=float(err), tol=float(tol)))
+    return fails
+
+
+LANES = {"1d": lane_1d, "2d": lane_2d, "scipy": lane_scipy,
+         "stream": lane_stream, "sharded": lane_sharded,
+         "property": lane_property}
+_NEEDS_REF = {"1d", "2d", "stream"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cases", type=int, default=200,
+                    help="cases per lane (sharded/scipy/property run "
+                         "cases//2 for runtime)")
+    ap.add_argument("--lanes", type=str, default=",".join(LANES))
+    args = ap.parse_args()
+
+    ref = ReferenceOracle(_build_reference_so())
+    failures = []
+    for name in args.lanes.split(","):
+        fn = LANES[name.strip()]
+        rng = np.random.default_rng((args.seed << 8) ^ hash(name) & 0xFFFF)
+        ncases = args.cases if name in ("1d", "2d") else args.cases // 2
+        t0 = time.time()
+        fl = fn(rng, ncases, ref) if name in _NEEDS_REF else fn(rng, ncases)
+        print(f"[{name}] {ncases} cases, {len(fl)} failures, "
+              f"{time.time() - t0:.0f}s", flush=True)
+        failures.extend(fl)
+    print(json.dumps({"seed": args.seed, "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
