@@ -300,9 +300,72 @@ def lane_property(rng, cases):
     return fails
 
 
+def lane_grad(rng, cases):
+    """Custom-VJP stress: gradients through the sharded paths (both halo
+    implementations, 1D and 2D row-sharded, random batch dims, random
+    cotangents) vs the single-device gradient."""
+    from savgol_tpu.parallel.sharded import apply_sharded, make_mesh
+    from savgol_tpu.parallel.sharded2d import apply2d_sharded
+    fails = []
+    for _ in range(cases):
+        halo = str(rng.choice(["ppermute", "rdma"]))
+        seq = int(rng.choice([2, 4, 8]))
+        mesh = make_mesh(("seq",), shape=(seq,),
+                         devices=jax.devices()[:seq])
+        if rng.random() < 0.5:
+            n = int(rng.integers(1, 17))
+            m = int(rng.integers(0, min(2 * n, 11)))
+            d = int(rng.integers(0, min(m, 4) + 1))
+            boundary = rng.choice(list(sg.BoundaryMode))
+            L = int(rng.integers(2 * n + 1, 200))
+            B = int(rng.integers(1, 4))
+            f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=F64)
+            x = jnp.asarray(rng.standard_normal((B, seq * L)), dtype=F64)
+            w = jnp.asarray(rng.standard_normal(x.shape), dtype=F64)
+            g1 = np.asarray(jax.grad(lambda v: jnp.sum(w * apply_sharded(
+                v, f.center_weights, f.edge_weights, half_window=n,
+                mesh=mesh, boundary=boundary, dt_inv=f.dt_inv,
+                derivative=d, halo=halo)))(x))
+            g0 = np.asarray(jax.grad(lambda v: jnp.sum(
+                w * f.apply(v, boundary=boundary)))(x))
+            case = dict(lane="grad-1d",
+                        case=(n, m, d, boundary.name, seq, B, L, halo))
+        else:
+            hx = int(rng.integers(1, 7))
+            hy = int(rng.integers(1, 7))
+            order = int(rng.integers(0, 4))
+            if ((2 * hx + 1) * (2 * hy + 1)
+                    < (order + 1) * (order + 2) // 2):
+                continue
+            boundary = rng.choice([sg.Boundary2D.CONSTANT,
+                                   sg.Boundary2D.REFLECT])
+            R = seq * int(rng.integers(max(2 * hy + 1, 8), 24))
+            C = int(rng.integers(2 * hx + 1, 48))
+            try:
+                f2 = sg.Savgol2D.create(sg.Savgol2DConfig(hx, hy, order),
+                                        dtype=F64)
+            except np.linalg.LinAlgError:
+                continue
+            x = jnp.asarray(rng.standard_normal((R, C)), dtype=F64)
+            w = jnp.asarray(rng.standard_normal((R, C)), dtype=F64)
+            g1 = np.asarray(jax.grad(lambda v: jnp.sum(w * apply2d_sharded(
+                v, f2.weights, mesh=mesh, boundary=boundary,
+                scale=f2.scale, halo=halo)))(x))
+            g0 = np.asarray(jax.grad(lambda v: jnp.sum(
+                w * f2.apply(v, boundary=boundary)))(x))
+            case = dict(lane="grad-2d",
+                        case=(hx, hy, order, boundary.name, seq, R, C,
+                              halo))
+        err = np.abs(g1 - g0).max() / max(1.0, np.abs(g0).max())
+        if err > 1e-11:
+            case["err"] = float(err)
+            fails.append(case)
+    return fails
+
+
 LANES = {"1d": lane_1d, "2d": lane_2d, "scipy": lane_scipy,
          "stream": lane_stream, "sharded": lane_sharded,
-         "property": lane_property}
+         "property": lane_property, "grad": lane_grad}
 _NEEDS_REF = {"1d", "2d", "stream"}
 
 
