@@ -94,10 +94,33 @@ struct Filter2D {
                A[static_cast<size_t>(r) * terms + j];
         ata[static_cast<size_t>(i) * terms + j] = s;
       }
+    const int k = monomial_index(dx, dy);
     std::vector<double> e(terms, 0.0);
-    e[monomial_index(dx, dy)] = 1.0;
+    e[k] = 1.0;
     std::vector<double> c;
-    if (!spd_solve(ata, e, terms, &c)) return false;
+    if (!spd_solve(ata, e, terms, &c)) {
+      // Singular normal matrix (coincident monomial columns, e.g.
+      // half_window=1 with order 3: x^3 == x on {-1,0,1}). The FILTER can
+      // still be well-defined: weights A c are invariant across the
+      // solution family of a consistent system. Retry on the
+      // column-NORMALIZED system with a tiny ridge (unit diagonal, so the
+      // ridge is scale-free); the verification below decides whether the
+      // target coefficient was actually identifiable.
+      std::vector<double> norms(terms);
+      for (int i = 0; i < terms; ++i)
+        norms[i] = std::sqrt(ata[static_cast<size_t>(i) * terms + i]);
+      std::vector<double> atan(static_cast<size_t>(terms) * terms);
+      for (int i = 0; i < terms; ++i)
+        for (int j = 0; j < terms; ++j)
+          atan[static_cast<size_t>(i) * terms + j] =
+              ata[static_cast<size_t>(i) * terms + j] / (norms[i] * norms[j]);
+      for (int i = 0; i < terms; ++i)
+        atan[static_cast<size_t>(i) * terms + i] += 1e-10;
+      std::vector<double> en(terms, 0.0);
+      en[k] = 1.0 / norms[k];
+      if (!spd_solve(atan, en, terms, &c)) return false;
+      for (int i = 0; i < terms; ++i) c[i] /= norms[i];
+    }
     const double dscale = factorial(dx) * factorial(dy);
     weights.resize(area);
     for (int r = 0; r < area; ++r) {
@@ -105,6 +128,27 @@ struct Filter2D {
       for (int i = 0; i < terms; ++i)
         s += A[static_cast<size_t>(r) * terms + i] * c[i];
       weights[r] = s * dscale;
+    }
+    // Verify the defining property A^T w == dscale * e_k (exact monomial-
+    // derivative reproduction). A lucky Cholesky factorization of a
+    // singular system can return garbage when the target coefficient is
+    // not identifiable (observed: half_window_y=1 order 3 d/dy weights off
+    // by 10x with a tiny unnormalized residual) — this check rejects those
+    // regardless of how the solve got here, while exact-rational-consistent
+    // solutions pass at rounding level.
+    double wnorm = 0.0;
+    for (int r = 0; r < area; ++r) wnorm += weights[r] * weights[r];
+    wnorm = std::sqrt(wnorm);
+    for (int i = 0; i < terms; ++i) {
+      double dot = 0.0, anorm = 0.0;
+      for (int r = 0; r < area; ++r) {
+        const double a = A[static_cast<size_t>(r) * terms + i];
+        dot += a * weights[r];
+        anorm += a * a;
+      }
+      const double want = (i == k) ? dscale : 0.0;
+      const double tol = 1e-7 * (std::sqrt(anorm) * wnorm + dscale);
+      if (std::abs(dot - want) > tol) return false;
     }
     return true;
   }

@@ -233,42 +233,75 @@ def savgol2d_weights_np(config: Savgol2DConfig, dtype=np.float32) -> np.ndarray:
     order = config.poly_order
     dx, dy = config.deriv_x, config.deriv_y
     A = _design_matrix_np(nx, ny, order)
+    k = monomial_index(dx, dy)
     # Degenerate window geometries make monomial columns coincide on the
     # grid (e.g. half_window_y=1 with order 3: y^3 == y on {-1,0,1}), so
-    # the LS fit is ill-posed. Neither a Cholesky failure nor a solve
-    # residual detects these reliably: LAPACK can factor the singular
-    # normal matrix by rounding luck, and when e_k lies in its range the
-    # residual is ~0 for a WRONG pseudo-solution (observed: (8,1,order 3,
-    # dy=1) returned d/dy weights off by 10x with residual 4e-14). The
-    # scale-invariant detector is the rank of the column-normalized
-    # design matrix — measured gap: valid geometries have
-    # sigma_min/sigma_max >= 4.5e-3, degenerate ones <= 2e-16.
-    _check_design_rank(A, config.window_height, config.window_width, order)
-    ata = A.T @ A
-    e = np.zeros(A.shape[1], dtype=np.float64)
-    e[monomial_index(dx, dy)] = 1.0
-    try:
-        L = np.linalg.cholesky(ata)
-        c = np.linalg.solve(L.T, np.linalg.solve(L, e))
-    except np.linalg.LinAlgError as err:
-        raise np.linalg.LinAlgError(
-            f"2D normal matrix not factorable in f64 for order {order} on "
-            f"a {config.window_height}x{config.window_width} grid") from err
+    # the polynomial FIT is ambiguous — but the weights w = A c are
+    # invariant across the solution family of a CONSISTENT singular
+    # system (two solutions differ by a null vector of A, which A
+    # annihilates), so the FILTER is still well-defined whenever e_k is
+    # orthogonal to the null space, i.e. the requested coefficient does
+    # not mix into the ambiguity (e.g. half_window_x=1 order 3 target
+    # x*y^2: only x vs x^3 are ambiguous). Those configs solve via the
+    # truncated pseudo-inverse (min-norm, deterministic — no Cholesky
+    # pivot luck). Only when the target coefficient itself lies in the
+    # null space (d/dy with y^3 == y: c_y vs c_{y^3} indistinguishable)
+    # is the functional ill-posed — reject. Neither a Cholesky failure
+    # nor an unnormalized solve residual detects that case reliably:
+    # LAPACK can factor the singular normal matrix by rounding luck and
+    # the huge column scales hide the residual (observed: (8,1,order 3,
+    # dy=1) returned d/dy weights off by 10x with residual 4e-14). All
+    # decisions use the column-normalized design (scale-invariant;
+    # measured gap: full-rank geometries have sigma_min/sigma_max
+    # >= 4.5e-3, degenerate ones <= 2e-16).
+    norms = np.linalg.norm(A, axis=0)
+    s, Vt = np.linalg.svd(A / norms, compute_uv=True)[1:]
+    deficient = s <= 1e-8 * s[0]
+    if deficient.any():
+        if np.linalg.norm(Vt[deficient][:, k]) > 1e-6:
+            raise np.linalg.LinAlgError(
+                f"ill-posed 2D window: the coefficient of "
+                f"x^{dx} y^{dy} is not identifiable at order {order} on a "
+                f"{config.window_height}x{config.window_width} grid "
+                "(coincident monomial columns include the target); "
+                "increase the half-windows or lower poly_order")
+        keep = ~deficient
+        e_n = np.zeros(A.shape[1], dtype=np.float64)
+        e_n[k] = 1.0 / norms[k]
+        # min-norm b solving (An^T An) b = e/D_k, then c = D^{-1} b
+        b = Vt[keep].T @ ((Vt[keep] @ e_n) / s[keep] ** 2)
+        c = b / norms
+    else:
+        ata = A.T @ A
+        e = np.zeros(A.shape[1], dtype=np.float64)
+        e[k] = 1.0
+        try:
+            L = np.linalg.cholesky(ata)
+            c = np.linalg.solve(L.T, np.linalg.solve(L, e))
+        except np.linalg.LinAlgError as err:
+            raise np.linalg.LinAlgError(
+                f"2D normal matrix not factorable in f64 for order {order} "
+                f"on a {config.window_height}x{config.window_width} grid"
+            ) from err
     scale = math.factorial(dx) * math.factorial(dy)
     w = (A @ c) * scale
     return w.reshape(config.window_height, config.window_width).astype(dtype)
 
 
 def _check_design_rank(A: np.ndarray, wh: int, ww: int, order: int) -> None:
-    """Reject rank-deficient monomial bases (reference analog:
-    src/savgol2d.c:144-148 refusing non-SPD systems)."""
+    """Reject rank-deficient monomial bases on the ON-DEVICE path (its
+    Cholesky cannot take the min-norm pseudo-inverse route the host
+    generator uses for rank-deficient-but-well-posed targets)."""
     An = A / np.linalg.norm(A, axis=0, keepdims=True)
     s = np.linalg.svd(An, compute_uv=False)
     if s[-1] <= 1e-8 * s[0]:
         raise np.linalg.LinAlgError(
-            f"degenerate 2D window: the order-{order} monomial basis is "
-            f"rank-deficient on a {wh}x{ww} grid (coincident monomial "
-            "columns); increase the half-windows or lower poly_order")
+            f"degenerate 2D window for the on-device generator: the "
+            f"order-{order} monomial basis is rank-deficient on a "
+            f"{wh}x{ww} grid (coincident monomial columns); increase the "
+            "half-windows or lower poly_order — well-posed derivative "
+            "targets on such grids are served by the host generator "
+            "savgol2d_weights_np")
 
 
 @functools.lru_cache(maxsize=None)

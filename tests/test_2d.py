@@ -639,3 +639,80 @@ class TestPolynomialReproductionFuzz:
         tol = 1e-11 * amp * max(1.0, np.abs(want_v).max())
         np.testing.assert_allclose(got, want_v, atol=tol,
                                    err_msg=f"{(hx, hy, order, dx, dy, R, C)}")
+
+
+class TestSingularGeometry:
+    """Rank-deficient window geometries (coincident monomial columns, e.g.
+    half_window=1 with order 3: x^3 == x on {-1,0,1}).
+
+    The weights w = A c are invariant across the solution family of a
+    CONSISTENT singular system (solutions differ by null vectors of A,
+    which A annihilates), so the filter is well-defined whenever the
+    target coefficient does not mix into the null space — those configs
+    must be ACCEPTED (min-norm pseudo-inverse path) and reproduce
+    derivatives exactly. Only targets inside the ambiguity (d/dy when
+    y^3 == y) are ill-posed and must raise. The accept/reject boundary is
+    adjudicated against exact rational arithmetic
+    (test_weights.illposed_2d_exact). The reference has no such check: its
+    unpivoted Cholesky luck-factors singular systems
+    (/root/reference/src/savgol2d.c:134-175) and returns garbage for the
+    ill-posed targets — a documented divergence."""
+
+    ACCEPT = [
+        # (hx, hy, order, dx, dy, field, exact derivative value)
+        (1, 14, 3, 1, 2, lambda x, y: x * y * y, 2.0),
+        (13, 1, 3, 1, 0, lambda x, y: x, 1.0),
+        (16, 2, 5, 0, 4, lambda x, y: y ** 4, 24.0),
+        (1, 2, 3, 1, 2, lambda x, y: x * y * y, 2.0),
+    ]
+    REJECT = [
+        (8, 1, 3, 0, 1),    # y^3 == y: d/dy not identifiable (the
+                            # historical wrong-pseudo-solution case)
+        (2, 1, 3, 0, 1),
+        (1, 2, 3, 3, 0),    # x^3 == x: the x^3 coefficient itself
+        (1, 14, 3, 1, 0),
+    ]
+
+    @pytest.mark.parametrize("hx,hy,order,dx,dy,field,want", ACCEPT)
+    def test_wellposed_singular_accepted_exact(self, hx, hy, order, dx, dy,
+                                               field, want):
+        from test_weights import illposed_2d_exact
+        assert not illposed_2d_exact(hx, hy, order, dx, dy)
+        cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+        f = sg.Savgol2D.create(cfg, dtype=F64)
+        R, C = max(4 * hy + 2, 40), max(4 * hx + 2, 40)
+        yy, xx = np.mgrid[0:R, 0:C].astype(np.float64)
+        img = field(xx - C / 2, yy - R / 2)
+        out = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
+                                 boundary=sg.Boundary2D.VALID))
+        np.testing.assert_allclose(out, want, atol=1e-7)
+
+    @pytest.mark.parametrize("hx,hy,order,dx,dy,field,want", ACCEPT)
+    def test_wellposed_singular_native_parity(self, hx, hy, order, dx, dy,
+                                              field, want):
+        """The native engine (ridge fallback + A^T w verification) accepts
+        the same configs and lands on the same min-norm weights."""
+        from savgol_tpu import native
+        cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+        w_j = np.asarray(sg.Savgol2D.create(cfg, dtype=F64).weights)
+        w_n = native.HostSavgol2D(cfg).weights()
+        np.testing.assert_allclose(w_n, w_j, atol=1e-12)
+
+    @pytest.mark.parametrize("hx,hy,order,dx,dy", REJECT)
+    def test_illposed_rejected_both_engines(self, hx, hy, order, dx, dy):
+        from savgol_tpu import native
+        from test_weights import illposed_2d_exact
+        assert illposed_2d_exact(hx, hy, order, dx, dy)
+        cfg = sg.Savgol2DConfig(hx, hy, order, deriv_x=dx, deriv_y=dy)
+        with pytest.raises(np.linalg.LinAlgError, match="ill-posed"):
+            sg.Savgol2D.create(cfg, dtype=F64)
+        with pytest.raises(Exception):
+            native.HostSavgol2D(cfg)
+
+    def test_ondevice_generator_stays_strict(self):
+        """The on-device Cholesky generator cannot take the pseudo-inverse
+        route; it rejects ALL rank-deficient geometries with a pointer at
+        the host generator."""
+        from savgol_tpu.ops.weights import savgol2d_weights
+        with pytest.raises(np.linalg.LinAlgError, match="on-device"):
+            savgol2d_weights(1, 2, 3, deriv_x=1, deriv_y=2, dtype=jnp.float64)

@@ -58,6 +58,14 @@ def test_three_way_parity(ref, n, m, d, boundary, N):
                                                          boundary, N)
 
 
+def _design_rank_deficient(hx, hy, order) -> bool:
+    from savgol_tpu.ops.weights import _design_matrix_np
+    A = _design_matrix_np(hx, hy, order)
+    An = A / np.linalg.norm(A, axis=0, keepdims=True)
+    s = np.linalg.svd(An, compute_uv=False)
+    return bool(s[-1] <= 1e-8 * s[0])
+
+
 _CASES_2D = []
 _rng2 = np.random.default_rng(0xF023)
 while len(_CASES_2D) < 20:
@@ -85,10 +93,13 @@ def test_three_way_parity_2d(ref, hx, hy, order, dx, dy, boundary, rows,
     try:
         f = sg.Savgol2D.create(cfg, dtype=F64)
     except np.linalg.LinAlgError:
-        # truly singular geometry — the reference's Cholesky must also
-        # reject it (its pivot-free factorization is stricter, so any
-        # geometry we reject it must reject too)
-        assert ref.apply2d(img, hx, hy, order, dx, dy) is None
+        # ill-posed functional: the target coefficient mixes into the
+        # design null space — adjudicated against exact rational
+        # arithmetic. (The reference's unpivoted Cholesky may luck-factor
+        # the singular system and return garbage, so its accept/reject
+        # behavior here is rounding noise — nothing to compare.)
+        from test_weights import illposed_2d_exact
+        assert illposed_2d_exact(hx, hy, order, dx, dy)
         return
     ours = np.asarray(f.apply(jnp.asarray(img, dtype=F64),
                               boundary=boundary))
@@ -97,6 +108,12 @@ def test_three_way_parity_2d(ref, hx, hy, order, dx, dy, boundary, rows,
     got_native = native.HostSavgol2D(cfg).apply(img, boundary)
     assert np.abs(got_native - ours).max() <= 4e-6 * scale
 
+    if _design_rank_deficient(hx, hy, order):
+        # rank-deficient but well-posed target (e.g. half_window=1 with
+        # order 3 and a target outside the x^3==x ambiguity): our min-norm
+        # weights are exact, but the reference's unpivoted Cholesky result
+        # is luck-of-rounding — documented divergence, skip the comparison
+        return
     theirs = ref.apply2d(img, hx, hy, order, dx, dy,
                          boundary=boundary.name.lower())
     if theirs is None:

@@ -46,6 +46,61 @@ def exact_weights(n, m, d, t):
          for r in range(len(pts))])
 
 
+def illposed_2d_exact(nx, ny, order, dx, dy):
+    """Exact-rational adjudicator for the 2D accept/reject boundary.
+
+    True iff the coefficient of x^dx y^dy is NOT identifiable on the
+    (2ny+1)x(2nx+1) grid at this order: some exact null vector of the
+    design matrix has a nonzero component at the target monomial — the
+    functional differs across the LS solution family, so no filter
+    weights exist. (When every null component at the target is zero the
+    weights A c are invariant across solutions and the filter is
+    well-defined despite the ambiguous FIT.) Computed over exact
+    integers/rationals: the null space of A equals the null space of the
+    integer Gram matrix A^T A, extracted by fraction-free RREF."""
+    from savgol_tpu.ops.weights import monomial_index
+
+    k = monomial_index(dx, dy)
+    nterms = (order + 1) * (order + 2) // 2
+    cols = []
+    for tot in range(order + 1):
+        for j in range(tot + 1):
+            i = tot - j
+            cols.append((monomial_index(i, j), i, j))
+    pts = [(x, y) for y in range(-ny, ny + 1) for x in range(-nx, nx + 1)]
+    A = [[0] * nterms for _ in pts]          # exact python ints
+    for r, (x, y) in enumerate(pts):
+        for idx, i, j in cols:
+            A[r][idx] = (x ** i) * (y ** j)
+    G = [[sum(A[r][i] * A[r][j] for r in range(len(pts)))
+          for j in range(nterms)] for i in range(nterms)]
+    # RREF over rationals
+    M = [[Fraction(v) for v in row] for row in G]
+    pivots = []
+    row = 0
+    for col in range(nterms):
+        piv = next((r for r in range(row, nterms) if M[r][col] != 0), None)
+        if piv is None:
+            continue
+        M[row], M[piv] = M[piv], M[row]
+        M[row] = [v / M[row][col] for v in M[row]]
+        for r in range(nterms):
+            if r != row and M[r][col] != 0:
+                f = M[r][col]
+                M[r] = [a - f * b for a, b in zip(M[r], M[row])]
+        pivots.append(col)
+        row += 1
+    free = [c for c in range(nterms) if c not in pivots]
+    for fc in free:                          # null basis vector per free col
+        v = [Fraction(0)] * nterms
+        v[fc] = Fraction(1)
+        for r, pc in enumerate(pivots):
+            v[pc] = -M[r][fc]
+        if v[k] != 0:
+            return True
+    return False
+
+
 class TestGenFact:
     def test_values(self):
         assert genfact(5, 0) == 1.0
@@ -261,17 +316,34 @@ class TestOnDevice2DDegeneracy:
         assert abs(float((w * X).sum()) - 1.0) < 1e-9   # d/dx of f=x
 
     @pytest.mark.parametrize("nx,ny,order,kw", [
-        (8, 1, 3, dict(deriv_y=1)),   # y^3 == y on {-1,0,1}: consistent
-        (16, 1, 3, {}),               # singular system — Cholesky can
-        (1, 8, 3, {}),                # "succeed" with ~0 residual but a
-        (2, 2, 5, dict(deriv_x=1)),   # WRONG pseudo-solution
+        (8, 1, 3, dict(deriv_y=1)),   # y^3 == y on {-1,0,1}: d/dy mixes
+        (2, 2, 5, dict(deriv_x=1)),   # x^5 == 5x^3-4x: d/dx mixes
     ])
-    def test_consistent_singular_geometries_rejected_on_host(
-            self, nx, ny, order, kw):
-        """Degenerate-but-consistent systems defeat residual checks (the
-        review's repro: (8,1,3,dy=1) returned d/dy weights off by 10x with
-        residual 4e-14); the host generator must reject them by rank."""
+    def test_illposed_targets_rejected_on_host(self, nx, ny, order, kw):
+        """Targets inside the null-space ambiguity defeat residual checks
+        (the review's repro: (8,1,3,dy=1) returned d/dy weights off by 10x
+        with residual 4e-14); the host generator must reject them — by the
+        null-component test, since an unnormalized residual can hide the
+        inconsistency under the huge column scales."""
         from savgol_tpu.ops.weights import savgol2d_weights_np
         cfg = sg.Savgol2DConfig(nx, ny, order, **kw)
-        with pytest.raises(np.linalg.LinAlgError, match="degenerate"):
+        with pytest.raises(np.linalg.LinAlgError, match="ill-posed"):
             savgol2d_weights_np(cfg)
+
+    @pytest.mark.parametrize("nx,ny,order", [(16, 1, 3), (1, 8, 3)])
+    def test_wellposed_targets_on_singular_grids_accepted(self, nx, ny,
+                                                          order):
+        """Smoothing on a rank-deficient grid (y^3 == y) is well-posed —
+        the constant coefficient is outside the ambiguity, so the host
+        generator serves exact weights via the min-norm pseudo-inverse
+        (adjudicated: illposed_2d_exact is False; weights reproduce
+        constants and annihilate the window coordinates)."""
+        from savgol_tpu.ops.weights import savgol2d_weights_np
+        assert not illposed_2d_exact(nx, ny, order, 0, 0)
+        w = savgol2d_weights_np(sg.Savgol2DConfig(nx, ny, order),
+                                dtype=np.float64)
+        assert abs(w.sum() - 1.0) < 1e-12
+        xs = np.arange(-nx, nx + 1, dtype=np.float64)
+        ys = np.arange(-ny, ny + 1, dtype=np.float64)
+        X, Y = np.meshgrid(xs, ys)
+        assert abs((w * X).sum()) < 1e-12 and abs((w * Y).sum()) < 1e-12
