@@ -380,9 +380,122 @@ def lane_grad(rng, cases):
     return fails
 
 
+def lane_sweep(rng, cases):
+    """Parameter sweep vs per-config static applies (traced-weight path,
+    masked windows) in f64."""
+    from savgol_tpu.ops.sweep import savgol_apply_sweep
+    fails = []
+    for _ in range(cases):
+        nc = int(rng.integers(1, 6))
+        ns = rng.integers(1, 33, size=nc)
+        ms = np.array([int(rng.integers(0, min(2 * n, 11))) for n in ns])
+        d = int(rng.integers(0, min(ms.min(), 4) + 1)) if ms.min() else 0
+        boundary = rng.choice(list(sg.BoundaryMode))
+        B = int(rng.integers(1, 4))
+        N = int(rng.integers(2 * ns.max() + 1, 4000))
+        x = jnp.asarray(rng.standard_normal((B, N)), dtype=F64)
+        got = np.asarray(savgol_apply_sweep(
+            x, jnp.asarray(ns), jnp.asarray(ms), derivative=d,
+            boundary=boundary, dtype=F64))
+        for ci, (n, m) in enumerate(zip(ns, ms)):
+            f = sg.Savgol1D.create(sg.SavgolConfig(int(n), int(m), d),
+                                   dtype=F64)
+            want = np.asarray(f.apply(x, boundary=boundary))
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(got[ci] - want).max() / scale
+            if err > 1e-9:
+                fails.append(dict(lane="sweep",
+                                  case=(int(n), int(m), d, boundary.name,
+                                        B, N, nc),
+                                  err=float(err)))
+    return fails
+
+
+def lane_bank(rng, cases):
+    """SavgolBank (stacked one-pass filters) vs per-filter applies."""
+    fails = []
+    for _ in range(cases):
+        n = int(rng.integers(1, 17))
+        boundary = rng.choice(list(sg.BoundaryMode))
+        K = int(rng.integers(1, 5))
+        cfgs = []
+        for _k in range(K):
+            m = int(rng.integers(0, min(2 * n, 11)))
+            d = int(rng.integers(0, min(m, 4) + 1))
+            cfgs.append(sg.SavgolConfig(n, m, d, boundary=boundary))
+        bank = sg.SavgolBank.create(cfgs, dtype=F64)
+        B = int(rng.integers(1, 5))
+        N = int(rng.integers(2 * n + 1, 3000))
+        x = jnp.asarray(rng.standard_normal((B, N)), dtype=F64)
+        got = np.asarray(bank.apply(x))
+        for ki, c in enumerate(cfgs):
+            want = np.asarray(sg.Savgol1D.create(c, dtype=F64).apply(x))
+            scale = max(1.0, np.abs(want).max())
+            err = np.abs(got[ki] - want).max() / scale
+            if err > 1e-11:
+                fails.append(dict(lane="bank",
+                                  case=(n, c.poly_order, c.derivative,
+                                        boundary.name, K, B, N),
+                                  err=float(err)))
+    return fails
+
+
+def lane_methods(rng, cases):
+    """Method dispatch cross-checks on ONE config per case: xla (master)
+    vs mxu / pallas (interpret off-TPU) / bf16-contract, plus axis moves,
+    int promotion and complex split."""
+    fails = []
+    for _ in range(cases):
+        n, m, d, boundary, _ = _sample_1d(rng)
+        N = int(rng.integers(2 * n + 1, 2048))
+        B = int(rng.integers(1, 5))
+        f32 = jnp.float32
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d), dtype=f32)
+        x = jnp.asarray(rng.standard_normal((B, N)), dtype=f32)
+        base = np.asarray(f.apply(x, boundary=boundary, method="xla"))
+        scale = max(1.0, np.abs(base).max())
+
+        def check(name, y, tol):
+            err = np.abs(np.asarray(y) - base).max() / scale
+            if err > tol:
+                fails.append(dict(lane="methods", impl=name,
+                                  case=(n, m, d, boundary.name, B, N),
+                                  err=float(err)))
+
+        check("mxu", f.apply(x, boundary=boundary, method="mxu"), 2e-6)
+        if N <= 1024:            # interpret-mode Pallas: keep cases small
+            check("pallas", f.apply(x, boundary=boundary, method="pallas"),
+                  2e-6)
+            check("bf16", f.apply(x, boundary=boundary, method="bf16"),
+                  5e-3)
+        # axis handling: filter along a leading axis == transpose route
+        check("axis0", jnp.moveaxis(
+            f.apply(jnp.moveaxis(x, -1, 0), axis=0, boundary=boundary),
+            0, -1), 1e-7)
+        # complex input: real-linear split
+        xc = x + 1j * jnp.asarray(rng.standard_normal((B, N)), dtype=f32)
+        yc = np.asarray(f.apply(xc, boundary=boundary))
+        base_i = np.asarray(f.apply(xc.imag, boundary=boundary))
+        err_c = max(np.abs(yc.real - base).max(),
+                    np.abs(yc.imag - base_i).max()) / scale
+        if err_c > 1e-7:
+            fails.append(dict(lane="methods", impl="complex",
+                              case=(n, m, d, boundary.name, B, N),
+                              err=float(err_c)))
+        # int input promotion
+        xi = jnp.asarray((x * 100).astype(np.int32))
+        yi = np.asarray(f.apply(xi, boundary=boundary))
+        want_i = np.asarray(f.apply(xi.astype(f32), boundary=boundary))
+        if np.abs(yi - want_i).max() > 1e-7 * max(1.0, np.abs(want_i).max()):
+            fails.append(dict(lane="methods", impl="int",
+                              case=(n, m, d, boundary.name, B, N)))
+    return fails
+
+
 LANES = {"1d": lane_1d, "2d": lane_2d, "scipy": lane_scipy,
          "stream": lane_stream, "sharded": lane_sharded,
-         "property": lane_property, "grad": lane_grad}
+         "property": lane_property, "grad": lane_grad,
+         "sweep": lane_sweep, "bank": lane_bank, "methods": lane_methods}
 _NEEDS_REF = {"1d", "2d", "stream"}
 
 
