@@ -37,6 +37,7 @@ from savgol_tpu.ops.apply import (
     savgol_apply,
     savgol_apply_valid,
 )
+from savgol_tpu.ops.masked import savgol_apply_masked, savgol2d_apply_masked
 from savgol_tpu.ops.apply2d import (
     savgol2d_apply,
     savgol2d_gradient,
@@ -74,9 +75,9 @@ __all__ = [
     "Savgol1D", "Savgol2D", "SavgolStream", "SavgolBank",
     "savgol_weights", "savgol_weights_np",
     "savgol2d_weights", "savgol2d_weights_np",
-    "savgol_apply", "savgol_apply_valid",
+    "savgol_apply", "savgol_apply_valid", "savgol_apply_masked",
     "savgol_filter", "savgol_coeffs",
-    "savgol2d_apply", "savgol2d_gradient", "savgol2d_hessian",
+    "savgol2d_apply", "savgol2d_apply_masked", "savgol2d_gradient", "savgol2d_hessian",
     "savgol2d_laplacian",
     "StreamState", "stream_init", "stream_reset", "stream_push",
     "stream_push_full", "stream_flush", "stream_flush_leading",

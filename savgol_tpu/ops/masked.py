@@ -1,0 +1,444 @@
+"""Missing-data (masked / NaN-robust) Savitzky-Golay filtering.
+
+Beyond-reference capability: the C reference (src/savgolFilter.c) and scipy
+both assume every window sample is present; one NaN poisons a whole window
+span. This module fits the order-``m`` polynomial per output position using
+ONLY the valid samples in the window — the estimator degrades gracefully
+under dropouts and recovers the classic filter exactly when nothing is
+missing.
+
+TPU-first formulation (no per-window loop, no dynamic shapes):
+
+1. Build an ORTHONORMAL polynomial basis ``phi_0..phi_m`` for the full
+   window on the host (f64 QR of the Vandermonde on t = j/n). Orthonormality
+   makes the all-valid Gram matrix the identity, so the per-position solves
+   stay well-conditioned in f32 for any mostly-valid mask.
+2. The masked normal equations at position p are
+
+       G[a,b] = sum_j mask[p+j] * phi_a(t_j) * phi_b(t_j)
+       r[a]   = sum_j mask[p+j] * phi_a(t_j) * x[p+j]
+
+   Every entry is a fixed-stencil correlation: G needs the
+   (m+1)(m+2)/2 pair-product kernels ``phi_a*phi_b`` against the MASK,
+   ``r`` needs the m+1 basis kernels against the masked input. Both ride
+   the same K-stencil bank kernels as ``SavgolBank`` (one input pass on
+   the MXU for all K stencils).
+3. One batched (m+1)x(m+1) solve per position (``jnp.linalg.solve`` over
+   the position axis), then the derivative-at-center row extracts the
+   output. Positions with fewer than ``min_points`` valid samples are
+   filled with ``fill`` (default NaN) through a safe-solve select.
+
+Accuracy note: the normal equations square the masked design's condition
+number, so in f32 a hole-starved edge window (cond(A) ~ 1e3) can lose
+~cond(A)^2 * eps ~ 1e-2 relative accuracy. ``solver="qr"`` instead
+QR-factors the masked (ws, m+1) design per position — error ~cond(A)*eps
+(~5e-5 worst-case) at the cost of materializing the (…, N, ws) window
+tensor (ws x input memory) and a batched small QR. The default
+``solver="normal"`` stays on the fixed-stencil MXU bank path.
+
+Edge handling: ``boundary="truncate"`` (default) treats out-of-range
+samples as missing, i.e. the edge fit uses exactly the in-range valid
+samples — the masked-LS generalization of the reference's edge-row fits.
+Any pad-based BoundaryMode works too (the mask is padded consistently).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from savgol_tpu.config import (PAD_MODE, Boundary2D, BoundaryMode,
+                               Savgol2DConfig, num_terms_2d)
+from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
+                                  _restore_axis, correlate_valid)
+
+__all__ = ["savgol_apply_masked", "savgol2d_apply_masked"]
+
+TRUNCATE = "truncate"
+
+
+@functools.lru_cache(maxsize=None)
+def _masked_tables(half_window: int, poly_order: int):
+    """Host-precomputed f64 tables for the masked fit.
+
+    Returns ``(Q, Rinv, pair_w, pair_index)``:
+      Q          (ws, m+1)  orthonormal basis sampled on the window,
+      Rinv       (m+1, m+1) monomial coefficients of each basis column,
+      pair_w     (Kp, ws)   pair-product stencils phi_a*phi_b, a<=b,
+      pair_index (m+1, m+1) symmetric gather map into the Kp axis.
+    """
+    n = int(half_window)
+    m = int(poly_order)
+    ws = 2 * n + 1
+    t = (np.arange(ws, dtype=np.float64) - n) / max(n, 1)
+    V = np.vander(t, m + 1, increasing=True)            # V[j, q] = t_j^q
+    Q, R = np.linalg.qr(V)                              # Q: (ws, m+1)
+    # deterministic sign: positive leading coefficient per column
+    s = np.sign(np.diag(R)).copy()
+    s[s == 0] = 1.0
+    Q = Q * s
+    R = R * s[:, None]
+    Rinv = np.linalg.solve(R, np.eye(m + 1))            # phi_a = sum_q Rinv[q,a] t^q
+    pairs = []
+    pair_index = np.zeros((m + 1, m + 1), dtype=np.int32)
+    for a in range(m + 1):
+        for b in range(a, m + 1):
+            pair_index[a, b] = pair_index[b, a] = len(pairs)
+            pairs.append(Q[:, a] * Q[:, b])
+    pair_w = np.stack(pairs)                            # (Kp, ws)
+    return Q, Rinv, pair_w, pair_index
+
+
+def _bank_correlate(xp: jax.Array, w: jax.Array,
+                    precision=lax.Precision.HIGHEST,
+                    method: str = "auto") -> jax.Array:
+    """K-stencil valid correlation, (..., Npad) x (K, ws) -> (K, ..., Nout).
+
+    Same dispatch as SavgolBank.apply: the Pallas bank kernels share one
+    input pass on TPU; elsewhere (or with ``method="xla"``) a vmapped
+    XLA conv."""
+    if method == "auto" and jax.default_backend() == "tpu":
+        from savgol_tpu.ops import pallas_conv as pc
+        B = 1
+        for s in xp.shape[:-1]:
+            B *= s
+        if B >= pc._BANK_MXU_MIN_BATCH:
+            return pc.correlate_valid_bank_pallas_mxu(xp, w.astype(xp.dtype))
+        return pc.correlate_valid_bank_pallas(xp, w.astype(xp.dtype))
+    return jax.vmap(lambda wk: correlate_valid(xp, wk, precision))(
+        w.astype(xp.dtype))
+
+
+def savgol_apply_masked(
+    x: jax.Array,
+    *,
+    half_window: int,
+    poly_order: int,
+    derivative: int = 0,
+    time_step: float = 1.0,
+    mask: Optional[jax.Array] = None,
+    boundary: Union[str, BoundaryMode] = TRUNCATE,
+    axis: int = -1,
+    min_points: Optional[int] = None,
+    fill: float = float("nan"),
+    solver: str = "normal",
+    method: str = "auto",
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Savitzky-Golay filtering with missing samples, along ``axis``.
+
+    ``mask`` marks VALID samples (True = use); default ``isfinite(x)``,
+    so NaN/Inf-holed signals work out of the box. Positions whose window
+    holds fewer than ``min_points`` (default ``poly_order + 1``) valid
+    samples yield ``fill``. With an all-valid mask and a pad boundary the
+    result equals the classic filter; on an order-<=m polynomial the exact
+    d-th derivative is reproduced wherever the fit is determined, holes
+    and truncated edges included.
+
+    ``solver="normal"`` (default) assembles masked normal equations from
+    fixed-stencil correlations (fast, MXU bank kernels on TPU);
+    ``solver="qr"`` QR-factors the masked window design per position for
+    full working-precision accuracy on ill-conditioned (hole-starved /
+    truncated) windows, at ~window-size-times the memory.
+
+    Fully jittable / differentiable / vmappable; static args:
+    ``half_window, poly_order, derivative, boundary, axis, min_points,
+    solver``.
+    """
+    n = int(half_window)
+    m = int(poly_order)
+    d = int(derivative)
+    ws = 2 * n + 1
+    if n < 1:
+        raise ValueError(f"half_window must be >= 1, got {n}")
+    if not 0 <= m <= 2 * n:
+        raise ValueError(
+            f"poly_order must be in [0, 2*half_window], got {m}")
+    if not 0 <= d <= m:
+        raise ValueError(
+            f"derivative must be in [0, poly_order], got {d}")
+    dt = float(time_step)
+    if dt <= 0.0:
+        raise ValueError(f"time_step must be positive, got {time_step}")
+    if solver not in ("normal", "qr"):
+        raise ValueError(f"solver must be 'normal' or 'qr', got {solver!r}")
+    if method not in ("auto", "xla"):
+        raise ValueError(f"method must be 'auto' or 'xla', got {method!r}")
+    kmin = m + 1 if min_points is None else int(min_points)
+    if kmin < m + 1:
+        raise ValueError(
+            f"min_points must be >= poly_order + 1, got {kmin}")
+    truncate = (isinstance(boundary, str)
+                and boundary.lower() == TRUNCATE)
+    if not truncate:
+        boundary = BoundaryMode(boundary)
+        if boundary is BoundaryMode.POLYNOMIAL:
+            raise ValueError(
+                "boundary='truncate' is the masked-fit analog of the "
+                "POLYNOMIAL edge rule; POLYNOMIAL itself is pad-free")
+
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "masked filtering of complex input: filter real/imag parts "
+            "with an explicit shared mask")
+    x, restore = _compute_dtype(x)
+    if mask is None:
+        mask = jnp.isfinite(x)
+    if mask.shape != x.shape:
+        raise ValueError(
+            f"mask shape {mask.shape} != data shape {x.shape}")
+
+    xl, moved = _move_axis_last(x, axis)
+    ml, _ = _move_axis_last(mask, axis)
+    if xl.shape[-1] < 1:
+        raise ValueError("data length must be >= 1")
+
+    Q, Rinv, pair_w, pair_index = _masked_tables(n, m)
+    dtype = xl.dtype
+    mf = ml.astype(dtype)
+    xm = jnp.where(ml, xl, jnp.zeros((), dtype))        # NaNs never enter
+    pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
+    if truncate:
+        xp = jnp.pad(xm, pad)                           # zeros, masked out
+        mp = jnp.pad(mf, pad)                           # out-of-range invalid
+    else:
+        # Pad the zero-holed data AND the mask with the same mode: a pad
+        # sample mirrors/replicates both the value and the VALIDITY of its
+        # source sample (CONSTANT here is the reference's edge-replication,
+        # config.PAD_MODE -> "edge" — an invalid edge stays invalid).
+        mode = PAD_MODE[boundary]
+        xp = jnp.pad(xm, pad, mode=mode)
+        mp = jnp.pad(mf, pad, mode=mode)
+
+    if solver == "qr":
+        # Accuracy mode: per-position masked design A = diag(mask_w) Q,
+        # factored by batched reduced QR — error ~cond(A)*eps instead of
+        # the normal equations' cond(A)^2*eps. Costs the (..., N, ws)
+        # window tensor; stays static-shape and differentiable.
+        n_out = xl.shape[-1]
+        idx = jnp.arange(n_out)[:, None] + jnp.arange(ws)[None, :]
+        mw = jnp.take(mp, idx, axis=-1)                 # (..., N, ws)
+        xw = jnp.take(xp, idx, axis=-1)
+        count = jnp.sum(mw, axis=-1)
+        ok = count >= (kmin - 0.5)                      # robust integer compare
+        qmat = jnp.asarray(Q, dtype=dtype)              # (ws, m+1)
+        A = mw[..., None] * qmat                        # (..., N, ws, m+1)
+        A_safe = jnp.where(ok[..., None, None], A,
+                           jnp.eye(ws, m + 1, dtype=dtype))
+        qf, rf = jnp.linalg.qr(A_safe)                  # reduced
+        z = jnp.einsum("...ji,...j->...i", qf, mw * xw,
+                       precision=precision)
+        coef = solve_triangular(rf, z[..., None], lower=False)[..., 0]
+    else:
+        qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
+        pw = jnp.asarray(pair_w, dtype=dtype)           # (Kp, ws)
+        gram = _bank_correlate(mp, pw, precision, method)   # (Kp, ..., N)
+        rhs = _bank_correlate(xp, qw, precision, method)    # (m+1, ..., N)
+
+        gramN = jnp.moveaxis(gram, 0, -1)               # (..., N, Kp)
+        G = jnp.take(gramN, jnp.asarray(pair_index.reshape(-1)), axis=-1)
+        G = G.reshape(gramN.shape[:-1] + (m + 1, m + 1))
+        r = jnp.moveaxis(rhs, 0, -1)[..., None]         # (..., N, m+1, 1)
+
+        # phi_0 is the constant 1/sqrt(ws), so G[0,0] == count/ws exactly
+        count = G[..., 0, 0] * ws
+        ok = count >= (kmin - 0.5)                      # robust integer compare
+        eye = jnp.eye(m + 1, dtype=dtype)
+        G_safe = jnp.where(ok[..., None, None], G, eye)
+        coef = jnp.linalg.solve(G_safe, r)[..., 0]      # (..., N, m+1)
+
+    # d-th derivative at the window center, in user units:
+    #   y = sum_a coef_a * phi_a^(d)(0) / (n*dt)^d,  phi_a^(d)(0) = d! Rinv[d,a]
+    extract = Rinv[d, :] * math.factorial(d) / float(n * dt) ** d
+    y = jnp.einsum("...k,k->...", coef, jnp.asarray(extract, dtype=dtype),
+                   precision=precision)
+    y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+    y = _restore_axis(y, moved)
+    return y.astype(restore) if restore is not None else y
+
+
+# ---------------------------------------------------------------------------
+# 2D: masked bivariate fits
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _masked_tables_2d(half_window_x: int, half_window_y: int,
+                      poly_order: int):
+    """Host-precomputed f64 tables for the masked 2D fit.
+
+    Basis: QR-orthonormalized bivariate monomials x^i y^j (i + j <= m) on
+    the window grid t = offset/half_window. Returns
+    ``(Q3, Rinv, pair_w, pair_index, mono_index)``:
+      Q3         (P, wy, wx)   orthonormal basis stencils,
+      Rinv       (P, P)        monomial coefficients of each basis fn,
+      pair_w     (Kp, wy, wx)  pair products phi_a*phi_b, a<=b,
+      pair_index (P, P)        symmetric gather map into the Kp axis,
+      mono_index dict (i, j) -> monomial row in Rinv.
+    """
+    nx, ny, m = int(half_window_x), int(half_window_y), int(poly_order)
+    wx, wy = 2 * nx + 1, 2 * ny + 1
+    tx = (np.arange(wx, dtype=np.float64) - nx) / max(nx, 1)
+    ty = (np.arange(wy, dtype=np.float64) - ny) / max(ny, 1)
+    monos = [(i, t - i) for t in range(m + 1) for i in range(t + 1)]
+    mono_index = {ij: p for p, ij in enumerate(monos)}
+    P = len(monos)
+    TY, TX = np.meshgrid(ty, tx, indexing="ij")
+    V = np.stack([(TX ** i * TY ** j).reshape(-1) for i, j in monos],
+                 axis=1)                                 # (wy*wx, P)
+    Q, R = np.linalg.qr(V)
+    s = np.sign(np.diag(R)).copy()
+    s[s == 0] = 1.0
+    Q = Q * s
+    R = R * s[:, None]
+    Rinv = np.linalg.solve(R, np.eye(P))
+    pairs = []
+    pair_index = np.zeros((P, P), dtype=np.int32)
+    for a in range(P):
+        for b in range(a, P):
+            pair_index[a, b] = pair_index[b, a] = len(pairs)
+            pairs.append(Q[:, a] * Q[:, b])
+    pair_w = np.stack(pairs).reshape(-1, wy, wx)         # (Kp, wy, wx)
+    Q3 = Q.T.reshape(P, wy, wx)
+    return Q3, Rinv, pair_w, pair_index, mono_index
+
+
+def savgol2d_apply_masked(
+    x: jax.Array,
+    *,
+    half_window_x: int,
+    half_window_y: int,
+    poly_order: int,
+    deriv_x: int = 0,
+    deriv_y: int = 0,
+    delta_x: float = 1.0,
+    delta_y: float = 1.0,
+    mask: Optional[jax.Array] = None,
+    boundary: Union[str, Boundary2D] = TRUNCATE,
+    min_points: Optional[int] = None,
+    fill: float = float("nan"),
+    rcond: Optional[float] = None,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """2D Savitzky-Golay filtering with missing pixels (last two axes).
+
+    The bivariate order-``poly_order`` polynomial is fit per pixel using
+    ONLY the valid samples in the window (``mask`` defaults to
+    ``isfinite(x)``); the requested mixed partial is evaluated at the
+    window center. Beyond both the reference (src/savgol2d.c) and scipy:
+    one NaN there poisons every window that touches it.
+
+    Well-posedness is decided PER PIXEL, numerically: a window needs
+    ``min_points`` (default: the number of polynomial terms) valid
+    samples AND a Cholesky-factorable masked Gram matrix whose scaled
+    diagonal clears ``rcond`` (default: dtype-based) — degenerate valid
+    sets (e.g. all on one row while fitting y-dependence) yield ``fill``
+    instead of garbage. This is the per-pixel analog of the global
+    singular-geometry rule in ``ops/weights.py::savgol2d_weights_np``.
+
+    ``boundary="truncate"`` (default) treats out-of-range pixels as
+    missing; ``Boundary2D.CONSTANT`` (edge) / ``REFLECT`` pad value and
+    validity consistently. VALID is not offered — truncate at same size
+    generalizes it (crop the output if needed).
+
+    Fully jittable / differentiable / vmappable.
+    """
+    # reference-consistent static validation (caps, window area >= terms)
+    cfg = Savgol2DConfig(half_window_x, half_window_y, poly_order,
+                         deriv_x=deriv_x, deriv_y=deriv_y,
+                         delta_x=delta_x, delta_y=delta_y)
+    nx, ny, m = cfg.half_window_x, cfg.half_window_y, cfg.poly_order
+    wx, wy = 2 * nx + 1, 2 * ny + 1
+    nterms = num_terms_2d(m)
+    kmin = nterms if min_points is None else int(min_points)
+    if kmin < nterms:
+        raise ValueError(
+            f"min_points must be >= the number of polynomial terms "
+            f"({nterms}), got {kmin}")
+    truncate = (isinstance(boundary, str)
+                and boundary.lower() == TRUNCATE)
+    if not truncate:
+        boundary = Boundary2D(boundary)
+        if boundary is Boundary2D.VALID:
+            raise ValueError(
+                "boundary='valid' is not offered on the masked 2D path: "
+                "'truncate' generalizes it (crop the output if needed)")
+
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "masked 2D filtering of complex input: filter real/imag "
+            "parts with an explicit shared mask")
+    if x.ndim < 2:
+        raise ValueError("2D filtering needs at least a 2D array")
+    x, restore = _compute_dtype(x)
+    if mask is None:
+        mask = jnp.isfinite(x)
+    if mask.shape != x.shape:
+        raise ValueError(
+            f"mask shape {mask.shape} != data shape {x.shape}")
+    dtype = x.dtype
+    if rcond is None:
+        rcond = 1e-6 if dtype == jnp.float32 else 1e-12
+
+    Q3, Rinv, pair_w, pair_index, mono_index = _masked_tables_2d(nx, ny, m)
+    mf = mask.astype(dtype)
+    xm = jnp.where(mask, x, jnp.zeros((), dtype))
+    pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
+    if truncate:
+        xp = jnp.pad(xm, pad)
+        mp = jnp.pad(mf, pad)
+    else:
+        # pads inherit both the value and the VALIDITY of their source
+        from savgol_tpu.ops.apply2d import _PAD_MODE_2D
+        mode = _PAD_MODE_2D[boundary]
+        xp = jnp.pad(xm, pad, mode=mode)
+        mp = jnp.pad(mf, pad, mode=mode)
+
+    from savgol_tpu.ops.apply2d import correlate2d_valid
+    pw = jnp.asarray(pair_w, dtype=dtype)
+    qw = jnp.asarray(Q3, dtype=dtype)
+    gram = correlate2d_valid(mp, pw, precision)          # (..., Kp, R, C)
+    rhs = correlate2d_valid(xp, qw, precision)           # (..., P, R, C)
+
+    P = nterms
+    gramN = jnp.moveaxis(gram, -3, -1)                   # (..., R, C, Kp)
+    G = jnp.take(gramN, jnp.asarray(pair_index.reshape(-1)), axis=-1)
+    G = G.reshape(gramN.shape[:-1] + (P, P))             # (..., R, C, P, P)
+    r = jnp.moveaxis(rhs, -3, -1)[..., None]             # (..., R, C, P, 1)
+
+    # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx) exactly
+    count = G[..., 0, 0] * (wy * wx)
+    quorum = count >= (kmin - 0.5)
+    eye = jnp.eye(P, dtype=dtype)
+    G_safe = jnp.where(quorum[..., None, None], G, eye)
+    L = jnp.linalg.cholesky(G_safe)                      # NaN on non-PD
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    dmax = jnp.max(jnp.abs(diag), axis=-1)
+    identifiable = (jnp.isfinite(diag).all(axis=-1)
+                    & (jnp.min(diag, axis=-1)
+                       > np.sqrt(rcond) * jnp.maximum(dmax, 1e-30)))
+    ok = quorum & identifiable
+    L_safe = jnp.where(ok[..., None, None], L, eye)
+    z = solve_triangular(L_safe, r, lower=True)
+    coef = solve_triangular(jnp.swapaxes(L_safe, -1, -2), z,
+                            lower=False)[..., 0]         # (..., R, C, P)
+
+    p_idx = mono_index[(int(deriv_x), int(deriv_y))]
+    scale = (math.factorial(deriv_x) * math.factorial(deriv_y)
+             / float(nx * delta_x) ** deriv_x
+             / float(ny * delta_y) ** deriv_y)
+    extract = Rinv[p_idx, :] * scale
+    y = jnp.einsum("...k,k->...", coef, jnp.asarray(extract, dtype=dtype),
+                   precision=precision)
+    y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+    return y.astype(restore) if restore is not None else y

@@ -253,3 +253,51 @@ def test_gradient_stack_bf16_contract():
     s = max(float(jnp.abs(rx).max()), float(jnp.abs(ry).max()), 1.0)
     e = max(float(jnp.abs(gx - rx).max()), float(jnp.abs(gy - ry).max()))
     assert e <= BF16_TOL * s
+
+
+class TestMasked:
+    """The masked normal-equation path rides the Pallas bank kernels on
+    TPU; gate both kernel widths against the XLA comparator."""
+
+    @pytest.mark.parametrize("B", [1, 128])   # VPU bank vs MXU bank
+    def test_masked_bank_paths(self, B):
+        rng = _rng(40 + B)
+        x = rng.standard_normal((B, 4096)).astype(np.float32)
+        holes = rng.random(x.shape) < 0.1
+        x[holes] = np.nan
+        kw = dict(half_window=8, poly_order=3, derivative=1)
+        got = np.asarray(sg.savgol_apply_masked(jnp.asarray(x), **kw))
+        want = np.asarray(sg.savgol_apply_masked(jnp.asarray(x),
+                                                 method="xla", **kw))
+        fin = np.isfinite(want)
+        assert np.array_equal(fin, np.isfinite(got))
+        assert np.abs(got[fin] - want[fin]).max() <= EXACT_TOL
+
+    def test_masked_qr_agrees(self):
+        rng = _rng(43)
+        x = rng.standard_normal((64, 2048)).astype(np.float32)
+        x[rng.random(x.shape) < 0.08] = np.nan
+        kw = dict(half_window=6, poly_order=2)
+        got = np.asarray(sg.savgol_apply_masked(jnp.asarray(x),
+                                                solver="qr", **kw))
+        want = np.asarray(sg.savgol_apply_masked(jnp.asarray(x),
+                                                 method="xla", **kw))
+        fin = np.isfinite(want)
+        assert np.array_equal(fin, np.isfinite(got))
+        # interior windows are well-conditioned; qr vs normal differ by
+        # solver rounding only
+        assert np.abs(got[fin] - want[fin]).max() <= 1e-3
+
+    def test_masked_2d(self):
+        rng = _rng(45)
+        img = rng.standard_normal((256, 256)).astype(np.float32)
+        img[rng.random(img.shape) < 0.05] = np.nan
+        got = np.asarray(sg.savgol2d_apply_masked(
+            jnp.asarray(img), half_window_x=3, half_window_y=3,
+            poly_order=2))
+        # mathematics gate: masked order-0..2 fit of a constant is exact
+        const = np.asarray(sg.savgol2d_apply_masked(
+            jnp.ones((64, 64), jnp.float32) * 2.5, half_window_x=3,
+            half_window_y=3, poly_order=2))
+        assert np.isfinite(got).all()
+        assert np.abs(const - 2.5).max() <= 1e-5
