@@ -134,13 +134,16 @@ def savgol_apply_masked(
 ) -> jax.Array:
     """Savitzky-Golay filtering with missing samples, along ``axis``.
 
-    ``mask`` marks VALID samples (True = use); default ``isfinite(x)``,
-    so NaN/Inf-holed signals work out of the box. Positions whose window
-    holds fewer than ``min_points`` (default ``poly_order + 1``) valid
-    samples yield ``fill``. With an all-valid mask and a pad boundary the
-    result equals the classic filter; on an order-<=m polynomial the exact
-    d-th derivative is reproduced wherever the fit is determined, holes
-    and truncated edges included.
+    A bool ``mask`` marks VALID samples (True = use); default
+    ``isfinite(x)``, so NaN/Inf-holed signals work out of the box. A
+    float ``mask`` is NONNEGATIVE per-sample weights for a weighted LS
+    fit (0 = missing; e.g. inverse noise variances) — an all-ones weight
+    vector equals the bool all-valid fit. Positions whose window holds
+    fewer than ``min_points`` (default ``poly_order + 1``)
+    positive-weight samples yield ``fill``. With an all-valid mask and a
+    pad boundary the result equals the classic filter; on an order-<=m
+    polynomial the exact d-th derivative is reproduced wherever the fit
+    is determined, holes and truncated edges included.
 
     ``solver="normal"`` (default) assembles masked normal equations from
     fixed-stencil correlations (fast, MXU bank kernels on TPU);
@@ -204,54 +207,72 @@ def savgol_apply_masked(
 
     Q, Rinv, pair_w, pair_index = _masked_tables(n, m)
     dtype = xl.dtype
-    mf = ml.astype(dtype)
-    xm = jnp.where(ml, xl, jnp.zeros((), dtype))        # NaNs never enter
+    # A bool mask marks validity; any other dtype is NONNEGATIVE per-sample
+    # weights for a weighted LS fit (0 = missing). The quorum counts
+    # positive-weight samples either way.
+    weighted = not jnp.issubdtype(ml.dtype, jnp.bool_)
+    valid = (ml > 0) if weighted else ml
+    wts = jnp.where(valid, ml.astype(dtype),
+                    jnp.zeros((), dtype)) if weighted else valid.astype(dtype)
+    xz = jnp.where(valid, xl, jnp.zeros((), dtype))     # NaNs never enter
     pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
     if truncate:
-        xp = jnp.pad(xm, pad)                           # zeros, masked out
-        mp = jnp.pad(mf, pad)                           # out-of-range invalid
+        xzp = jnp.pad(xz, pad)                          # zeros, masked out
+        wp = jnp.pad(wts, pad)                          # out-of-range invalid
     else:
         # Pad the zero-holed data AND the mask with the same mode: a pad
-        # sample mirrors/replicates both the value and the VALIDITY of its
-        # source sample (CONSTANT here is the reference's edge-replication,
-        # config.PAD_MODE -> "edge" — an invalid edge stays invalid).
+        # sample mirrors/replicates both the value and the VALIDITY/weight
+        # of its source sample (CONSTANT here is the reference's
+        # edge-replication, config.PAD_MODE -> "edge" — an invalid edge
+        # stays invalid).
         mode = PAD_MODE[boundary]
-        xp = jnp.pad(xm, pad, mode=mode)
-        mp = jnp.pad(mf, pad, mode=mode)
+        xzp = jnp.pad(xz, pad, mode=mode)
+        wp = jnp.pad(wts, pad, mode=mode)
 
     if solver == "qr":
-        # Accuracy mode: per-position masked design A = diag(mask_w) Q,
-        # factored by batched reduced QR — error ~cond(A)*eps instead of
-        # the normal equations' cond(A)^2*eps. Costs the (..., N, ws)
-        # window tensor; stays static-shape and differentiable.
+        # Accuracy mode: per-position (weighted) masked design
+        # A = diag(sqrt(w)) Q, factored by batched reduced QR — error
+        # ~cond(A)*eps instead of the normal equations' cond(A)^2*eps.
+        # Costs the (..., N, ws) window tensor; static-shape,
+        # differentiable.
         n_out = xl.shape[-1]
         idx = jnp.arange(n_out)[:, None] + jnp.arange(ws)[None, :]
-        mw = jnp.take(mp, idx, axis=-1)                 # (..., N, ws)
-        xw = jnp.take(xp, idx, axis=-1)
-        count = jnp.sum(mw, axis=-1)
-        ok = count >= (kmin - 0.5)                      # robust integer compare
+        mw = jnp.take(wp, idx, axis=-1)                 # (..., N, ws)
+        xw = jnp.take(xzp, idx, axis=-1)
+        count = jnp.sum(mw > 0, axis=-1)
+        ok = count >= kmin
+        sw = jnp.sqrt(mw) if weighted else mw           # binary: sqrt==id
         qmat = jnp.asarray(Q, dtype=dtype)              # (ws, m+1)
-        A = mw[..., None] * qmat                        # (..., N, ws, m+1)
+        A = sw[..., None] * qmat                        # (..., N, ws, m+1)
         A_safe = jnp.where(ok[..., None, None], A,
                            jnp.eye(ws, m + 1, dtype=dtype))
         qf, rf = jnp.linalg.qr(A_safe)                  # reduced
-        z = jnp.einsum("...ji,...j->...i", qf, mw * xw,
+        z = jnp.einsum("...ji,...j->...i", qf, sw * xw,
                        precision=precision)
         coef = solve_triangular(rf, z[..., None], lower=False)[..., 0]
     else:
         qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
         pw = jnp.asarray(pair_w, dtype=dtype)           # (Kp, ws)
-        gram = _bank_correlate(mp, pw, precision, method)   # (Kp, ..., N)
-        rhs = _bank_correlate(xp, qw, precision, method)    # (m+1, ..., N)
+        gram = _bank_correlate(wp, pw, precision, method)    # (Kp, ..., N)
+        rhs = _bank_correlate(xzp * wp if weighted else xzp,
+                              qw, precision, method)         # (m+1, ..., N)
 
         gramN = jnp.moveaxis(gram, 0, -1)               # (..., N, Kp)
         G = jnp.take(gramN, jnp.asarray(pair_index.reshape(-1)), axis=-1)
         G = G.reshape(gramN.shape[:-1] + (m + 1, m + 1))
         r = jnp.moveaxis(rhs, 0, -1)[..., None]         # (..., N, m+1, 1)
 
-        # phi_0 is the constant 1/sqrt(ws), so G[0,0] == count/ws exactly
-        count = G[..., 0, 0] * ws
-        ok = count >= (kmin - 0.5)                      # robust integer compare
+        if weighted:
+            # positive-weight count needs its own box correlation (the
+            # Gram's phi_0 row carries the weight SUM, not the count)
+            ones = jnp.ones((1, ws), dtype)
+            ind = (wp > 0).astype(dtype)
+            count = _bank_correlate(ind, ones, precision, method)[0]
+            ok = count >= (kmin - 0.5)                  # robust int compare
+        else:
+            # phi_0 is the constant 1/sqrt(ws): G[0,0] == count/ws exactly
+            count = G[..., 0, 0] * ws
+            ok = count >= (kmin - 0.5)
         eye = jnp.eye(m + 1, dtype=dtype)
         G_safe = jnp.where(ok[..., None, None], G, eye)
         coef = jnp.linalg.solve(G_safe, r)[..., 0]      # (..., N, m+1)
@@ -331,10 +352,12 @@ def savgol2d_apply_masked(
     """2D Savitzky-Golay filtering with missing pixels (last two axes).
 
     The bivariate order-``poly_order`` polynomial is fit per pixel using
-    ONLY the valid samples in the window (``mask`` defaults to
-    ``isfinite(x)``); the requested mixed partial is evaluated at the
-    window center. Beyond both the reference (src/savgol2d.c) and scipy:
-    one NaN there poisons every window that touches it.
+    ONLY the valid samples in the window (bool ``mask`` defaults to
+    ``isfinite(x)``; a float ``mask`` is nonnegative per-pixel weights
+    for a weighted fit, 0 = missing); the requested mixed partial is
+    evaluated at the window center. Beyond both the reference
+    (src/savgol2d.c) and scipy: one NaN there poisons every window that
+    touches it.
 
     Well-posedness is decided PER PIXEL, numerically: a window needs
     ``min_points`` (default: the number of polynomial terms) valid
@@ -391,24 +414,31 @@ def savgol2d_apply_masked(
         rcond = 1e-6 if dtype == jnp.float32 else 1e-12
 
     Q3, Rinv, pair_w, pair_index, mono_index = _masked_tables_2d(nx, ny, m)
-    mf = mask.astype(dtype)
-    xm = jnp.where(mask, x, jnp.zeros((), dtype))
+    # bool mask = validity; any other dtype = NONNEGATIVE per-pixel weights
+    # for a weighted LS fit (0 = missing), as on the 1D path
+    weighted = not jnp.issubdtype(mask.dtype, jnp.bool_)
+    valid = (mask > 0) if weighted else mask
+    wts = jnp.where(valid, mask.astype(dtype),
+                    jnp.zeros((), dtype)) if weighted else valid.astype(dtype)
+    xz = jnp.where(valid, x, jnp.zeros((), dtype))
     pad = [(0, 0)] * (x.ndim - 2) + [(ny, ny), (nx, nx)]
     if truncate:
-        xp = jnp.pad(xm, pad)
-        mp = jnp.pad(mf, pad)
+        xzp = jnp.pad(xz, pad)
+        wp = jnp.pad(wts, pad)
     else:
-        # pads inherit both the value and the VALIDITY of their source
+        # pads inherit both the value and the VALIDITY/weight of their
+        # source
         from savgol_tpu.ops.apply2d import _PAD_MODE_2D
         mode = _PAD_MODE_2D[boundary]
-        xp = jnp.pad(xm, pad, mode=mode)
-        mp = jnp.pad(mf, pad, mode=mode)
+        xzp = jnp.pad(xz, pad, mode=mode)
+        wp = jnp.pad(wts, pad, mode=mode)
 
     from savgol_tpu.ops.apply2d import correlate2d_valid
     pw = jnp.asarray(pair_w, dtype=dtype)
     qw = jnp.asarray(Q3, dtype=dtype)
-    gram = correlate2d_valid(mp, pw, precision)          # (..., Kp, R, C)
-    rhs = correlate2d_valid(xp, qw, precision)           # (..., P, R, C)
+    gram = correlate2d_valid(wp, pw, precision)          # (..., Kp, R, C)
+    rhs = correlate2d_valid(xzp * wp if weighted else xzp,
+                            qw, precision)               # (..., P, R, C)
 
     P = nterms
     gramN = jnp.moveaxis(gram, -3, -1)                   # (..., R, C, Kp)
@@ -416,8 +446,14 @@ def savgol2d_apply_masked(
     G = G.reshape(gramN.shape[:-1] + (P, P))             # (..., R, C, P, P)
     r = jnp.moveaxis(rhs, -3, -1)[..., None]             # (..., R, C, P, 1)
 
-    # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx) exactly
-    count = G[..., 0, 0] * (wy * wx)
+    if weighted:
+        # positive-weight count needs its own box correlation (the Gram's
+        # phi_0 row carries the weight SUM, not the count)
+        ones = jnp.ones((wy, wx), dtype)
+        count = correlate2d_valid((wp > 0).astype(dtype), ones, precision)
+    else:
+        # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx)
+        count = G[..., 0, 0] * (wy * wx)
     quorum = count >= (kmin - 0.5)
     eye = jnp.eye(P, dtype=dtype)
     G_safe = jnp.where(quorum[..., None, None], G, eye)

@@ -332,3 +332,102 @@ class TestValidation:
 
     def test_exported(self):
         assert sg.savgol_apply_masked is savgol_apply_masked
+
+
+class TestWeighted:
+    """Float masks = nonnegative per-sample weights (weighted LS)."""
+
+    @staticmethod
+    def oracle_weighted(xv, w, n, m, d, dt=1.0):
+        xv = np.asarray(xv, dtype=np.float64)
+        w = np.asarray(w, dtype=np.float64)
+        N = len(xv)
+        xpad = np.pad(np.where(w > 0, xv, 0.0), n)
+        wpad = np.pad(w, n)
+        out = np.full(N, np.nan)
+        for p in range(N):
+            js = np.arange(p, p + 2 * n + 1)
+            keep = wpad[js] > 0
+            js = js[keep]
+            if len(js) < m + 1:
+                continue
+            u = (js - (p + n)) * dt
+            A = np.vander(u, m + 1, increasing=True)
+            sw = np.sqrt(wpad[js])
+            c, *_ = np.linalg.lstsq(A * sw[:, None], xpad[js] * sw,
+                                    rcond=None)
+            out[p] = c[d] * math.factorial(d)
+        return out
+
+    @pytest.mark.parametrize("solver", ["normal", "qr"])
+    def test_weighted_oracle_parity(self, solver):
+        rng = np.random.default_rng(51)
+        n, m, d = 6, 3, 1
+        x = rng.standard_normal(200)
+        w = rng.random(200)
+        w[rng.random(200) < 0.2] = 0.0          # hard holes too
+        want = self.oracle_weighted(x, w, n, m, d, 0.5)
+        got = np.asarray(savgol_apply_masked(
+            jnp.asarray(x, F64), half_window=n, poly_order=m, derivative=d,
+            time_step=0.5, mask=jnp.asarray(w, F64), solver=solver))
+        fin = np.isfinite(want)
+        assert np.array_equal(fin, np.isfinite(got))
+        np.testing.assert_allclose(got[fin], want[fin], rtol=1e-8,
+                                   atol=1e-9)
+
+    def test_uniform_weights_equal_bool_mask(self):
+        rng = np.random.default_rng(53)
+        x = holed(rng, 150)
+        mk = np.isfinite(x)
+        base = np.asarray(savgol_apply_masked(
+            jnp.asarray(x, F64), half_window=5, poly_order=3,
+            mask=jnp.asarray(mk)))
+        # any uniform positive weight gives the same fit (scale cancels)
+        for scale in (1.0, 7.5):
+            wtd = np.asarray(savgol_apply_masked(
+                jnp.asarray(x, F64), half_window=5, poly_order=3,
+                mask=jnp.asarray(mk.astype(np.float64) * scale)))
+            fin = np.isfinite(base)
+            assert np.array_equal(fin, np.isfinite(wtd))
+            np.testing.assert_allclose(wtd[fin], base[fin],
+                                       rtol=0, atol=1e-10)
+
+    def test_weighted_polynomial_reproduction(self):
+        # ANY positive weights reproduce an order-<=m polynomial exactly
+        rng = np.random.default_rng(55)
+        n, m, d = 7, 3, 2
+        u = np.arange(180) * 0.5
+        x = 1.0 - 2 * u + 0.3 * u ** 2 - 0.01 * u ** 3
+        exact = 0.6 - 0.06 * u
+        w = rng.random(180) * 10
+        got = np.asarray(savgol_apply_masked(
+            jnp.asarray(x, F64), half_window=n, poly_order=m, derivative=d,
+            time_step=0.5, mask=jnp.asarray(w, F64)))
+        scale = max(1.0, np.max(np.abs(exact)))
+        np.testing.assert_allclose(got, exact, rtol=0, atol=1e-9 * scale)
+
+    def test_weight_quorum_counts_positive_not_sum(self):
+        # tiny weights still COUNT toward the quorum (the fit is scale
+        # invariant); the weight SUM must not gate it
+        n, m = 3, 1
+        x = np.ones(40)
+        w = np.full(40, 1e-3)
+        got = np.asarray(savgol_apply_masked(
+            jnp.asarray(x, F64), half_window=n, poly_order=m,
+            mask=jnp.asarray(w, F64)))
+        np.testing.assert_allclose(got, 1.0, rtol=0, atol=1e-9)
+
+    def test_weighted_grad_flows(self):
+        rng = np.random.default_rng(57)
+        x = rng.standard_normal(64)
+        w = rng.random(64)
+        w[::5] = 0.0
+
+        def loss(v):
+            y = savgol_apply_masked(v, half_window=4, poly_order=2,
+                                    mask=jnp.asarray(w, F64), fill=0.0)
+            return jnp.sum(y ** 2)
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(x, F64)))
+        assert np.isfinite(g).all()
+        assert np.allclose(g[w == 0.0], 0.0)

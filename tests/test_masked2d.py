@@ -327,3 +327,64 @@ class TestValidation:
 
     def test_exported(self):
         assert sg.savgol2d_apply_masked is savgol2d_apply_masked
+
+
+class TestWeighted2D:
+    def test_weighted_oracle_parity(self):
+        rng = np.random.default_rng(61)
+        nx = ny = 2
+        m = 2
+        img = rng.standard_normal((22, 24))
+        w = rng.random((22, 24))
+        w[rng.random((22, 24)) < 0.2] = 0.0
+        got = np.asarray(savgol2d_apply_masked(
+            jnp.asarray(img, F64), half_window_x=nx, half_window_y=ny,
+            poly_order=m, deriv_x=1, mask=jnp.asarray(w, F64)))
+        # direct per-pixel weighted lstsq
+        monos = [(i, t - i) for t in range(m + 1) for i in range(t + 1)]
+        xpad = np.pad(np.where(w > 0, img, 0.0), ((ny, ny), (nx, nx)))
+        wpad = np.pad(w, ((ny, ny), (nx, nx)))
+        want = np.full_like(img, np.nan)
+        for r in range(22):
+            for c in range(24):
+                ww = wpad[r:r + 2 * ny + 1, c:c + 2 * nx + 1]
+                ys, xs = np.nonzero(ww > 0)
+                if len(ys) < len(monos):
+                    continue
+                uy, ux = (ys - ny) * 1.0, (xs - nx) * 1.0
+                A = np.stack([ux ** i * uy ** j for i, j in monos], axis=1)
+                sw = np.sqrt(ww[ys, xs])
+                if np.linalg.matrix_rank(A * sw[:, None]) < len(monos):
+                    continue
+                coef, *_ = np.linalg.lstsq(
+                    A * sw[:, None], xpad[r + ys, c + xs] * sw, rcond=None)
+                want[r, c] = coef[monos.index((1, 0))]
+        fin = np.isfinite(want) & np.isfinite(got)
+        assert fin.sum() > 0.9 * np.isfinite(want).sum()
+        np.testing.assert_allclose(got[fin], want[fin], rtol=1e-7,
+                                   atol=1e-8)
+
+    def test_uniform_weights_equal_bool_mask(self):
+        rng = np.random.default_rng(63)
+        img = holed_img(rng, 20, 20)
+        mk = np.isfinite(img)
+        base = np.asarray(savgol2d_apply_masked(
+            jnp.asarray(img, F64), half_window_x=2, half_window_y=2,
+            poly_order=2, mask=jnp.asarray(mk)))
+        wtd = np.asarray(savgol2d_apply_masked(
+            jnp.asarray(img, F64), half_window_x=2, half_window_y=2,
+            poly_order=2, mask=jnp.asarray(mk.astype(np.float64) * 3.0)))
+        fin = np.isfinite(base)
+        assert np.array_equal(fin, np.isfinite(wtd))
+        np.testing.assert_allclose(wtd[fin], base[fin], rtol=0, atol=1e-10)
+
+    def test_weighted_polynomial_reproduction(self):
+        rng = np.random.default_rng(65)
+        ux = np.arange(30) * 1.0
+        uy = np.arange(28)[:, None] * 1.0
+        img = 2.0 + ux - 0.5 * uy + 0.25 * ux * uy
+        w = rng.random((28, 30)) * 4
+        got = np.asarray(savgol2d_apply_masked(
+            jnp.asarray(img, F64), half_window_x=3, half_window_y=3,
+            poly_order=2, deriv_x=1, deriv_y=1, mask=jnp.asarray(w, F64)))
+        np.testing.assert_allclose(got, 0.25, rtol=0, atol=1e-10)
