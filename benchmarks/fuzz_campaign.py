@@ -492,10 +492,142 @@ def lane_methods(rng, cases):
     return fails
 
 
+def lane_masked(rng, cases):
+    """Missing-data lane: masked 1D (both solvers, bool + weighted masks)
+    vs the per-window f64 lstsq oracle, and masked 2D vs the per-pixel
+    oracle on small images. NaN placement must agree exactly."""
+    from tests.test_masked import oracle_masked
+    from tests.test_masked2d import oracle_masked2d
+    from savgol_tpu import savgol_apply_masked, savgol2d_apply_masked
+
+    def cmp(lane, got, want, tol, case):
+        got, want = np.asarray(got), np.asarray(want)
+        if not np.array_equal(np.isnan(got), np.isnan(want)):
+            return dict(lane=lane, case=case, err="nan-placement")
+        fin = ~np.isnan(want)
+        if fin.any():
+            scale = max(1.0, np.abs(want[fin]).max())
+            err = np.abs(got[fin] - want[fin]).max() / scale
+            if err > tol:
+                return dict(lane=lane, case=case, err=float(err))
+        return None
+
+    fails = []
+    for _ in range(cases):
+        n = int(rng.integers(1, 13))
+        m = int(rng.integers(0, min(2 * n, 7)))
+        d = int(rng.integers(0, m + 1))
+        dt = float(rng.choice([1.0, 0.5, 2.0])) if d else 1.0
+        N = int(rng.integers(max(2 * n + 1, 8), 600))
+        boundary = rng.choice(["truncate", sg.BoundaryMode.REFLECT,
+                               sg.BoundaryMode.PERIODIC,
+                               sg.BoundaryMode.CONSTANT])
+        solver = str(rng.choice(["normal", "qr"]))
+        x = rng.standard_normal(N)
+        frac = float(rng.uniform(0.0, 0.4))
+        k = int(frac * N)
+        if k:
+            x[rng.choice(N, k, replace=False)] = np.nan
+        mk = np.isfinite(x)
+        case = (n, m, d, dt, N, getattr(boundary, "name", boundary),
+                solver, k)
+        got = savgol_apply_masked(
+            jnp.asarray(x, F64), half_window=n, poly_order=m, derivative=d,
+            time_step=dt, boundary=boundary, solver=solver)
+        want = oracle_masked(x, mk, n, m, d, dt,
+                             None if boundary == "truncate" else boundary)
+        r = cmp("masked-1d", got, want, 5e-7, case)
+        if r:
+            fails.append(r)
+        # weighted fit on a subset: nonneg weights, zeros = the holes
+        if rng.random() < 0.4:
+            w = np.where(mk, rng.uniform(0.2, 3.0, N), 0.0)
+            gw = savgol_apply_masked(
+                jnp.asarray(np.where(mk, x, 0.0), F64), half_window=n,
+                poly_order=m, derivative=d, time_step=dt,
+                mask=jnp.asarray(w, F64), boundary="truncate",
+                solver=solver)
+            ww = _oracle_weighted_1d(x, w, n, m, d, dt)
+            r = cmp("masked-1d-weighted", gw, ww, 5e-7, case)
+            if r:
+                fails.append(r)
+
+    # 2D: the per-pixel Python oracle is slow — fewer, smaller cases
+    for _ in range(max(1, cases // 8)):
+        nx = int(rng.integers(1, 5))
+        ny = int(rng.integers(1, 5))
+        m = int(rng.integers(0, 4))
+        if (2 * nx + 1) * (2 * ny + 1) < (m + 1) * (m + 2) // 2:
+            continue
+        pool = [(dx, dy) for dx in range(m + 1)
+                for dy in range(m + 1) if dx + dy <= m]
+        dx, dy = pool[int(rng.integers(0, len(pool)))]
+        R = int(rng.integers(2 * ny + 1, 28))
+        C = int(rng.integers(2 * nx + 1, 28))
+        img = rng.standard_normal((R, C))
+        k = int(rng.uniform(0.0, 0.3) * R * C)
+        if k:
+            img.reshape(-1)[rng.choice(R * C, k, replace=False)] = np.nan
+        mk = np.isfinite(img)
+        boundary = rng.choice(["truncate", sg.Boundary2D.REFLECT,
+                               sg.Boundary2D.CONSTANT])
+        case = (nx, ny, m, dx, dy, R, C,
+                getattr(boundary, "name", boundary), k)
+        got = savgol2d_apply_masked(
+            jnp.asarray(img, F64), half_window_x=nx, half_window_y=ny,
+            poly_order=m, deriv_x=dx, deriv_y=dy, boundary=boundary)
+        want = oracle_masked2d(
+            img, mk, nx, ny, m, dx, dy,
+            boundary=None if boundary == "truncate" else boundary)
+        # implementation may reject near-degenerate pixels the rank oracle
+        # keeps — only flag value mismatches / oracle-NaN-but-we-emit
+        gotv, wantv = np.asarray(got), np.asarray(want)
+        bad_emit = np.isnan(wantv) & ~np.isnan(gotv)
+        if bad_emit.any():
+            fails.append(dict(lane="masked-2d", case=case,
+                              err="emit-on-degenerate"))
+            continue
+        fin = ~np.isnan(wantv) & ~np.isnan(gotv)
+        extra_nan = (np.isnan(gotv) & ~np.isnan(wantv)).mean()
+        if extra_nan > 0.02:      # conservative rejections must stay rare
+            fails.append(dict(lane="masked-2d", case=case,
+                              err=f"over-reject {extra_nan:.3f}"))
+        if fin.any():
+            scale = max(1.0, np.abs(wantv[fin]).max())
+            err = np.abs(gotv[fin] - wantv[fin]).max() / scale
+            if err > 5e-7:
+                fails.append(dict(lane="masked-2d", case=case,
+                                  err=float(err)))
+    return fails
+
+
+def _oracle_weighted_1d(xv, w, n, m, d, dt):
+    """Per-window weighted LS in f64 (truncate boundary)."""
+    import math as _math
+    xv = np.asarray(xv, dtype=np.float64)
+    N = len(xv)
+    xpad = np.pad(np.where(w > 0, xv, 0.0), n)
+    wpad = np.pad(np.asarray(w, dtype=np.float64), n)
+    out = np.full(N, np.nan)
+    for p in range(N):
+        js = np.arange(p, p + 2 * n + 1)
+        ww = wpad[js]
+        keep = ww > 0
+        if keep.sum() < m + 1:
+            continue
+        u = (js[keep] - (p + n)) * dt
+        A = np.vander(u, m + 1, increasing=True) * np.sqrt(ww[keep])[:, None]
+        c, *_ = np.linalg.lstsq(A, xpad[js][keep] * np.sqrt(ww[keep]),
+                                rcond=None)
+        out[p] = c[d] * _math.factorial(d)
+    return out
+
+
 LANES = {"1d": lane_1d, "2d": lane_2d, "scipy": lane_scipy,
          "stream": lane_stream, "sharded": lane_sharded,
          "property": lane_property, "grad": lane_grad,
-         "sweep": lane_sweep, "bank": lane_bank, "methods": lane_methods}
+         "sweep": lane_sweep, "bank": lane_bank, "methods": lane_methods,
+         "masked": lane_masked}
 _NEEDS_REF = {"1d", "2d", "stream"}
 
 

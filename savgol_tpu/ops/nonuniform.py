@@ -1,0 +1,205 @@
+"""Savitzky-Golay filtering of NON-UNIFORMLY sampled signals.
+
+Beyond-reference capability: the C reference (src/savgolFilter.c) and
+scipy's ``savgol_filter`` both assume a uniform sample grid — their
+precomputed weight tables are only valid for equispaced abscissae. This
+module fits the order-``m`` polynomial per output position in the sample's
+OWN coordinates ``t`` and evaluates the requested derivative there, so
+irregular time series (event data, gappy telemetry, variable-rate sensors)
+get the true local-LS estimate instead of a grid approximation.
+
+TPU-first formulation (static shapes, no per-window Python):
+
+1. The window of position ``p`` is its ``2n+1`` INDEX-neighbors
+   (edges truncate, exactly like ``savgol_apply_masked``'s
+   ``boundary="truncate"``) — index space gives the fixed stencil the
+   hardware wants while the VALUES of the abscissae stay arbitrary.
+2. Offsets ``u_j = t[p+j] - t[p]`` are normalized per window by
+   ``s = max_j |u_j|`` so the Vandermonde design is evaluated on
+   ``[-1, 1]`` regardless of the local sampling rate; the fit solves
+
+       min_c sum_j w_j * (x[p+j] - sum_q c_q (u_j/s)^q)^2
+
+   via one batched reduced QR over the position axis — error
+   ~cond(A)*eps, the same accuracy story as ``solver="qr"`` on the
+   masked path (normal equations are hopeless here: the Gram changes
+   at every position AND its conditioning is data-dependent).
+3. The d-th derivative at the center is ``c_d * d! / s^d``; positions
+   whose window has fewer than ``min_points`` valid samples, or whose
+   valid abscissae are numerically non-identifying (e.g. all
+   coincident while fitting a slope — detected from diag(R)), yield
+   ``fill``.
+
+On a uniform grid this reproduces ``savgol_apply_masked(...,
+boundary="truncate")`` exactly, hence the classic filter in the interior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
+                                  _restore_axis)
+
+__all__ = ["savgol_apply_nonuniform"]
+
+
+def savgol_apply_nonuniform(
+    x: jax.Array,
+    t: jax.Array,
+    *,
+    half_window: int,
+    poly_order: int,
+    derivative: int = 0,
+    mask: Optional[jax.Array] = None,
+    axis: int = -1,
+    min_points: Optional[int] = None,
+    fill: float = float("nan"),
+    rcond: Optional[float] = None,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Savitzky-Golay filtering at arbitrary sample positions ``t``.
+
+    ``t`` holds each sample's abscissa (time stamp / spatial coordinate) —
+    either shaped like ``x`` or 1D of length ``x.shape[axis]`` (shared
+    positions across the batch). The order-``poly_order`` polynomial is
+    LS-fit over each sample's ``2*half_window+1`` index-neighbors in the
+    sample's own coordinates and ``derivative``-th derivative is returned
+    AT each sample's position, in the units of ``t`` (no ``time_step`` —
+    the abscissae carry the units). Edges truncate; a bool ``mask`` marks
+    valid samples (default ``isfinite(x) & isfinite(t)``), a float
+    ``mask`` gives nonnegative per-sample weights (0 = missing), exactly
+    as in :func:`savgol_apply_masked`.
+
+    Positions whose window holds fewer than ``min_points`` (default
+    ``poly_order + 1``) valid samples — or whose valid abscissae cannot
+    identify the polynomial (e.g. coincident time stamps while fitting a
+    slope; decided per window from the QR factor's scaled diagonal
+    against ``rcond``) — yield ``fill``.
+
+    ``t`` need not be sorted or strictly increasing: the math never
+    assumes monotonicity, but the index-neighbor window is only a
+    *meaningful* neighborhood when ``t`` is (roughly) ordered.
+
+    Fully jittable / differentiable (in ``x``, ``t`` and a float
+    ``mask``) / vmappable; static args: ``half_window, poly_order,
+    derivative, axis, min_points``.
+    """
+    n = int(half_window)
+    m = int(poly_order)
+    d = int(derivative)
+    ws = 2 * n + 1
+    if n < 1:
+        raise ValueError(f"half_window must be >= 1, got {n}")
+    if not 0 <= m <= 2 * n:
+        raise ValueError(
+            f"poly_order must be in [0, 2*half_window], got {m}")
+    if not 0 <= d <= m:
+        raise ValueError(
+            f"derivative must be in [0, poly_order], got {d}")
+    kmin = m + 1 if min_points is None else int(min_points)
+    if kmin < m + 1:
+        raise ValueError(
+            f"min_points must be >= poly_order + 1, got {kmin}")
+
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "non-uniform filtering of complex input: filter real/imag "
+            "parts with an explicit shared mask")
+    x, restore = _compute_dtype(x)
+    t = jnp.asarray(t)
+    if not jnp.issubdtype(t.dtype, jnp.floating):
+        t = t.astype(x.dtype)
+    if t.ndim == 1 and x.ndim > 1:
+        shape = [1] * x.ndim
+        shape[axis] = t.shape[0]
+        t = jnp.broadcast_to(t.reshape(shape), x.shape)
+    if t.shape != x.shape:
+        raise ValueError(
+            f"t shape {t.shape} is neither x's shape {x.shape} nor "
+            f"(x.shape[axis],)")
+    if mask is None:
+        mask = jnp.isfinite(x) & jnp.isfinite(t)
+    if mask.shape != x.shape:
+        raise ValueError(
+            f"mask shape {mask.shape} != data shape {x.shape}")
+
+    xl, moved = _move_axis_last(x, axis)
+    tl, _ = _move_axis_last(t, axis)
+    ml, _ = _move_axis_last(mask, axis)
+    n_out = xl.shape[-1]
+    if n_out < 1:
+        raise ValueError("data length must be >= 1")
+
+    dtype = xl.dtype
+    if rcond is None:
+        rcond = 1e-6 if dtype == jnp.float32 else 1e-12
+    weighted = not jnp.issubdtype(ml.dtype, jnp.bool_)
+    valid = (ml > 0) if weighted else ml
+    wts = jnp.where(valid, ml.astype(dtype),
+                    jnp.zeros((), dtype)) if weighted else valid.astype(dtype)
+    xz = jnp.where(valid, xl, jnp.zeros((), dtype))
+    # offsets are formed BEFORE any cast of t: u = t[p+j] - t[p] in t's own
+    # dtype kills the catastrophic cancellation large raw abscissae (epoch
+    # timestamps) would suffer in f32
+    tz = jnp.where(valid, tl, jnp.zeros((), t.dtype))
+
+    pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
+    xzp = jnp.pad(xz, pad)                  # zeros, masked out
+    wp = jnp.pad(wts, pad)                  # out-of-range invalid
+    tzp = jnp.pad(tz, pad)
+
+    idx = jnp.arange(n_out)[:, None] + jnp.arange(ws)[None, :]
+    xw = jnp.take(xzp, idx, axis=-1)                    # (..., N, ws)
+    mw = jnp.take(wp, idx, axis=-1)
+    u = (jnp.take(tzp, idx, axis=-1)
+         - tl[..., :, None]).astype(dtype)              # (..., N, ws)
+    u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # pads/holes -> 0
+
+    count = jnp.sum(mw > 0, axis=-1)
+    quorum = count >= kmin
+
+    # per-window normalizer: largest valid |offset| (1 when all coincide —
+    # the m=0 local-mean case stays well-defined)
+    s = jnp.max(jnp.abs(u), axis=-1)
+    s = jnp.where(s > 0, s, jnp.ones((), dtype))        # (..., N)
+    un = u / s[..., None]
+    # design: A[..., j, q] = sqrt(w_j) * (u_j/s)^q, q = 0..m — built by
+    # cumulative products, NOT `un ** arange`: the power-rule VJP of x**q
+    # at q=0 is 0 * x**(-1), NaN at the exact zeros u carries (center
+    # offsets, masked slots)
+    cols = [jnp.ones_like(un)]
+    for _ in range(m):
+        cols.append(cols[-1] * un)
+    powers = jnp.stack(cols, axis=-1)
+    sw = jnp.sqrt(mw) if weighted else mw               # binary: sqrt == id
+    A = sw[..., None] * powers                          # (..., N, ws, m+1)
+    A_safe = jnp.where(quorum[..., None, None], A,
+                       jnp.eye(ws, m + 1, dtype=dtype))
+    qf, rf = jnp.linalg.qr(A_safe)                      # reduced
+    # identifiability: coincident / near-coincident valid abscissae make
+    # column q >= 1 dependent — visible as a collapsed diag(R) entry
+    rdiag = jnp.abs(jnp.diagonal(rf, axis1=-2, axis2=-1))
+    identifiable = (rdiag.min(axis=-1)
+                    > rcond * jnp.maximum(rdiag.max(axis=-1), 1e-30))
+    ok = quorum & identifiable
+
+    z = jnp.einsum("...ji,...j->...i", qf, sw * xw, precision=precision)
+    rf_safe = jnp.where(ok[..., None, None], rf,
+                        jnp.eye(m + 1, dtype=dtype))
+    coef = solve_triangular(rf_safe, z[..., None], lower=False)[..., 0]
+
+    # d-th derivative at the center in t-units: y = c_d * d! / s^d
+    y = coef[..., d] * (float(math.factorial(d)) / s ** d)
+    y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+    y = _restore_axis(y, moved)
+    return y.astype(restore) if restore is not None else y
