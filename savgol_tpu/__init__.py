@@ -38,7 +38,8 @@ from savgol_tpu.ops.apply import (
     savgol_apply_valid,
 )
 from savgol_tpu.ops.masked import savgol_apply_masked, savgol2d_apply_masked
-from savgol_tpu.ops.nonuniform import savgol_apply_nonuniform
+from savgol_tpu.ops.nonuniform import (savgol_apply_nonuniform,
+                                       savgol_resample)
 from savgol_tpu.ops.apply2d import (
     savgol2d_apply,
     savgol2d_gradient,
@@ -77,7 +78,7 @@ __all__ = [
     "savgol_weights", "savgol_weights_np",
     "savgol2d_weights", "savgol2d_weights_np",
     "savgol_apply", "savgol_apply_valid", "savgol_apply_masked",
-    "savgol_apply_nonuniform",
+    "savgol_apply_nonuniform", "savgol_resample",
     "savgol_filter", "savgol_coeffs",
     "savgol2d_apply", "savgol2d_apply_masked", "savgol2d_gradient", "savgol2d_hessian",
     "savgol2d_laplacian",

@@ -48,7 +48,7 @@ from jax.scipy.linalg import solve_triangular
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis)
 
-__all__ = ["savgol_apply_nonuniform"]
+__all__ = ["savgol_apply_nonuniform", "savgol_resample"]
 
 
 def savgol_apply_nonuniform(
@@ -165,13 +165,28 @@ def savgol_apply_nonuniform(
          - tl[..., :, None]).astype(dtype)              # (..., N, ws)
     u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # pads/holes -> 0
 
+    y = _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted,
+                     precision)
+    y = _restore_axis(y, moved)
+    return y.astype(restore) if restore is not None else y
+
+
+def _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted, precision):
+    """Solve the per-window weighted LS fits and extract the derivative.
+
+    ``xw / mw / u`` are (..., P, ws): window values, weights (0 = missing)
+    and abscissa offsets from each window's EVALUATION point. Returns the
+    (..., P) d-th derivatives at those points (``fill`` where the window
+    is under-quorum or non-identifying)."""
+    ws = xw.shape[-1]
+    dtype = xw.dtype
     count = jnp.sum(mw > 0, axis=-1)
     quorum = count >= kmin
 
     # per-window normalizer: largest valid |offset| (1 when all coincide —
     # the m=0 local-mean case stays well-defined)
     s = jnp.max(jnp.abs(u), axis=-1)
-    s = jnp.where(s > 0, s, jnp.ones((), dtype))        # (..., N)
+    s = jnp.where(s > 0, s, jnp.ones((), dtype))        # (..., P)
     un = u / s[..., None]
     # design: A[..., j, q] = sqrt(w_j) * (u_j/s)^q, q = 0..m — built by
     # cumulative products, NOT `un ** arange`: the power-rule VJP of x**q
@@ -182,7 +197,7 @@ def savgol_apply_nonuniform(
         cols.append(cols[-1] * un)
     powers = jnp.stack(cols, axis=-1)
     sw = jnp.sqrt(mw) if weighted else mw               # binary: sqrt == id
-    A = sw[..., None] * powers                          # (..., N, ws, m+1)
+    A = sw[..., None] * powers                          # (..., P, ws, m+1)
     A_safe = jnp.where(quorum[..., None, None], A,
                        jnp.eye(ws, m + 1, dtype=dtype))
     qf, rf = jnp.linalg.qr(A_safe)                      # reduced
@@ -198,8 +213,121 @@ def savgol_apply_nonuniform(
                         jnp.eye(m + 1, dtype=dtype))
     coef = solve_triangular(rf_safe, z[..., None], lower=False)[..., 0]
 
-    # d-th derivative at the center in t-units: y = c_d * d! / s^d
+    # d-th derivative at the evaluation point in t-units: c_d * d! / s^d
     y = coef[..., d] * (float(math.factorial(d)) / s ** d)
-    y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
-    y = _restore_axis(y, moved)
+    return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+
+
+def savgol_resample(
+    x: jax.Array,
+    t: jax.Array,
+    t_query: jax.Array,
+    *,
+    half_window: int,
+    poly_order: int,
+    derivative: int = 0,
+    mask: Optional[jax.Array] = None,
+    min_points: Optional[int] = None,
+    fill: float = float("nan"),
+    rcond: Optional[float] = None,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Savitzky-Golay smoothing EVALUATED at arbitrary query positions.
+
+    For each query ``q`` in ``t_query`` the order-``poly_order``
+    polynomial is LS-fit to the ``2*half_window + 1`` samples nearest
+    ``q`` (by index around ``searchsorted(t, q)``, clipped inside the
+    data) and its ``derivative``-th derivative is returned AT ``q`` —
+    simultaneous denoising and resampling/interpolation of an
+    irregularly sampled series onto any grid, with none of the
+    interpolate-then-filter double smoothing. Queries outside
+    ``[t[0], t[-1]]`` extrapolate the nearest window's fit.
+
+    ``t`` must be 1D of length ``x.shape[-1]``, SORTED ascending and
+    finite (this is what makes the window lookup a searchsorted; use
+    :func:`savgol_apply_nonuniform` + a mask for unsorted/NaN abscissae
+    after sorting). ``t_query`` is any 1D array; ``x`` may carry leading
+    batch axes sharing ``t``. A bool ``mask`` (shaped like ``x`` or 1D
+    of length N; default ``isfinite(x)``) marks valid samples, a float
+    ``mask`` gives nonnegative weights, with ``min_points`` /
+    ``fill`` / ``rcond`` identifiability semantics exactly as in
+    :func:`savgol_apply_nonuniform`.
+
+    On a clean uniform grid with ``t_query == t`` the interior
+    reproduces the classic filter. Fully jittable / differentiable (in
+    ``x``, ``t``, ``t_query`` and a float ``mask``) / vmappable.
+    """
+    n = int(half_window)
+    m = int(poly_order)
+    d = int(derivative)
+    ws = 2 * n + 1
+    if n < 1:
+        raise ValueError(f"half_window must be >= 1, got {n}")
+    if not 0 <= m <= 2 * n:
+        raise ValueError(
+            f"poly_order must be in [0, 2*half_window], got {m}")
+    if not 0 <= d <= m:
+        raise ValueError(
+            f"derivative must be in [0, poly_order], got {d}")
+    kmin = m + 1 if min_points is None else int(min_points)
+    if kmin < m + 1:
+        raise ValueError(
+            f"min_points must be >= poly_order + 1, got {kmin}")
+
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "resampling of complex input: filter real/imag parts with an "
+            "explicit shared mask")
+    x, restore = _compute_dtype(x)
+    t = jnp.asarray(t)
+    tq = jnp.asarray(t_query)
+    if not jnp.issubdtype(t.dtype, jnp.floating):
+        t = t.astype(x.dtype)
+    if not jnp.issubdtype(tq.dtype, jnp.floating):
+        tq = tq.astype(t.dtype)
+    N = x.shape[-1]
+    if t.ndim != 1 or t.shape[0] != N:
+        raise ValueError(
+            f"t must be 1D of length x.shape[-1]={N}, got {t.shape}")
+    if tq.ndim != 1:
+        raise ValueError(f"t_query must be 1D, got shape {tq.shape}")
+    if N < ws:
+        raise ValueError(
+            f"data length {N} is shorter than the window {ws}")
+    if mask is None:
+        mask = jnp.isfinite(x)
+    if mask.ndim == 1:
+        if mask.shape[0] != N:
+            raise ValueError(
+                f"1D mask length {mask.shape[0]} != data length {N}")
+        mask = jnp.broadcast_to(mask, x.shape)
+    if mask.shape != x.shape:
+        raise ValueError(
+            f"mask shape {mask.shape} != data shape {x.shape}")
+
+    dtype = x.dtype
+    if rcond is None:
+        rcond = 1e-6 if dtype == jnp.float32 else 1e-12
+    weighted = not jnp.issubdtype(mask.dtype, jnp.bool_)
+    valid = (mask > 0) if weighted else mask
+    wts = jnp.where(valid, mask.astype(dtype),
+                    jnp.zeros((), dtype)) if weighted else valid.astype(dtype)
+    xz = jnp.where(valid, x, jnp.zeros((), dtype))
+
+    # window of query q: the ws index-neighbors of its insertion point,
+    # clipped inside the data (edge queries reuse the first/last window)
+    ins = jnp.searchsorted(t, tq)                       # (Nq,)
+    start = jnp.clip(ins - n, 0, N - ws)
+    widx = start[:, None] + jnp.arange(ws)[None, :]     # (Nq, ws)
+    # offsets in t's own dtype first (epoch-scale abscissae), then cast
+    u = (jnp.take(t, widx, axis=0) - tq[:, None]).astype(dtype)
+    xw = jnp.take(xz, widx, axis=-1)                    # (..., Nq, ws)
+    mw = jnp.take(wts, widx, axis=-1)
+    u = jnp.broadcast_to(u, xw.shape)
+    u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # holes -> 0
+
+    y = _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted,
+                     precision)
     return y.astype(restore) if restore is not None else y

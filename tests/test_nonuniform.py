@@ -334,3 +334,173 @@ class TestAPI:
 
     def test_exported(self):
         assert sg.savgol_apply_nonuniform is savgol_apply_nonuniform
+
+
+# ---------------------------------------------------------------------------
+# savgol_resample: evaluation at arbitrary query positions
+# ---------------------------------------------------------------------------
+
+from savgol_tpu import savgol_resample  # noqa: E402
+
+
+def oracle_resample(xv, tv, tqv, n, m, d, mk=None, w=None):
+    """Per-query f64 LS fit over the searchsorted window (clipped)."""
+    xv = np.asarray(xv, dtype=np.float64)
+    tv = np.asarray(tv, dtype=np.float64)
+    N = len(xv)
+    ws = 2 * n + 1
+    mk = np.ones(N, bool) if mk is None else np.asarray(mk, bool)
+    out = np.full(len(tqv), np.nan)
+    for qi, q in enumerate(np.asarray(tqv, dtype=np.float64)):
+        s0 = int(np.clip(np.searchsorted(tv, q) - n, 0, N - ws))
+        js = np.arange(s0, s0 + ws)
+        js = js[mk[js]]
+        ww = np.ones(len(js)) if w is None else np.asarray(w, float)[js]
+        js, ww = js[ww > 0], ww[ww > 0]
+        if len(js) < m + 1:
+            continue
+        u = tv[js] - q
+        A = np.vander(u, m + 1, increasing=True) * np.sqrt(ww)[:, None]
+        if np.linalg.matrix_rank(
+                A / max(1.0, np.abs(A).max()), tol=1e-10) < m + 1:
+            continue
+        c, *_ = np.linalg.lstsq(A, xv[js] * np.sqrt(ww), rcond=None)
+        out[qi] = c[d] * math.factorial(d)
+    return out
+
+
+class TestResample:
+    @pytest.mark.parametrize("n,m,d", [(3, 2, 0), (5, 3, 1), (7, 4, 2)])
+    def test_oracle_parity_irregular_queries(self, n, m, d):
+        rng = np.random.default_rng(40 + n)
+        N, Nq = 173, 91
+        t = jittery_t(rng, N, dt=0.7)
+        x = rng.standard_normal(N)
+        tq = np.sort(rng.uniform(t[0] - 1.0, t[-1] + 1.0, Nq))  # incl. extrap
+        got = np.asarray(savgol_resample(
+            jnp.asarray(x, F64), jnp.asarray(t, F64), jnp.asarray(tq, F64),
+            half_window=n, poly_order=m, derivative=d))
+        want = oracle_resample(x, t, tq, n, m, d)
+        assert np.array_equal(np.isnan(got), np.isnan(want))
+        fin = ~np.isnan(want)
+        scale = max(1.0, np.abs(want[fin]).max())
+        np.testing.assert_allclose(got[fin] / scale, want[fin] / scale,
+                                   rtol=0, atol=5e-9)
+
+    def test_uniform_grid_on_grid_queries_equal_classic(self):
+        n, m, d = 5, 3, 1
+        rng = np.random.default_rng(41)
+        N = 240
+        x = rng.standard_normal(N)
+        t = np.arange(N, dtype=float) * 0.5
+        got = np.asarray(savgol_resample(
+            jnp.asarray(x, F64), jnp.asarray(t, F64), jnp.asarray(t, F64),
+            half_window=n, poly_order=m, derivative=d))
+        f = sg.Savgol1D.create(sg.SavgolConfig(n, m, d, time_step=0.5),
+                               dtype=F64)
+        classic = np.asarray(f.apply(jnp.asarray(x, F64)))
+        np.testing.assert_allclose(got[n:-n], classic[n:-n],
+                                   rtol=0, atol=1e-10)
+
+    @pytest.mark.parametrize("m,d", [(2, 0), (3, 1), (4, 2)])
+    def test_polynomial_reproduction_at_queries(self, m, d):
+        rng = np.random.default_rng(42 + m)
+        n = max(3, m)
+        N, Nq = 120, 60
+        t = np.sort(rng.uniform(0.0, 20.0, N))
+        tq = rng.uniform(-0.5, 20.5, Nq)                 # incl. extrapolation
+        c = rng.standard_normal(m + 1)
+        x = sum(ck * t ** k for k, ck in enumerate(c))
+        want = sum(ck * math.factorial(k) / math.factorial(k - d)
+                   * tq ** (k - d)
+                   for k, ck in enumerate(c) if k >= d)
+        got = np.asarray(savgol_resample(
+            jnp.asarray(x, F64), jnp.asarray(t, F64), jnp.asarray(tq, F64),
+            half_window=n, poly_order=m, derivative=d))
+        scale = max(1.0, np.abs(np.asarray(want)).max())
+        np.testing.assert_allclose(got / scale, np.asarray(want) / scale,
+                                   rtol=0, atol=5e-8)
+
+    def test_holes_and_weights(self):
+        n, m = 4, 2
+        rng = np.random.default_rng(43)
+        N, Nq = 150, 50
+        t = jittery_t(rng, N)
+        x = rng.standard_normal(N)
+        x[rng.choice(N, 30, replace=False)] = np.nan
+        tq = np.sort(rng.uniform(t[0], t[-1], Nq))
+        got = np.asarray(savgol_resample(
+            jnp.asarray(x, F64), jnp.asarray(t, F64), jnp.asarray(tq, F64),
+            half_window=n, poly_order=m))
+        want = oracle_resample(x, t, tq, n, m, 0, mk=np.isfinite(x))
+        assert np.array_equal(np.isnan(got), np.isnan(want))
+        fin = ~np.isnan(want)
+        np.testing.assert_allclose(got[fin], want[fin], rtol=0, atol=5e-9)
+        # float weights
+        w = np.where(np.isfinite(x), rng.uniform(0.1, 2.0, N), 0.0)
+        gw = np.asarray(savgol_resample(
+            jnp.asarray(np.where(np.isfinite(x), x, 0.0), F64),
+            jnp.asarray(t, F64), jnp.asarray(tq, F64),
+            half_window=n, poly_order=m, mask=jnp.asarray(w, F64)))
+        ww = oracle_resample(np.where(np.isfinite(x), x, 0.0), t, tq,
+                             n, m, 0, w=w)
+        fin = ~np.isnan(ww)
+        np.testing.assert_allclose(gw[fin], ww[fin], rtol=0, atol=5e-9)
+
+    def test_batch_shares_t(self):
+        rng = np.random.default_rng(44)
+        B, N, Nq, n, m = 3, 100, 37, 4, 2
+        t = jittery_t(rng, N)
+        tq = np.sort(rng.uniform(t[0], t[-1], Nq))
+        x = rng.standard_normal((B, N))
+        got = np.asarray(savgol_resample(
+            jnp.asarray(x, F64), jnp.asarray(t, F64), jnp.asarray(tq, F64),
+            half_window=n, poly_order=m))
+        assert got.shape == (B, Nq)
+        for b in range(B):
+            want = oracle_resample(x[b], t, tq, n, m, 0)
+            np.testing.assert_allclose(got[b], want, atol=5e-9)
+
+    def test_jit_grad(self):
+        rng = np.random.default_rng(45)
+        N, Nq, n, m = 80, 25, 3, 2
+        t = jnp.asarray(jittery_t(rng, N), F64)
+        tq = jnp.asarray(np.sort(rng.uniform(1.0, 70.0, Nq)), F64)
+        x = jnp.asarray(rng.standard_normal(N), F64)
+        fn = jax.jit(lambda v, q: savgol_resample(
+            v, t, q, half_window=n, poly_order=m, derivative=1))
+        y = fn(x, tq)
+        assert np.isfinite(np.asarray(y)).all()
+
+        def loss(v, q):
+            return jnp.sum(fn(v, q) ** 2)
+
+        gx = jax.grad(loss, argnums=0)(x, tq)
+        gq = jax.grad(loss, argnums=1)(x, tq)
+        assert np.isfinite(np.asarray(gx)).all()
+        assert np.isfinite(np.asarray(gq)).all()
+        v = jnp.asarray(rng.standard_normal(N), F64)
+        eps = 1e-6
+        fd = (loss(x + eps * v, tq) - loss(x - eps * v, tq)) / (2 * eps)
+        np.testing.assert_allclose(float(jnp.vdot(gx, v)), float(fd),
+                                   rtol=1e-6)
+
+    def test_errors(self):
+        x = jnp.zeros(30)
+        t = jnp.arange(30.0)
+        tq = jnp.linspace(0.0, 29.0, 7)
+        with pytest.raises(ValueError, match="t must be 1D"):
+            savgol_resample(x, jnp.zeros((2, 30)), tq, half_window=2,
+                            poly_order=1)
+        with pytest.raises(ValueError, match="t_query must be 1D"):
+            savgol_resample(x, t, tq.reshape(1, -1), half_window=2,
+                            poly_order=1)
+        with pytest.raises(ValueError, match="shorter than the window"):
+            savgol_resample(jnp.zeros(4), jnp.arange(4.0), tq,
+                            half_window=3, poly_order=1)
+        with pytest.raises(ValueError, match="1D mask length"):
+            savgol_resample(x, t, tq, half_window=2, poly_order=1,
+                            mask=jnp.ones(29, bool))
+
+    def test_exported(self):
+        assert sg.savgol_resample is savgol_resample
