@@ -301,3 +301,51 @@ class TestMasked:
             half_window_y=3, poly_order=2))
         assert np.isfinite(got).all()
         assert np.abs(const - 2.5).max() <= 1e-5
+
+
+class TestNonuniform:
+    """The non-uniform/resample paths are pure XLA (per-window QR /
+    normal equations) — gate the TPU's f32 linear-algebra against the
+    uniform fast path and the mathematics, same data on-chip."""
+
+    def test_uniform_grid_matches_uniform_path(self):
+        # On an exactly uniform grid the per-window LS fit must agree
+        # with the classic (interior) filter output.
+        x = jnp.asarray(_rng(50).standard_normal((4, 2048)),
+                        dtype=jnp.float32)
+        t = jnp.arange(2048, dtype=jnp.float32) * 0.25
+        got = np.asarray(sg.savgol_apply_nonuniform(
+            x, t, half_window=8, poly_order=3, derivative=1))
+        f = sg.Savgol1D.create(sg.SavgolConfig(8, 3, 1, time_step=0.25),
+                               dtype=jnp.float32)
+        want = np.asarray(f.apply(x, method="xla"))
+        sl = slice(8, -8)
+        assert np.abs(got[:, sl] - want[:, sl]).max() <= 1e-4
+
+    def test_resample_at_sample_positions(self):
+        # Querying the sorted sample positions themselves reproduces the
+        # non-uniform filter output at those positions.
+        rng = _rng(51)
+        t = np.sort(rng.uniform(0.0, 100.0, 1500)).astype(np.float32)
+        x = np.sin(0.3 * t) + 0.1 * rng.standard_normal(1500)
+        x = x.astype(np.float32)
+        got = np.asarray(sg.savgol_resample(
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(t),
+            half_window=6, poly_order=2))
+        want = np.asarray(sg.savgol_apply_nonuniform(
+            jnp.asarray(x), jnp.asarray(t), half_window=6, poly_order=2))
+        sl = slice(6, -6)
+        assert np.abs(got[sl] - want[sl]).max() <= 1e-4
+
+    def test_polynomial_reproduction_on_jittered_grid(self):
+        # An order-<=m polynomial sampled at irregular positions is
+        # reproduced exactly (to f32 LS rounding), derivative included.
+        rng = _rng(52)
+        t = np.cumsum(0.5 + rng.random(1024)).astype(np.float32)
+        poly = 0.3 * t**2 - 1.7 * t + 4.0
+        got = np.asarray(sg.savgol_apply_nonuniform(
+            jnp.asarray(poly.astype(np.float32)), jnp.asarray(t),
+            half_window=5, poly_order=2, derivative=1))
+        want = 0.6 * t - 1.7
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 1e-4 * max(1.0, scale)
