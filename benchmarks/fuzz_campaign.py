@@ -265,6 +265,7 @@ def lane_sharded(rng, cases):
                 continue
             boundary = rng.choice([sg.Boundary2D.CONSTANT,
                                    sg.Boundary2D.REFLECT,
+                                   sg.Boundary2D.PERIODIC,
                                    sg.Boundary2D.VALID])
             seq = int(rng.choice([2, 4, 8]))
             halo = str(rng.choice(["ppermute", "rdma"]))
@@ -355,7 +356,8 @@ def lane_grad(rng, cases):
                     < (order + 1) * (order + 2) // 2):
                 continue
             boundary = rng.choice([sg.Boundary2D.CONSTANT,
-                                   sg.Boundary2D.REFLECT])
+                                   sg.Boundary2D.REFLECT,
+                                   sg.Boundary2D.PERIODIC])
             R = seq * int(rng.integers(max(2 * hy + 1, 8), 24))
             C = int(rng.integers(2 * hx + 1, 48))
             try:
@@ -570,7 +572,8 @@ def lane_masked(rng, cases):
             img.reshape(-1)[rng.choice(R * C, k, replace=False)] = np.nan
         mk = np.isfinite(img)
         boundary = rng.choice(["truncate", sg.Boundary2D.REFLECT,
-                               sg.Boundary2D.CONSTANT])
+                               sg.Boundary2D.CONSTANT,
+                               sg.Boundary2D.PERIODIC])
         case = (nx, ny, m, dx, dy, R, C,
                 getattr(boundary, "name", boundary), k)
         got = savgol2d_apply_masked(

@@ -63,12 +63,17 @@ class Boundary2D(enum.Enum):
     """Edge handling for the 2D filter.
 
     Mirrors ``Savgol2DBoundary``
-    (/root/reference/include/iterative/savgol2d.h:108-112).
+    (/root/reference/include/iterative/savgol2d.h:108-112); PERIODIC
+    (wrap-around, for cyclic/angular images — panoramas, polar grids)
+    is an extension beyond the reference's boundary set, matching the
+    1D ``BoundaryMode.PERIODIC``. JAX paths only: the native host
+    engine keeps the reference's set.
     """
 
     VALID = "valid"
     CONSTANT = "constant"
     REFLECT = "reflect"
+    PERIODIC = "periodic"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -337,6 +337,12 @@ class HostSavgol2D:
 
     def _run_apply(self, img, boundary: Boundary2D,
                    n_threads: Optional[int]) -> np.ndarray:
+        if boundary not in _BOUNDARY_2D:
+            raise ValueError(
+                f"native 2D engine supports {sorted(b.value for b in _BOUNDARY_2D)} "
+                f"(the reference's boundary set, savgol2d.h:108-112); "
+                f"{boundary.value!r} is a JAX-path extension — use "
+                f"Savgol2D.apply")
         img = np.ascontiguousarray(img, dtype=np.float32)
         rows, cols = img.shape
         if boundary is Boundary2D.VALID:

@@ -45,6 +45,7 @@ __all__ = [
 _PAD_MODE_2D = {
     Boundary2D.CONSTANT: "edge",
     Boundary2D.REFLECT: "symmetric",
+    Boundary2D.PERIODIC: "wrap",
 }
 
 
@@ -438,8 +439,10 @@ def savgol2d_apply(
 ) -> jax.Array:
     """Apply a (H, W) 2D stencil over the last two axes of ``x``.
 
-    VALID shrinks the output; CONSTANT/REFLECT keep the input shape.
-    Mirrors ``savgol2d_apply`` / ``savgol2d_apply_valid``
+    VALID shrinks the output; CONSTANT/REFLECT/PERIODIC keep the input
+    shape (PERIODIC — wrap-around for cyclic/angular images — extends
+    the reference's boundary set). Mirrors ``savgol2d_apply`` /
+    ``savgol2d_apply_valid``
     (src/savgol2d.c:356-456). ``method="auto"`` (default) picks the VPU
     stencil kernel on TPU (exact f32; autodiff via the XLA twin's VJP)
     and the XLA conv elsewhere; ``use_pallas=True`` forces the kernel.

@@ -368,9 +368,9 @@ def savgol2d_apply_masked(
     singular-geometry rule in ``ops/weights.py::savgol2d_weights_np``.
 
     ``boundary="truncate"`` (default) treats out-of-range pixels as
-    missing; ``Boundary2D.CONSTANT`` (edge) / ``REFLECT`` pad value and
-    validity consistently. VALID is not offered — truncate at same size
-    generalizes it (crop the output if needed).
+    missing; ``Boundary2D.CONSTANT`` (edge) / ``REFLECT`` / ``PERIODIC``
+    (wrap) pad value and validity consistently. VALID is not offered —
+    truncate at same size generalizes it (crop the output if needed).
 
     Fully jittable / differentiable / vmappable.
     """

@@ -55,22 +55,25 @@ def _local2d(x_local, weights, scale, boundary, axis_name, method="xla",
         top, bot = halo_exchange_rdma_rows(x_local, ny, axis_name)
     else:
         top, bot = _halo_rows(x_local, ny, axis_name)
-    # Outer shards: replace the wrapped halo with virtual rows.
-    if boundary is Boundary2D.REFLECT:
-        vtop = x_local[..., :ny, :][..., ::-1, :]
-        vbot = x_local[..., -ny:, :][..., ::-1, :]
-    else:  # CONSTANT (and VALID, where the halo rows are discarded anyway)
-        vtop = jnp.broadcast_to(x_local[..., :1, :], top.shape)
-        vbot = jnp.broadcast_to(x_local[..., -1:, :], bot.shape)
-    top = jnp.where(is_first, vtop, top)
-    bot = jnp.where(is_last, vbot, bot)
+    # Outer shards: replace the wrapped halo with virtual rows. PERIODIC
+    # keeps the exchanged rows as-is — the shard ring IS the wrap-around
+    # (same design as the 1D PERIODIC shard ring in parallel/sharded.py).
+    if boundary is not Boundary2D.PERIODIC:
+        if boundary is Boundary2D.REFLECT:
+            vtop = x_local[..., :ny, :][..., ::-1, :]
+            vbot = x_local[..., -ny:, :][..., ::-1, :]
+        else:  # CONSTANT (and VALID, where halo rows are discarded anyway)
+            vtop = jnp.broadcast_to(x_local[..., :1, :], top.shape)
+            vbot = jnp.broadcast_to(x_local[..., -1:, :], bot.shape)
+        top = jnp.where(is_first, vtop, top)
+        bot = jnp.where(is_last, vbot, bot)
 
     xr = jnp.concatenate([top, x_local, bot], axis=-2)
     # Columns are local: pad per boundary mode (or VALID -> shrink later).
     if boundary is not Boundary2D.VALID:
-        mode = "symmetric" if boundary is Boundary2D.REFLECT else "edge"
+        from savgol_tpu.ops.apply2d import _PAD_MODE_2D
         pad = [(0, 0)] * (xr.ndim - 1) + [(nx, nx)]
-        xr = jnp.pad(xr, pad, mode=mode)
+        xr = jnp.pad(xr, pad, mode=_PAD_MODE_2D[boundary])
     if method == "pallas":
         y = _corr2d_pallas_dispatch(xr, weights.astype(xr.dtype))
     elif method == "bf16":

@@ -25,7 +25,7 @@ class TestAnalyticFields:
         f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2), dtype=F64)
         img = jnp.full((30, 40), 5.0, dtype=F64)
         for b in (sg.Boundary2D.VALID, sg.Boundary2D.CONSTANT,
-                  sg.Boundary2D.REFLECT):
+                  sg.Boundary2D.REFLECT, sg.Boundary2D.PERIODIC):
             out = np.asarray(f.apply(img, boundary=b))
             np.testing.assert_allclose(out, 5.0, atol=1e-9)
 
@@ -199,7 +199,8 @@ class TestIntegerInput2D:
 
 
 class TestBoundaryStrings:
-    @pytest.mark.parametrize("name", ["valid", "constant", "reflect"])
+    @pytest.mark.parametrize("name", ["valid", "constant", "reflect",
+                                      "periodic"])
     def test_apply_accepts_strings(self, name):
         """apply(boundary=...) coerces the same strings Savgol2DConfig
         does."""
@@ -340,6 +341,71 @@ class TestConvenienceVsReference:
                                 delta_y=self.DY, boundary="constant"))
         scale = max(1.0, np.abs(theirs).max())
         assert np.abs(ours - theirs).max() <= 5e-5 * scale
+
+
+class TestPeriodic2D:
+    """Boundary2D.PERIODIC — wrap-around edges for cyclic/angular
+    images. An extension beyond the reference's boundary set
+    (/root/reference/include/iterative/savgol2d.h:108-112), matching
+    the 1D BoundaryMode.PERIODIC."""
+
+    def test_equals_wrap_pad_plus_valid(self):
+        rng = np.random.default_rng(60)
+        img = jnp.asarray(rng.standard_normal((40, 56)), dtype=F64)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2, deriv_x=1),
+                               dtype=F64)
+        got = np.asarray(f.apply(img, boundary=sg.Boundary2D.PERIODIC,
+                                 method="xla"))
+        padded = jnp.asarray(np.pad(np.asarray(img), ((2, 2), (3, 3)),
+                                    mode="wrap"), dtype=F64)
+        want = np.asarray(f.apply_valid(padded, method="xla"))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.parametrize("shift", [(1, 1), (7, 13)])
+    def test_roll_equivariance(self, shift):
+        # With wrap-around boundaries the filter commutes with jnp.roll
+        # EXACTLY (same windows, same summation order per output pixel).
+        rng = np.random.default_rng(61)
+        img = jnp.asarray(rng.standard_normal((32, 48)), dtype=F64)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 3, 2), dtype=F64)
+        a = np.asarray(f.apply(jnp.roll(img, shift, axis=(0, 1)),
+                               boundary=sg.Boundary2D.PERIODIC,
+                               method="xla"))
+        b = np.roll(np.asarray(f.apply(img,
+                                       boundary=sg.Boundary2D.PERIODIC,
+                                       method="xla")), shift, axis=(0, 1))
+        np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("method", ["pallas", "bf16"])
+    def test_fast_paths_agree(self, method):
+        rng = np.random.default_rng(62)
+        img = jnp.asarray(rng.standard_normal((64, 72)), dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(3, 3, 2),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img, boundary="periodic", method=method))
+        want = np.asarray(f.apply(img, boundary="periodic", method="xla"))
+        tol = 3e-2 if method == "bf16" else 1e-5
+        assert np.abs(got - want).max() <= tol * max(
+            1.0, np.abs(want).max())
+
+    def test_midband_rowmxu_periodic(self):
+        # 11x11 routes the exact path through the row-banded MXU wrapper
+        # whose boundary pad is fused — cover its wrap mode too
+        rng = np.random.default_rng(63)
+        img = jnp.asarray(rng.standard_normal((48, 64)), dtype=jnp.float32)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3),
+                               dtype=jnp.float32)
+        got = np.asarray(f.apply(img, boundary="periodic"))
+        want = np.asarray(f.apply(img, boundary="periodic", method="xla"))
+        assert np.abs(got - want).max() <= 1e-5 * max(
+            1.0, np.abs(want).max())
+
+    def test_native_engine_rejects_periodic(self):
+        native = pytest.importorskip("savgol_tpu.native")
+        eng = native.HostSavgol2D(sg.Savgol2DConfig(2, 2, 2))
+        img = np.zeros((16, 16), dtype=np.float32)
+        with pytest.raises(ValueError, match="JAX-path extension"):
+            eng.apply(img, boundary=sg.Boundary2D.PERIODIC)
 
 
 class TestBF16Mode2D:

@@ -105,7 +105,8 @@ class TestApply2D:
         assert np.abs(got - want).max() <= EXACT_TOL
 
     @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
-                                          sg.Boundary2D.REFLECT])
+                                          sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.PERIODIC])
     def test_same_size_fused_pad(self, boundary):
         img = jnp.asarray(_rng(11).standard_normal((300, 500)),
                           dtype=jnp.float32)

@@ -46,7 +46,8 @@ def oracle_masked2d(img, mk, nx, ny, m, dx, dy, deltax=1.0, deltay=1.0,
         kmin = P
     if boundary is not None:
         mode = {Boundary2D.REFLECT: "symmetric",
-                Boundary2D.CONSTANT: "edge"}[boundary]
+                Boundary2D.CONSTANT: "edge",
+                Boundary2D.PERIODIC: "wrap"}[boundary]
         xpad = np.pad(np.where(mk, img, 0.0), ((ny, ny), (nx, nx)),
                       mode=mode)
         mpad = np.pad(mk.astype(float), ((ny, ny), (nx, nx)),
@@ -85,7 +86,8 @@ def holed_img(rng, R, C, frac=0.12):
 
 class TestAgainstClassic:
     @pytest.mark.parametrize("boundary", [Boundary2D.REFLECT,
-                                          Boundary2D.CONSTANT])
+                                          Boundary2D.CONSTANT,
+                                          Boundary2D.PERIODIC])
     @pytest.mark.parametrize("nx,ny,m,dx,dy", [
         (3, 3, 2, 0, 0), (4, 3, 3, 1, 0), (3, 4, 3, 0, 1), (4, 4, 4, 1, 1),
     ])

@@ -114,6 +114,7 @@ class TestDataParallelOnly:
 class TestSharded2D:
     @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
                                           sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.PERIODIC,
                                           sg.Boundary2D.VALID])
     def test_matches_single_device_2d(self, mesh8, boundary):
         from savgol_tpu.parallel.sharded2d import apply2d_sharded
@@ -363,6 +364,7 @@ class TestRdmaHalo2D:
 
     @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
                                           sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.PERIODIC,
                                           sg.Boundary2D.VALID])
     def test_rdma_matches_single_device(self, mesh_seq, boundary):
         from savgol_tpu.parallel.sharded2d import apply2d_sharded
@@ -493,7 +495,7 @@ while len(_FUZZ2D_CASES) < 8:
             if dx + dy <= order]
     dx, dy = pool[int(_frng2.integers(0, len(pool)))]
     boundary = _frng2.choice([sg.Boundary2D.CONSTANT, sg.Boundary2D.REFLECT,
-                              sg.Boundary2D.VALID])
+                              sg.Boundary2D.PERIODIC, sg.Boundary2D.VALID])
     seq = int(_frng2.choice([2, 4, 8]))
     R = seq * int(_frng2.integers(max(2 * hy + 1, 8), 40))
     C = int(_frng2.integers(2 * hx + 1, 100))
