@@ -5,6 +5,7 @@
 // ordering), solve the normal equations by Cholesky in double, scale the
 // selected pseudo-inverse row by dx!*dy!. Application supports VALID /
 // CONSTANT / REFLECT like the reference (/root/reference/src/savgol2d.c),
+// plus PERIODIC wrap (the 1D rule src/savgolFilter.c:465-467 per axis),
 // implemented fresh.
 
 #include <cmath>
@@ -18,7 +19,14 @@ namespace sgh2 {
 constexpr int kMaxHalfWindow = 16;
 constexpr int kMaxPolyOrder = 6;
 
-enum Boundary : int32_t { kValid = 0, kConstant = 1, kReflect = 2 };
+enum Boundary : int32_t {
+  kValid = 0,
+  kConstant = 1,
+  kReflect = 2,
+  kPeriodic = 3,  // per-axis wrap, the 1D rule ((i mod n)+n) mod n
+                  // (/root/reference/src/savgolFilter.c:465-467) applied
+                  // to each axis independently
+};
 
 inline int monomial_index(int i, int j) {
   const int total = i + j;
@@ -160,33 +168,39 @@ inline int64_t clampi(int64_t v, int64_t lo, int64_t hi) {
 
 constexpr int kBlock = 64;
 
-// Remap an out-of-range index into [0, n) by edge-clamp (CONSTANT) or
+// Remap an out-of-range index into [0, n) by edge-clamp (CONSTANT),
 // symmetric reflection with the reference's double-reflection clamp
-// (src/savgol2d.c:428-441).
-inline int64_t remap_index(int64_t i, int64_t n, bool reflect) {
-  if (reflect) {
+// (src/savgol2d.c:428-441), or periodic wrap (the 1D rule
+// src/savgolFilter.c:465-467, applied per axis).
+inline int64_t remap_index(int64_t i, int64_t n, Boundary b) {
+  if (b == kReflect) {
     if (i < 0) i = -i - 1;
     else if (i >= n) i = 2 * n - i - 1;
+  } else if (b == kPeriodic) {
+    i %= n;
+    if (i < 0) i += n;
+    return i;
   }
   return clampi(i, 0, n - 1);
 }
 
 // Synthesize the (rows+2ny, cols+2nx) boundary-padded image (CONSTANT
-// clamp or REFLECT). Shared by the single-thread and threaded paths so
-// their padded reductions stay bit-identical by construction.
+// clamp, REFLECT, or PERIODIC wrap). Shared by the single-thread and
+// threaded paths so their padded reductions stay bit-identical by
+// construction.
 void pad_boundary(const float* in, int64_t rows, int64_t cols,
-                  int64_t stride, int nx, int ny, bool reflect,
+                  int64_t stride, int nx, int ny, Boundary b,
                   std::vector<float>* pad) {
   const int64_t prow = rows + 2 * ny, pcol = cols + 2 * nx;
   pad->resize(static_cast<size_t>(prow) * pcol);
   for (int64_t py = 0; py < prow; ++py) {
-    const float* src = in + remap_index(py - ny, rows, reflect) * stride;
+    const float* src = in + remap_index(py - ny, rows, b) * stride;
     float* dst = pad->data() + py * pcol;
     for (int64_t px = 0; px < nx; ++px)
-      dst[px] = src[remap_index(px - nx, cols, reflect)];
+      dst[px] = src[remap_index(px - nx, cols, b)];
     std::memcpy(dst + nx, src, static_cast<size_t>(cols) * sizeof(float));
     for (int64_t px = nx + cols; px < pcol; ++px)
-      dst[px] = src[remap_index(px - nx, cols, reflect)];
+      dst[px] = src[remap_index(px - nx, cols, b)];
   }
 }
 
@@ -242,7 +256,7 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
   // images (and the small-image parity tests) keep the f64 scalar path.
   if (cols >= kBlock && rows > 0) {
     std::vector<float> pad;
-    pad_boundary(in, rows, cols, stride, nx, ny, b == kReflect, &pad);
+    pad_boundary(in, rows, cols, stride, nx, ny, b, &pad);
     apply(f, pad.data(), rows + 2 * ny, cols + 2 * nx, cols + 2 * nx, out,
           out_stride, kValid);
     return;
@@ -265,15 +279,8 @@ void apply(const Filter2D& f, const float* in, int64_t rows, int64_t cols,
       const double* w = f.weights.data();
       for (int wy = -ny; wy <= ny; ++wy) {
         for (int wx = -nx; wx <= nx; ++wx) {
-          int64_t iy = oy + wy, ix = ox + wx;
-          if (b == kReflect) {
-            if (iy < 0) iy = -iy - 1;
-            else if (iy >= rows) iy = 2 * rows - iy - 1;
-            if (ix < 0) ix = -ix - 1;
-            else if (ix >= cols) ix = 2 * cols - ix - 1;
-          }
-          iy = clampi(iy, 0, rows - 1);
-          ix = clampi(ix, 0, cols - 1);
+          const int64_t iy = remap_index(oy + wy, rows, b);
+          const int64_t ix = remap_index(ox + wx, cols, b);
           s += *w++ * in[iy * stride + ix];
         }
       }
@@ -318,7 +325,7 @@ int apply_threaded(const Filter2D& f, const float* in, int64_t rows,
   const float* vin = in;
   int64_t vcols = cols, vstride = stride;
   if (b != kValid) {
-    pad_boundary(in, rows, cols, stride, nx, ny, b == kReflect, &pad);
+    pad_boundary(in, rows, cols, stride, nx, ny, b, &pad);
     vin = pad.data();
     vcols = cols + 2 * nx;
     vstride = vcols;
@@ -392,6 +399,87 @@ int sgh2_weights(const void* h, double* out) {
   if (!h || !out) return -1;
   const auto& f = *static_cast<const sgh2::Filter2D*>(h);
   std::memcpy(out, f.weights.data(), f.weights.size() * sizeof(double));
+  return 0;
+}
+
+namespace {
+
+// One derivative stencil built + applied over the shared machinery.
+// NULL out skips that component (the reference's contract,
+// /root/reference/src/savgol2d.c:468,483). n_threads < 0 = single
+// thread, 0 = hardware concurrency.
+int run_deriv(int hx, int hy, int order, int dx, int dy, float delta_x,
+              float delta_y, const float* in, int64_t rows, int64_t cols,
+              int64_t stride, float* out, int64_t out_stride, int boundary,
+              int n_threads) {
+  if (!out) return 0;
+  void* f = sgh2_create(hx, hy, order, dx, dy, delta_x, delta_y);
+  if (!f) return -1;
+  int rc;
+  if (n_threads < 0)
+    rc = sgh2_apply(f, in, rows, cols, stride, out, out_stride, boundary);
+  else
+    rc = sgh2_apply_threaded(f, in, rows, cols, stride, out, out_stride,
+                             boundary, n_threads);
+  sgh2_destroy(f);
+  return rc;
+}
+
+}  // namespace
+
+// Convenience derivative fields, mirroring the reference API
+// (/root/reference/src/savgol2d.c:462-499 gradient, :501-558 hessian,
+// :560-618 laplacian) over this engine's blocked/threaded applies.
+// VALID boundary emits compact (rows-2hy, cols-2hx) outputs like
+// sgh2_apply. Returns 0 on success.
+
+int sgh2_gradient(int hx, int hy, int order, float delta_x, float delta_y,
+                  const float* in, int64_t rows, int64_t cols,
+                  int64_t stride, float* grad_x, float* grad_y,
+                  int64_t out_stride, int boundary, int n_threads) {
+  if (!in || rows <= 0 || cols <= 0) return -1;
+  int rc = run_deriv(hx, hy, order, 1, 0, delta_x, delta_y, in, rows, cols,
+                     stride, grad_x, out_stride, boundary, n_threads);
+  if (rc != 0) return rc;
+  return run_deriv(hx, hy, order, 0, 1, delta_x, delta_y, in, rows, cols,
+                   stride, grad_y, out_stride, boundary, n_threads);
+}
+
+int sgh2_hessian(int hx, int hy, int order, float delta_x, float delta_y,
+                 const float* in, int64_t rows, int64_t cols,
+                 int64_t stride, float* h_xx, float* h_xy, float* h_yy,
+                 int64_t out_stride, int boundary, int n_threads) {
+  if (!in || rows <= 0 || cols <= 0) return -1;
+  int rc = run_deriv(hx, hy, order, 2, 0, delta_x, delta_y, in, rows, cols,
+                     stride, h_xx, out_stride, boundary, n_threads);
+  if (rc != 0) return rc;
+  rc = run_deriv(hx, hy, order, 1, 1, delta_x, delta_y, in, rows, cols,
+                 stride, h_xy, out_stride, boundary, n_threads);
+  if (rc != 0) return rc;
+  return run_deriv(hx, hy, order, 0, 2, delta_x, delta_y, in, rows, cols,
+                   stride, h_yy, out_stride, boundary, n_threads);
+}
+
+int sgh2_laplacian(int hx, int hy, int order, float delta_x, float delta_y,
+                   const float* in, int64_t rows, int64_t cols,
+                   int64_t stride, float* out, int64_t out_stride,
+                   int boundary, int n_threads) {
+  if (!in || !out || rows <= 0 || cols <= 0) return -1;
+  const int64_t out_rows = boundary == sgh2::kValid ? rows - 2 * hy : rows;
+  const int64_t out_cols = boundary == sgh2::kValid ? cols - 2 * hx : cols;
+  if (out_rows <= 0 || out_cols <= 0) return -1;
+  int rc = run_deriv(hx, hy, order, 2, 0, delta_x, delta_y, in, rows, cols,
+                     stride, out, out_stride, boundary, n_threads);
+  if (rc != 0) return rc;
+  // d2/dy2 into a temp, then add — the reference's temp-buffer scheme
+  // (src/savgol2d.c:585-607)
+  std::vector<float> tmp(static_cast<size_t>(out_rows) * out_cols);
+  rc = run_deriv(hx, hy, order, 0, 2, delta_x, delta_y, in, rows, cols,
+                 stride, tmp.data(), out_cols, boundary, n_threads);
+  if (rc != 0) return rc;
+  for (int64_t r = 0; r < out_rows; ++r)
+    for (int64_t c = 0; c < out_cols; ++c)
+      out[r * out_stride + c] += tmp[static_cast<size_t>(r) * out_cols + c];
   return 0;
 }
 

@@ -66,8 +66,8 @@ class Boundary2D(enum.Enum):
     (/root/reference/include/iterative/savgol2d.h:108-112); PERIODIC
     (wrap-around, for cyclic/angular images — panoramas, polar grids)
     is an extension beyond the reference's boundary set, matching the
-    1D ``BoundaryMode.PERIODIC``. JAX paths only: the native host
-    engine keeps the reference's set.
+    1D ``BoundaryMode.PERIODIC``, supported on both the JAX paths and
+    the native host engine.
     """
 
     VALID = "valid"

@@ -22,7 +22,7 @@ from savgol_tpu.config import (Boundary2D, BoundaryMode, Savgol2DConfig,
                                SavgolConfig)
 
 __all__ = ["HostSavgol1D", "HostSavgolStream", "HostSavgol2D",
-           "load_library"]
+           "gradient2d", "hessian2d", "laplacian2d", "load_library"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
@@ -38,6 +38,7 @@ _BOUNDARY_2D = {
     Boundary2D.VALID: 0,
     Boundary2D.CONSTANT: 1,
     Boundary2D.REFLECT: 2,
+    Boundary2D.PERIODIC: 3,
 }
 
 _lock = threading.Lock()
@@ -119,6 +120,12 @@ def load_library() -> ctypes.CDLL:
                                                  ctypes.c_int]
         lib.sgh_stream_set_reference_edge_sign.argtypes = [
             ctypes.c_void_p, ctypes.c_int]
+        lib.sgh_stream_sizeof.restype = ctypes.c_int64
+        lib.sgh_stream_sizeof.argtypes = []
+        lib.sgh_stream_alignof.restype = ctypes.c_int64
+        lib.sgh_stream_alignof.argtypes = []
+        lib.sgh_stream_init.restype = ctypes.c_void_p
+        lib.sgh_stream_init.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sgh2_create.restype = ctypes.c_void_p
         lib.sgh2_create.argtypes = [ctypes.c_int] * 5 + [ctypes.c_float] * 2
         lib.sgh2_destroy.argtypes = [ctypes.c_void_p]
@@ -133,6 +140,16 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_int]
         lib.sgh2_weights.restype = ctypes.c_int
         lib.sgh2_weights.argtypes = [ctypes.c_void_p, _f64p]
+        _conv_head = [ctypes.c_int] * 3 + [ctypes.c_float] * 2 + [
+            _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        _conv_tail = [ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+        lib.sgh2_gradient.restype = ctypes.c_int
+        lib.sgh2_gradient.argtypes = _conv_head + [_f32p, _f32p] + _conv_tail
+        lib.sgh2_hessian.restype = ctypes.c_int
+        lib.sgh2_hessian.argtypes = (_conv_head + [_f32p, _f32p, _f32p]
+                                     + _conv_tail)
+        lib.sgh2_laplacian.restype = ctypes.c_int
+        lib.sgh2_laplacian.argtypes = _conv_head + [_f32p] + _conv_tail
         _lib = lib
         return lib
 
@@ -236,6 +253,25 @@ class HostSavgol1D:
             raise ValueError("native apply failed (input too short?)")
         return out
 
+    def apply_batch(self, x, reference_edge_sign: bool = False,
+                    n_threads: int = 1) -> np.ndarray:
+        """Filter a (B, N) batch, each row independently (the native
+        analog of the JAX batch axis). ``n_threads``: 1 = sequential
+        rows, 0 = hardware concurrency, k = k threads; any setting is
+        bit-identical to per-row :meth:`apply` (rows never share
+        state)."""
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.ndim != 2:
+            raise ValueError("apply_batch expects a (B, N) array")
+        out = np.empty_like(x)
+        rc = self._lib.sgh_apply_batch(
+            self._h, _ptr32(x), _ptr32(out), x.shape[0], x.shape[1],
+            int(reference_edge_sign), int(n_threads))
+        if rc != 0:
+            raise ValueError("native batch apply failed "
+                             "(input too short?)")
+        return out
+
     def weights(self):
         """(center, edge) tables in f64."""
         n = self.config.half_window
@@ -248,17 +284,38 @@ class HostSavgol1D:
 
 
 class HostSavgolStream:
-    """Native streaming filter: microsecond-latency push path."""
+    """Native streaming filter: microsecond-latency push path.
+
+    ``static_storage=True`` uses the reference's no-malloc init path
+    (src/savgol_stream.c:108-120): the whole stream state lives in a
+    caller-side buffer (here a numpy byte array held by this object)
+    with a NON-owning filter ref, placement-initialized via
+    ``sgh_stream_init`` — zero heap allocation in the native engine,
+    the embedded story the reference's static init exists for. Both
+    modes behave identically."""
 
     def __init__(self, filter_or_config,
-                 reference_edge_sign: bool = False):
+                 reference_edge_sign: bool = False,
+                 static_storage: bool = False):
         if isinstance(filter_or_config, SavgolConfig):
             self._filter = HostSavgol1D(filter_or_config)
         else:
             self._filter = filter_or_config
         self.config = self._filter.config
         self._lib = self._filter._lib
-        self._h = self._lib.sgh_stream_create(self._filter._h)
+        self._owns_native = not static_storage
+        if static_storage:
+            size = self._lib.sgh_stream_sizeof()
+            align = self._lib.sgh_stream_alignof()
+            # over-allocate so we can slide to the alignment boundary
+            buf = np.zeros(size + align, dtype=np.uint8)
+            base = buf.ctypes.data
+            off = (-base) % align
+            self._storage = buf              # keepalive
+            self._h = self._lib.sgh_stream_init(
+                ctypes.c_void_p(base + off), self._filter._h)
+        else:
+            self._h = self._lib.sgh_stream_create(self._filter._h)
         if not self._h:
             raise RuntimeError("native stream create failed")
         if reference_edge_sign:
@@ -266,7 +323,8 @@ class HostSavgolStream:
 
     def __del__(self):
         if getattr(self, "_h", None):
-            self._lib.sgh_stream_destroy(self._h)
+            if getattr(self, "_owns_native", True):
+                self._lib.sgh_stream_destroy(self._h)
             self._h = None
 
     @property
@@ -337,10 +395,11 @@ class HostSavgol2D:
 
     def _run_apply(self, img, boundary: Boundary2D,
                    n_threads: Optional[int]) -> np.ndarray:
+        if not isinstance(boundary, Boundary2D):
+            boundary = Boundary2D(boundary)   # accept "periodic" etc.
         if boundary not in _BOUNDARY_2D:
             raise ValueError(
-                f"native 2D engine supports {sorted(b.value for b in _BOUNDARY_2D)} "
-                f"(the reference's boundary set, savgol2d.h:108-112); "
+                f"native 2D engine supports {sorted(b.value for b in _BOUNDARY_2D)}; "
                 f"{boundary.value!r} is a JAX-path extension — use "
                 f"Savgol2D.apply")
         img = np.ascontiguousarray(img, dtype=np.float32)
@@ -382,3 +441,92 @@ class HostSavgol2D:
                         self.config.window_width), dtype=np.float64)
         self._lib.sgh2_weights(self._h, out.ctypes.data_as(_f64p))
         return out
+
+
+# ---- native 2D convenience fields ------------------------------------------
+# Mirrors the reference's savgol2d_gradient / _hessian / _laplacian API
+# (/root/reference/src/savgol2d.c:462-618) over the native engine's
+# blocked/threaded applies. ``n_threads``: None = single thread (like
+# ``HostSavgol2D.apply``), 0 = hardware concurrency, k = k threads.
+
+
+def _conv2d_prep(img, hx: int, hy: int, boundary):
+    if not isinstance(boundary, Boundary2D):
+        boundary = Boundary2D(boundary)
+    if boundary not in _BOUNDARY_2D:
+        raise ValueError(f"unsupported native 2D boundary "
+                         f"{getattr(boundary, 'value', boundary)!r}")
+    img = np.ascontiguousarray(img, dtype=np.float32)
+    if img.ndim != 2:
+        raise ValueError("expected a (rows, cols) image")
+    rows, cols = img.shape
+    if boundary is Boundary2D.VALID:
+        oshape = (rows - 2 * hy, cols - 2 * hx)
+        if min(oshape) <= 0:
+            raise ValueError("image smaller than the window")
+    else:
+        oshape = (rows, cols)
+    return img, oshape, _BOUNDARY_2D[boundary]
+
+
+def gradient2d(img, half_window_x: int, half_window_y: int,
+               poly_order: int, delta_x: float = 1.0, delta_y: float = 1.0,
+               boundary=Boundary2D.CONSTANT,
+               n_threads: Optional[int] = None):
+    """(∂/∂x, ∂/∂y) of the local polynomial fit (x = columns, y = rows;
+    reference parity: savgol2d_gradient, src/savgol2d.c:462-499)."""
+    lib = load_library()
+    img, oshape, b = _conv2d_prep(img, half_window_x, half_window_y,
+                                  boundary)
+    gx = np.empty(oshape, dtype=np.float32)
+    gy = np.empty(oshape, dtype=np.float32)
+    rc = lib.sgh2_gradient(
+        half_window_x, half_window_y, poly_order, delta_x, delta_y,
+        _ptr32(img), img.shape[0], img.shape[1], img.shape[1],
+        _ptr32(gx), _ptr32(gy), oshape[1], b,
+        -1 if n_threads is None else int(n_threads))
+    if rc != 0:
+        raise ValueError("native 2d gradient failed (bad config?)")
+    return gx, gy
+
+
+def hessian2d(img, half_window_x: int, half_window_y: int,
+              poly_order: int, delta_x: float = 1.0, delta_y: float = 1.0,
+              boundary=Boundary2D.CONSTANT,
+              n_threads: Optional[int] = None):
+    """(∂²/∂x², ∂²/∂x∂y, ∂²/∂y²) of the local fit (reference parity:
+    savgol2d_hessian, src/savgol2d.c:501-558)."""
+    lib = load_library()
+    img, oshape, b = _conv2d_prep(img, half_window_x, half_window_y,
+                                  boundary)
+    hxx = np.empty(oshape, dtype=np.float32)
+    hxy = np.empty(oshape, dtype=np.float32)
+    hyy = np.empty(oshape, dtype=np.float32)
+    rc = lib.sgh2_hessian(
+        half_window_x, half_window_y, poly_order, delta_x, delta_y,
+        _ptr32(img), img.shape[0], img.shape[1], img.shape[1],
+        _ptr32(hxx), _ptr32(hxy), _ptr32(hyy), oshape[1], b,
+        -1 if n_threads is None else int(n_threads))
+    if rc != 0:
+        raise ValueError("native 2d hessian failed (bad config?)")
+    return hxx, hxy, hyy
+
+
+def laplacian2d(img, half_window_x: int, half_window_y: int,
+                poly_order: int, delta_x: float = 1.0,
+                delta_y: float = 1.0, boundary=Boundary2D.CONSTANT,
+                n_threads: Optional[int] = None) -> np.ndarray:
+    """∂²/∂x² + ∂²/∂y² of the local fit, summed via the reference's
+    temp-buffer scheme (savgol2d_laplacian, src/savgol2d.c:560-618)."""
+    lib = load_library()
+    img, oshape, b = _conv2d_prep(img, half_window_x, half_window_y,
+                                  boundary)
+    out = np.empty(oshape, dtype=np.float32)
+    rc = lib.sgh2_laplacian(
+        half_window_x, half_window_y, poly_order, delta_x, delta_y,
+        _ptr32(img), img.shape[0], img.shape[1], img.shape[1],
+        _ptr32(out), oshape[1], b,
+        -1 if n_threads is None else int(n_threads))
+    if rc != 0:
+        raise ValueError("native 2d laplacian failed (bad config?)")
+    return out

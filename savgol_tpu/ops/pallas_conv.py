@@ -1428,8 +1428,8 @@ def savgol2d_same_pallas(x: jax.Array, w, pad_mode: str,
     provides both, extending with the boundary mode all the way to the
     tile-aligned size — the outputs beyond the true boundary ring are
     sliced away, so over-extension is harmless. ``w`` must be concrete
-    (the stencil is baked into the kernel). ``pad_mode``: "edge" or
-    "symmetric" (the CONSTANT / REFLECT boundary modes)."""
+    (the stencil is baked into the kernel). ``pad_mode``: "edge" /
+    "symmetric" / "wrap" (the CONSTANT / REFLECT / PERIODIC modes)."""
     import numpy as np
     if interpret is None:
         interpret = _interpret_default()
@@ -1632,7 +1632,7 @@ def savgol2d_same_pallas_rowmxu(x: jax.Array, w, pad_mode: str,
     :func:`savgol2d_same_pallas` for the argument; the over-extended
     boundary values only feed outputs that are sliced away). Unlike the
     const-baked dense path, ``w`` may be traced (bands are built with
-    jnp). ``pad_mode``: "edge" or "symmetric"."""
+    jnp). ``pad_mode``: "edge" / "symmetric" / "wrap"."""
     if interpret is None:
         interpret = _interpret_default()
     if mxu_precision is None:

@@ -5,8 +5,9 @@ each shard exchanges ``half_window_y`` halo rows with its neighbors via
 ``lax.ppermute`` (ICI ring) and then runs the dense local stencil. The
 outermost shards synthesize virtual rows per the boundary mode (CONSTANT
 clamps, REFLECT mirrors with edge duplication — matching
-/root/reference/src/savgol2d.c:417-453). Column boundaries are handled
-locally (every shard holds full rows).
+/root/reference/src/savgol2d.c:417-453); PERIODIC keeps the exchanged
+ring halo as-is — the wrap IS the boundary, matching parallel/sharded.py.
+Column boundaries are handled locally (every shard holds full rows).
 """
 
 from __future__ import annotations

@@ -400,12 +400,18 @@ class TestPeriodic2D:
         assert np.abs(got - want).max() <= 1e-5 * max(
             1.0, np.abs(want).max())
 
-    def test_native_engine_rejects_periodic(self):
+    def test_native_engine_periodic_matches_jax(self):
         native = pytest.importorskip("savgol_tpu.native")
         eng = native.HostSavgol2D(sg.Savgol2DConfig(2, 2, 2))
-        img = np.zeros((16, 16), dtype=np.float32)
-        with pytest.raises(ValueError, match="JAX-path extension"):
-            eng.apply(img, boundary=sg.Boundary2D.PERIODIC)
+        rng = np.random.default_rng(7)
+        img = rng.standard_normal((16, 16)).astype(np.float32)
+        got = eng.apply(img, boundary=sg.Boundary2D.PERIODIC)
+        f = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2),
+                               dtype=jnp.float64)
+        want = np.asarray(f.apply(jnp.asarray(img, dtype=jnp.float64),
+                                  boundary=sg.Boundary2D.PERIODIC))
+        assert np.abs(got - want).max() <= 1e-6 * max(
+            1.0, np.abs(want).max())
 
 
 class TestBF16Mode2D:
