@@ -21,7 +21,9 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace sgh {
@@ -411,21 +413,28 @@ int64_t apply_valid(const Filter& f, const float* in, int64_t len,
   return out_len;
 }
 
-// Streaming: ring buffer of width samples, fixed latency n.
+// Streaming: ring buffer of width samples, fixed latency n. The ring is
+// a fixed inline array (width <= 2*kMaxHalfWindow+1 = 65), so a Stream
+// is a single flat block: heap-create OR placement-init into
+// caller-provided storage, both with zero per-push allocation — the
+// reference's static-init story (/root/reference/src/savgol_stream.c:
+// 108-120: heap create or user storage with a non-owning filter ref).
 struct Stream {
-  const Filter* filter;
+  const Filter* filter;      // non-owning (matches the reference)
   bool owns_filter;
-  std::vector<float> ring;
+  float ring[2 * kMaxHalfWindow + 1];
   int write_pos = 0;
   uint64_t received = 0;
   uint64_t emitted = 0;
   bool reference_edge_sign = false;
 
   explicit Stream(const Filter* f, bool owns)
-      : filter(f), owns_filter(owns), ring(f->width, 0.0f) {}
+      : filter(f), owns_filter(owns) {
+    std::fill(ring, ring + filter->width, 0.0f);
+  }
 
   void reset() {
-    std::fill(ring.begin(), ring.end(), 0.0f);
+    std::fill(ring, ring + filter->width, 0.0f);
     write_pos = 0;
     received = 0;
     emitted = 0;
@@ -556,6 +565,27 @@ void* sgh_stream_create(const void* filter_handle) {
   if (!filter_handle) return nullptr;
   return new sgh::Stream(static_cast<const sgh::Filter*>(filter_handle),
                          false);
+}
+
+// Static/user-storage init (the reference's no-malloc path,
+// src/savgol_stream.c:108-120): the caller supplies at least
+// sgh_stream_sizeof() bytes aligned to sgh_stream_alignof(); the stream
+// keeps a NON-owning filter ref and needs no destroy (trivially
+// destructible) — just stop using the storage. Do NOT pass it to
+// sgh_stream_destroy.
+static_assert(std::is_trivially_destructible<sgh::Stream>::value,
+              "user-storage streams must need no deinit");
+
+int64_t sgh_stream_sizeof() { return sizeof(sgh::Stream); }
+
+int64_t sgh_stream_alignof() { return alignof(sgh::Stream); }
+
+void* sgh_stream_init(void* storage, const void* filter_handle) {
+  if (!storage || !filter_handle) return nullptr;
+  if (reinterpret_cast<uintptr_t>(storage) % alignof(sgh::Stream) != 0)
+    return nullptr;
+  return new (storage) sgh::Stream(
+      static_cast<const sgh::Filter*>(filter_handle), false);
 }
 
 void sgh_stream_destroy(void* s) { delete static_cast<sgh::Stream*>(s); }

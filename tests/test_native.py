@@ -332,3 +332,116 @@ class TestStridedApply:
         with pytest.raises(ValueError, match="len"):
             host1d.apply_strided(np.zeros(50, dtype=np.float32),
                                  out=np.zeros(40, dtype=np.float32))
+
+
+class TestNative2DConveniences:
+    """Native gradient/hessian/laplacian, mirroring the reference's
+    analytic-field tests (/root/reference/test/iterative/
+    test_savgol2d.c:362-502) plus a JAX-path cross-check."""
+
+    def _field(self, rows=20, cols=24):
+        y, x = np.mgrid[0:rows, 0:cols].astype(np.float32)
+        return x, y
+
+    def test_gradient_linear_field(self):
+        x, y = self._field()
+        img = 2.0 * x + 3.0 * y            # ref :362-401 analog
+        gx, gy = native.gradient2d(img, 3, 3, 2,
+                                   boundary=sg.Boundary2D.VALID)
+        assert np.abs(gx - 2.0).max() <= 1e-4
+        assert np.abs(gy - 3.0).max() <= 1e-4
+
+    def test_hessian_quadratic_field(self):
+        x, y = self._field()
+        img = x * x + 4.0 * x * y + 3.0 * y * y   # ref :403-452 analog
+        hxx, hxy, hyy = native.hessian2d(img, 4, 4, 3,
+                                         boundary=sg.Boundary2D.VALID)
+        assert np.abs(hxx - 2.0).max() <= 1e-3
+        assert np.abs(hxy - 4.0).max() <= 1e-3
+        assert np.abs(hyy - 6.0).max() <= 1e-3
+
+    def test_laplacian_quadratic_field(self):
+        x, y = self._field()
+        img = x * x + y * y                 # ref :454-502 analog: lap = 4
+        lap = native.laplacian2d(img, 3, 3, 2,
+                                 boundary=sg.Boundary2D.VALID)
+        assert np.abs(lap - 4.0).max() <= 1e-3
+
+    @pytest.mark.parametrize("boundary", list(sg.Boundary2D))
+    def test_matches_jax_conveniences(self, rng, boundary):
+        img = rng.standard_normal((30, 40)).astype(np.float32)
+        gx, gy = native.gradient2d(img, 3, 2, 3, boundary=boundary,
+                                   n_threads=0)
+        jgx, jgy = (np.asarray(a) for a in sg.savgol2d_gradient(
+            jnp.asarray(img, dtype=F64), 3, 2, 3, boundary=boundary))
+        scale = max(1.0, np.abs(jgx).max(), np.abs(jgy).max())
+        assert np.abs(gx - jgx).max() <= 4e-6 * scale
+        assert np.abs(gy - jgy).max() <= 4e-6 * scale
+        lap = native.laplacian2d(img, 3, 2, 3, boundary=boundary)
+        jlap = np.asarray(sg.savgol2d_laplacian(
+            jnp.asarray(img, dtype=F64), 3, 2, 3, boundary=boundary))
+        lscale = max(1.0, np.abs(jlap).max())
+        assert np.abs(lap - jlap).max() <= 8e-6 * lscale
+
+    def test_gradient_delta_scaling(self):
+        x, y = self._field()
+        img = 2.0 * x + 3.0 * y
+        gx, gy = native.gradient2d(img, 3, 3, 2, delta_x=0.5, delta_y=2.0,
+                                   boundary=sg.Boundary2D.VALID)
+        assert np.abs(gx - 4.0).max() <= 1e-4
+        assert np.abs(gy - 1.5).max() <= 1e-4
+
+    def test_rejects_bad_config(self):
+        img = np.zeros((10, 10), dtype=np.float32)
+        with pytest.raises(ValueError):
+            native.gradient2d(img, 1, 1, 0)     # deriv > order
+        with pytest.raises(ValueError):
+            native.laplacian2d(img, 1, 1, 1)    # deriv 2 > order 1
+
+
+class TestStaticStream:
+    """User-storage stream init — the reference's no-malloc path
+    (/root/reference/src/savgol_stream.c:108-120)."""
+
+    def test_matches_heap_stream(self, rng):
+        cfg = sg.SavgolConfig(6, 3, 1)
+        f = native.HostSavgol1D(cfg)
+        heap = native.HostSavgolStream(f)
+        stat = native.HostSavgolStream(f, static_storage=True)
+        x = rng.standard_normal(200).astype(np.float32)
+        a, b = [], []
+        for v in x:
+            a.extend(heap.push_full(float(v)).tolist())
+            b.extend(stat.push_full(float(v)).tolist())
+        a.extend(heap.flush().tolist())
+        b.extend(stat.flush().tolist())
+        assert a == b and len(a) == x.size
+        assert stat.samples_received == x.size
+        assert stat.samples_output == x.size
+
+    def test_reset_and_reuse(self):
+        stat = native.HostSavgolStream(sg.SavgolConfig(4, 2),
+                                       static_storage=True)
+        out1 = [stat.push_full(float(i)) for i in range(20)]
+        stat.reset()
+        assert stat.samples_received == 0 and not stat.ready
+        out2 = [stat.push_full(float(i)) for i in range(20)]
+        np.testing.assert_array_equal(np.concatenate(out1),
+                                      np.concatenate(out2))
+
+
+class TestApplyBatch:
+    def test_matches_per_row_apply(self, rng):
+        f = native.HostSavgol1D(sg.SavgolConfig(8, 3, 1))
+        x = rng.standard_normal((7, 400)).astype(np.float32)
+        want = np.stack([f.apply(r) for r in x])
+        np.testing.assert_array_equal(f.apply_batch(x), want)
+        np.testing.assert_array_equal(f.apply_batch(x, n_threads=0), want)
+        np.testing.assert_array_equal(f.apply_batch(x, n_threads=3), want)
+
+    def test_rejects_bad_shapes(self):
+        f = native.HostSavgol1D(sg.SavgolConfig(8, 3))
+        with pytest.raises(ValueError):
+            f.apply_batch(np.zeros(100, dtype=np.float32))
+        with pytest.raises(ValueError):
+            f.apply_batch(np.zeros((2, 10), dtype=np.float32))
