@@ -52,12 +52,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.scipy.linalg import solve_triangular
-
 from savgol_tpu.config import (PAD_MODE, Boundary2D, BoundaryMode,
                                Savgol2DConfig, num_terms_2d)
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis, correlate_valid)
+from savgol_tpu.ops.lsq import cholesky_solve_planes
 
 __all__ = ["savgol_apply_masked", "savgol2d_apply_masked"]
 
@@ -231,14 +230,16 @@ def savgol_apply_masked(
 
     if solver == "qr":
         # Accuracy mode: per-position (weighted) masked design
-        # A = diag(sqrt(w)) Q, factored by batched reduced QR — error
-        # ~cond(A)*eps instead of the normal equations' cond(A)^2*eps.
-        # Costs the (..., N, ws) window tensor; static-shape,
-        # differentiable.
-        n_out = xl.shape[-1]
-        idx = jnp.arange(n_out)[:, None] + jnp.arange(ws)[None, :]
-        mw = jnp.take(wp, idx, axis=-1)                 # (..., N, ws)
-        xw = jnp.take(xzp, idx, axis=-1)
+        # A = diag(sqrt(w)) Q solved by shifted CholeskyQR3 (ops/lsq.py)
+        # — Householder QR's forward-error class up to cond(A) ~ 1/eps
+        # (covers exactly-determined hole-starved windows, cond ~1e5),
+        # but built from MXU-shaped matmuls instead of XLA's blocked
+        # Householder. Windows come from shifted slices (TPU-serialized
+        # gathers avoided). Costs the (..., N, ws) window tensor;
+        # static-shape, differentiable.
+        from savgol_tpu.ops.lsq import cholqr_lstsq, sliding_windows
+        mw = sliding_windows(wp, ws)                    # (..., N, ws)
+        xw = sliding_windows(xzp, ws)
         count = jnp.sum(mw > 0, axis=-1)
         ok = count >= kmin
         sw = jnp.sqrt(mw) if weighted else mw           # binary: sqrt==id
@@ -246,10 +247,10 @@ def savgol_apply_masked(
         A = sw[..., None] * qmat                        # (..., N, ws, m+1)
         A_safe = jnp.where(ok[..., None, None], A,
                            jnp.eye(ws, m + 1, dtype=dtype))
-        qf, rf = jnp.linalg.qr(A_safe)                  # reduced
-        z = jnp.einsum("...ji,...j->...i", qf, sw * xw,
-                       precision=precision)
-        coef = solve_triangular(rf, z[..., None], lower=False)[..., 0]
+        coef, _, finite = cholqr_lstsq(A_safe, sw * xw,
+                                       precision=precision)
+        ok &= finite        # non-finite factorization windows -> fill
+        coef = jnp.moveaxis(coef, -1, 0)                # planes (m+1, ..., N)
     else:
         qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
         pw = jnp.asarray(pair_w, dtype=dtype)           # (Kp, ws)
@@ -257,30 +258,26 @@ def savgol_apply_masked(
         rhs = _bank_correlate(xzp * wp if weighted else xzp,
                               qw, precision, method)         # (m+1, ..., N)
 
-        gramN = jnp.moveaxis(gram, 0, -1)               # (..., N, Kp)
-        G = jnp.take(gramN, jnp.asarray(pair_index.reshape(-1)), axis=-1)
-        G = G.reshape(gramN.shape[:-1] + (m + 1, m + 1))
-        r = jnp.moveaxis(rhs, 0, -1)[..., None]         # (..., N, m+1, 1)
-
         if weighted:
             # positive-weight count needs its own box correlation (the
             # Gram's phi_0 row carries the weight SUM, not the count)
             ones = jnp.ones((1, ws), dtype)
             ind = (wp > 0).astype(dtype)
             count = _bank_correlate(ind, ones, precision, method)[0]
-            ok = count >= (kmin - 0.5)                  # robust int compare
         else:
             # phi_0 is the constant 1/sqrt(ws): G[0,0] == count/ws exactly
-            count = G[..., 0, 0] * ws
-            ok = count >= (kmin - 0.5)
-        eye = jnp.eye(m + 1, dtype=dtype)
-        G_safe = jnp.where(ok[..., None, None], G, eye)
-        coef = jnp.linalg.solve(G_safe, r)[..., 0]      # (..., N, m+1)
+            count = gram[pair_index[0, 0]] * ws
+        ok = count >= (kmin - 0.5)                      # robust int compare
+        # per-position k x k solve on ENTRY PLANES (ops/lsq.py) — a
+        # (..., N, k, k) Gram tensor would be tile-padded 41x on TPU
+        coef, ok = cholesky_solve_planes(gram, pair_index, rhs, ok)
 
     # d-th derivative at the window center, in user units:
     #   y = sum_a coef_a * phi_a^(d)(0) / (n*dt)^d,  phi_a^(d)(0) = d! Rinv[d,a]
+    # (coef is in PLANES layout (m+1, ..., N) from both solvers)
     extract = Rinv[d, :] * math.factorial(d) / float(n * dt) ** d
-    y = jnp.einsum("...k,k->...", coef, jnp.asarray(extract, dtype=dtype),
+    y = jnp.einsum("k...,k->...", coef,
+                   jnp.asarray(extract, dtype=dtype),
                    precision=precision)
     y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
     y = _restore_axis(y, moved)
@@ -440,11 +437,11 @@ def savgol2d_apply_masked(
     rhs = correlate2d_valid(xzp * wp if weighted else xzp,
                             qw, precision)               # (..., P, R, C)
 
-    P = nterms
-    gramN = jnp.moveaxis(gram, -3, -1)                   # (..., R, C, Kp)
-    G = jnp.take(gramN, jnp.asarray(pair_index.reshape(-1)), axis=-1)
-    G = G.reshape(gramN.shape[:-1] + (P, P))             # (..., R, C, P, P)
-    r = jnp.moveaxis(rhs, -3, -1)[..., None]             # (..., R, C, P, 1)
+    # planes-first layout: the per-pixel P x P Gram is NEVER materialized
+    # with (P, P) minor dims (TPU tile-padding would blow it up ~20x at
+    # P = 10 — see ops/lsq.py::cholesky_solve_planes)
+    gramP = jnp.moveaxis(gram, -3, 0)                    # (Kp, ..., R, C)
+    rhsP = jnp.moveaxis(rhs, -3, 0)                      # (P, ..., R, C)
 
     if weighted:
         # positive-weight count needs its own box correlation (the Gram's
@@ -453,28 +450,19 @@ def savgol2d_apply_masked(
         count = correlate2d_valid((wp > 0).astype(dtype), ones, precision)
     else:
         # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx)
-        count = G[..., 0, 0] * (wy * wx)
+        count = gramP[pair_index[0, 0]] * (wy * wx)
     quorum = count >= (kmin - 0.5)
-    eye = jnp.eye(P, dtype=dtype)
-    G_safe = jnp.where(quorum[..., None, None], G, eye)
-    L = jnp.linalg.cholesky(G_safe)                      # NaN on non-PD
-    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
-    dmax = jnp.max(jnp.abs(diag), axis=-1)
-    identifiable = (jnp.isfinite(diag).all(axis=-1)
-                    & (jnp.min(diag, axis=-1)
-                       > np.sqrt(rcond) * jnp.maximum(dmax, 1e-30)))
-    ok = quorum & identifiable
-    L_safe = jnp.where(ok[..., None, None], L, eye)
-    z = solve_triangular(L_safe, r, lower=True)
-    coef = solve_triangular(jnp.swapaxes(L_safe, -1, -2), z,
-                            lower=False)[..., 0]         # (..., R, C, P)
+    # Cholesky on entry planes; rcond gates per-pixel identifiability
+    # (degenerate valid sets -> fill), NaN-safe substitution inside
+    coef, ok = cholesky_solve_planes(gramP, pair_index, rhsP, quorum,
+                                     rcond=rcond)        # (P, ..., R, C)
 
     p_idx = mono_index[(int(deriv_x), int(deriv_y))]
     scale = (math.factorial(deriv_x) * math.factorial(deriv_y)
              / float(nx * delta_x) ** deriv_x
              / float(ny * delta_y) ** deriv_y)
     extract = Rinv[p_idx, :] * scale
-    y = jnp.einsum("...k,k->...", coef, jnp.asarray(extract, dtype=dtype),
+    y = jnp.einsum("k...,k->...", coef, jnp.asarray(extract, dtype=dtype),
                    precision=precision)
     y = jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
     return y.astype(restore) if restore is not None else y

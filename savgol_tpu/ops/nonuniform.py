@@ -20,10 +20,11 @@ TPU-first formulation (static shapes, no per-window Python):
 
        min_c sum_j w_j * (x[p+j] - sum_q c_q (u_j/s)^q)^2
 
-   via one batched reduced QR over the position axis — error
-   ~cond(A)*eps, the same accuracy story as ``solver="qr"`` on the
-   masked path (normal equations are hopeless here: the Gram changes
-   at every position AND its conditioning is data-dependent).
+   via batched shifted CholeskyQR3 (ops/lsq.py) over the position axis
+   — Householder QR's ~cond(A)*eps error class from MXU-shaped matmuls,
+   the same accuracy story as ``solver="qr"`` on the masked path
+   (normal equations are hopeless here: the Gram changes at every
+   position AND its conditioning is data-dependent).
 3. The d-th derivative at the center is ``c_d * d! / s^d``; positions
    whose window has fewer than ``min_points`` valid samples, or whose
    valid abscissae are numerically non-identifying (e.g. all
@@ -43,10 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.scipy.linalg import solve_triangular
 
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis)
+from savgol_tpu.ops.lsq import cholqr_lstsq, sliding_windows
 
 __all__ = ["savgol_apply_nonuniform", "savgol_resample"]
 
@@ -158,10 +159,11 @@ def savgol_apply_nonuniform(
     wp = jnp.pad(wts, pad)                  # out-of-range invalid
     tzp = jnp.pad(tz, pad)
 
-    idx = jnp.arange(n_out)[:, None] + jnp.arange(ws)[None, :]
-    xw = jnp.take(xzp, idx, axis=-1)                    # (..., N, ws)
-    mw = jnp.take(wp, idx, axis=-1)
-    u = (jnp.take(tzp, idx, axis=-1)
+    # shifted-slice windows (ops/lsq.py), not a minor-axis gather TPUs
+    # would serialize
+    xw = sliding_windows(xzp, ws)                       # (..., N, ws)
+    mw = sliding_windows(wp, ws)
+    u = (sliding_windows(tzp, ws)
          - tl[..., :, None]).astype(dtype)              # (..., N, ws)
     u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # pads/holes -> 0
 
@@ -200,18 +202,17 @@ def _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted, precision):
     A = sw[..., None] * powers                          # (..., P, ws, m+1)
     A_safe = jnp.where(quorum[..., None, None], A,
                        jnp.eye(ws, m + 1, dtype=dtype))
-    qf, rf = jnp.linalg.qr(A_safe)                      # reduced
+    # shifted CholeskyQR3 (ops/lsq.py): Householder-QR error class from
+    # MXU-shaped matmuls; its implicit diag(R) drives the same
+    # identifiability test the explicit QR factor used to
+    coef, rdiag, finite = cholqr_lstsq(A_safe, sw * xw,
+                                       precision=precision)
     # identifiability: coincident / near-coincident valid abscissae make
     # column q >= 1 dependent — visible as a collapsed diag(R) entry
-    rdiag = jnp.abs(jnp.diagonal(rf, axis1=-2, axis2=-1))
-    identifiable = (rdiag.min(axis=-1)
-                    > rcond * jnp.maximum(rdiag.max(axis=-1), 1e-30))
+    identifiable = finite & (rdiag.min(axis=-1)
+                             > rcond * jnp.maximum(rdiag.max(axis=-1),
+                                                   1e-30))
     ok = quorum & identifiable
-
-    z = jnp.einsum("...ji,...j->...i", qf, sw * xw, precision=precision)
-    rf_safe = jnp.where(ok[..., None, None], rf,
-                        jnp.eye(m + 1, dtype=dtype))
-    coef = solve_triangular(rf_safe, z[..., None], lower=False)[..., 0]
 
     # d-th derivative at the evaluation point in t-units: c_d * d! / s^d
     y = coef[..., d] * (float(math.factorial(d)) / s ** d)

@@ -2036,6 +2036,29 @@ def correlate2d_valid_pallas_sep(x: jax.Array, w, rows: int = _ROWS2D,
 # K-stencil bank kernel: one input read, K outputs
 # ---------------------------------------------------------------------------
 
+_BANK_VMEM_BUDGET = 10 * 1024 * 1024  # of ~16 MB/core scoped VMEM
+
+
+def _bank_tile_cap(K: int, rows: int, cols: int, esize: int,
+                   row_quantum: int) -> tuple[int, int]:
+    """Shrink (rows, cols) until the bank kernels' VMEM footprint fits.
+
+    The K-deep output block dominates: double-buffered it costs
+    2*K*rows*cols*esize, plus the input slab 2*rows*(cols+128)*esize and
+    (MXU variant) the K stationary band pairs 2*K*2*128*128*esize. At the
+    wrapper defaults (K=15, rows=64, cols=2048, f32) that is ~21 MB —
+    over the ~16 MB/core cap (observed RESOURCE_EXHAUSTED on v5e for the
+    masked path's 15-pair Gram bank). Halve cols to its 128-lane floor,
+    then rows to its quantum, keeping the total under _BANK_VMEM_BUDGET."""
+    def fp(r, c):
+        return 2 * esize * (K * r * c + r * (c + _LANES)
+                            + K * 2 * _LANES * _LANES)
+    while cols > _LANES and fp(rows, cols) > _BANK_VMEM_BUDGET:
+        cols = max(_LANES, cols // 2 // _LANES * _LANES)
+    while rows > row_quantum and fp(rows, cols) > _BANK_VMEM_BUDGET:
+        rows = max(row_quantum, rows // 2 // row_quantum * row_quantum)
+    return rows, cols
+
 
 def _bank_kernel(w_ref, x_ref, halo_ref, o_ref, *, ws: int, K: int):
     """out[k, :, j] = sum_t w[k, t] * xw[:, j + t] for all K stencils.
@@ -2181,14 +2204,17 @@ def correlate_valid_bank_pallas_mxu(x: jax.Array, w: jax.Array,
         xh, R = _fold_rows(xb, n_out)
         BR = xh.shape[0]
         rows_f = min(rows, _round_up(BR, rq))
+        rows_f, cols_f = _bank_tile_cap(K, rows_f, _FOLD_S,
+                                        x.dtype.itemsize, rq)
         xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
-        out = _bank_mxu_call(xh, bands, rows_f, _FOLD_S, _FOLD_S,
+        out = _bank_mxu_call(xh, bands, rows_f, cols_f, _FOLD_S,
                              interpret, mxu_precision)
         out = out[:, :BR].reshape(K, B, R * _FOLD_S)[:, :, :n_out]
         return out.reshape((K,) + batch_shape + (n_out,))
 
     rows = min(rows, _round_up(B, rq))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    rows, cols = _bank_tile_cap(K, rows, cols, x.dtype.itemsize, rq)
     Bp = _round_up(B, rows)
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
@@ -2225,13 +2251,16 @@ def correlate_valid_bank_pallas(x: jax.Array, w: jax.Array,
         xh, R = _fold_rows(xb, n_out)
         BR = xh.shape[0]
         rows_f = min(rows, _round_up(BR, _SUBLANES))
+        rows_f, cols_f = _bank_tile_cap(K, rows_f, _FOLD_S,
+                                        x.dtype.itemsize, _SUBLANES)
         xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
-        out = _bank_call(xh, w, rows_f, _FOLD_S, interpret)
+        out = _bank_call(xh, w, rows_f, cols_f, interpret)
         out = out[:, :BR].reshape(K, B, R * _FOLD_S)[:, :, :n_out]
         return out.reshape((K,) + batch_shape + (n_out,))
 
     rows = min(rows, _round_up(B, _SUBLANES))
     cols = min(cols, _round_up(max(n_out, _LANES), _LANES))
+    rows, cols = _bank_tile_cap(K, rows, cols, x.dtype.itemsize, _SUBLANES)
     Bp = _round_up(B, rows)
     n_out_p = _round_up(n_out, cols)
     Np = n_out_p + _LANES
