@@ -161,6 +161,85 @@ class TestSharded2D:
                             mesh=mesh8, scale=f2.scale)
 
 
+class TestTiled2D:
+    """Two-axis (rows x cols) mesh tiling: column halos ride the second
+    mesh dimension; corners arrive transitively through the row exchange
+    of the column-extended tile."""
+
+    @pytest.fixture(scope="class")
+    def mesh_rc(self):
+        return make_mesh(("seq", "cols"), shape=(2, 4))
+
+    @pytest.mark.parametrize("boundary", [sg.Boundary2D.CONSTANT,
+                                          sg.Boundary2D.REFLECT,
+                                          sg.Boundary2D.PERIODIC,
+                                          sg.Boundary2D.VALID])
+    def test_matches_single_device(self, mesh_rc, boundary):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(rng.standard_normal((64, 48)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2), dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            img, f2.weights, mesh=mesh_rc, boundary=boundary,
+            scale=f2.scale, col_axis="cols"))
+        want = np.asarray(f2.apply(img, boundary=boundary))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_rectangular_window_and_batch(self, mesh_rc):
+        # asymmetric ny != nx exercises distinct halo widths per axis;
+        # leading batch dims stay unsharded here (row/col mesh is full)
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(12)
+        imgs = jnp.asarray(rng.standard_normal((3, 32, 40)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(4, 2, 2), dtype=F64)
+        got = np.asarray(apply2d_sharded(
+            imgs, f2.weights, mesh=mesh_rc, scale=f2.scale,
+            batch_axis=None, col_axis="cols"))
+        want = np.asarray(f2.apply(imgs))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_gradient_matches_single_device(self, mesh_rc):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        rng = np.random.default_rng(13)
+        img = jnp.asarray(rng.standard_normal((32, 32)), dtype=F64)
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(2, 2, 2), dtype=F64)
+
+        def loss_sharded(v):
+            return jnp.sum(apply2d_sharded(
+                v, f2.weights, mesh=mesh_rc, scale=f2.scale,
+                boundary=sg.Boundary2D.PERIODIC, col_axis="cols") ** 2)
+
+        def loss_single(v):
+            return jnp.sum(
+                f2.apply(v, boundary=sg.Boundary2D.PERIODIC) ** 2)
+
+        g1 = np.asarray(jax.grad(loss_sharded)(img))
+        g2 = np.asarray(jax.grad(loss_single)(img))
+        np.testing.assert_allclose(g1, g2, atol=1e-12)
+
+    def test_col_shard_constraints(self, mesh_rc):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2), dtype=F64)
+        with pytest.raises(ValueError, match="divide evenly"):
+            apply2d_sharded(jnp.zeros((64, 42), dtype=F64), f2.weights,
+                            mesh=mesh_rc, scale=f2.scale, col_axis="cols")
+        with pytest.raises(ValueError, match="window width"):
+            apply2d_sharded(jnp.zeros((64, 24), dtype=F64), f2.weights,
+                            mesh=mesh_rc, scale=f2.scale, col_axis="cols")
+        with pytest.raises(ValueError, match="mesh dimension"):
+            apply2d_sharded(jnp.zeros((64, 48), dtype=F64), f2.weights,
+                            mesh=mesh_rc, scale=f2.scale, col_axis="nope")
+
+    def test_rdma_tiled_needs_hardware(self, mesh_rc):
+        from savgol_tpu.parallel.sharded2d import apply2d_sharded
+        f2 = sg.Savgol2D.create(sg.Savgol2DConfig(3, 2, 2), dtype=F64)
+        with pytest.raises(NotImplementedError, match="rdma"):
+            apply2d_sharded(jnp.zeros((64, 48), dtype=F64), f2.weights,
+                            mesh=mesh_rc, scale=f2.scale,
+                            col_axis="cols", halo="rdma")
+
+
 class TestShardedFastPaths:
     """The per-shard local correlation must run on the same fast kernels as
     the single-chip path (VERDICT: the multi-chip story must compose the
