@@ -337,6 +337,71 @@ def main():
     for k, v in gates.items():
         assert v <= 2e-5, f"hardware parity gate failed: {k} err {v:.3e}"
 
+    # ---- masked / nonuniform capability paths (chained) -------------------
+    # VERDICT r03 #2: the flagship capabilities must carry numbers like the
+    # stencil paths do. Chained k-difference, deadline-guarded per row.
+    masked_rates = {}
+    if _time_left(800):
+        _note("masked/nonuniform chained metrics")
+        from savgol_tpu.ops.masked import (savgol_apply_masked,
+                                           savgol2d_apply_masked)
+        from savgol_tpu.ops.nonuniform import savgol_apply_nonuniform
+        xm_np = np.asarray(rng.standard_normal((64, 131_072)),
+                           dtype=np.float32)
+        xm_np[rng.random(xm_np.shape) < 0.2] = np.nan
+        xm = jnp.asarray(xm_np)
+        mk = jnp.asarray(np.isfinite(xm_np))
+
+        # hardware parity gate first (small shape): TPU bank/plane pipeline
+        # vs the XLA method twin on the same data on-chip
+        ym_tpu = np.asarray(jax.jit(lambda v: savgol_apply_masked(
+            v, half_window=12, poly_order=4, mask=mk[:2, :8192],
+            fill=0.0))(xm[:2, :8192]))
+        ym_xla = np.asarray(jax.jit(lambda v: savgol_apply_masked(
+            v, half_window=12, poly_order=4, mask=mk[:2, :8192],
+            fill=0.0, method="xla"))(xm[:2, :8192]))
+        gates["masked_vs_xla"] = float(np.abs(ym_tpu - ym_xla).max())
+        assert gates["masked_vs_xla"] <= 2e-4, (
+            f"masked hw parity: {gates['masked_vs_xla']:.3e}")
+
+        per = _bench_chained(lambda v: savgol_apply_masked(
+            v, half_window=12, poly_order=4, mask=mk, fill=0.0), xm)
+        if per is not None:
+            masked_rates["masked1d_normal_gs_s"] = round(
+                xm.size / per / 1e9, 3)
+        if _time_left(700):
+            xq = xm[:8]
+            per = _bench_chained(lambda v: savgol_apply_masked(
+                v, half_window=12, poly_order=4, mask=mk[:8], fill=0.0,
+                solver="qr"), xq)
+            if per is not None:
+                masked_rates["masked1d_qr_gs_s"] = round(
+                    xq.size / per / 1e9, 3)
+        if _time_left(650):
+            im_np = np.asarray(rng.standard_normal((1024, 1024)),
+                               dtype=np.float32)
+            im_np[rng.random(im_np.shape) < 0.2] = np.nan
+            imj = jnp.asarray(im_np)
+            mk2 = jnp.asarray(np.isfinite(im_np))
+            per = _bench_chained(lambda v: savgol2d_apply_masked(
+                v, half_window_x=5, half_window_y=5, poly_order=3,
+                mask=mk2, fill=0.0), imj)
+            if per is not None:
+                masked_rates["masked2d_mpix_s"] = round(
+                    imj.size / per / 1e6, 1)
+        if _time_left(600):
+            tn = jnp.asarray(np.cumsum(
+                rng.random((8, 131_072)) + 0.5, axis=-1), dtype=jnp.float32)
+            xn = jnp.asarray(rng.standard_normal((8, 131_072)),
+                             dtype=jnp.float32)
+            per = _bench_chained(lambda v: savgol_apply_nonuniform(
+                v, tn, half_window=12, poly_order=4, fill=0.0), xn)
+            if per is not None:
+                masked_rates["nonuniform_gs_s"] = round(
+                    xn.size / per / 1e9, 3)
+    else:
+        _note("SKIP masked/nonuniform metrics (deadline)")
+
     # ---- native host engine vs the compiled reference (pure CPU) ---------
     # The reference's only published benchmark is host-CPU Msamples/s
     # (test/iterative/test_savgol_main.c:136-155); benchmarks/bench_native.py
@@ -405,6 +470,7 @@ def main():
             "native_host_vs_reference_geomean_speedup_2d": native_speedup_2d,
             "native_host_rows": native_rows,
             "native_host_rows_2d": native_rows_2d,
+            "masked_nonuniform": masked_rates or None,
             "max_abs_err_vs_scipy_f64": max_err,
             "max_abs_err_bf16_vs_xla": err_bf16,
             "path_errors": path_errors,

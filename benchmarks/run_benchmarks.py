@@ -15,6 +15,8 @@ Configs (BASELINE.json):
   4. 2D: 2048x2048 image, 11x11 window, order-3 fit.
   5. Batched multi-channel: 8192 channels x 1M samples (chunked to fit
      HBM), fused on-device weight-gen + conv, vmapped (n,m) sweep.
+  6. Masked / nonuniform capability paths (beyond-reference) with their
+     pipeline rooflines: masked 1D normal, masked 2D, nonuniform.
 """
 
 from __future__ import annotations
@@ -267,15 +269,77 @@ def bench_5(quick):
           sweep_6cfg_gsamples_s=round(6 * xs.size / secs_sw / 1e9, 3))
 
 
+def bench_6(quick):
+    """Masked / nonuniform capability paths (beyond-reference), each with
+    its pipeline roofline (utils/roofline.py) — VERDICT r03 #2."""
+    import jax, jax.numpy as jnp
+
+    from savgol_tpu.ops.masked import (savgol_apply_masked,
+                                       savgol2d_apply_masked)
+    from savgol_tpu.ops.nonuniform import savgol_apply_nonuniform
+    from savgol_tpu.utils.roofline import (speed_of_light_masked_1d,
+                                           speed_of_light_masked_2d,
+                                           speed_of_light_nonuniform)
+
+    rng = np.random.default_rng(6)
+    out = {}
+
+    B, N = (16, 65_536) if quick else (64, 131_072)
+    xm_np = rng.standard_normal((B, N)).astype(np.float32)
+    xm_np[rng.random(xm_np.shape) < 0.2] = np.nan
+    xm = jnp.asarray(xm_np)
+    mk = jnp.asarray(np.isfinite(xm_np))
+    secs = _t_chain(lambda v: savgol_apply_masked(
+        v, half_window=12, poly_order=4, mask=mk, fill=0.0), xm,
+        iters=2 if quick else 5)
+    rl = speed_of_light_masked_1d(4, shape=(B, N))
+    out["masked1d_normal"] = dict(
+        gsamples_s=round(B * N / secs / 1e9, 3),
+        roofline_gs_s=round(rl.ceiling_per_s / 1e9, 2),
+        roofline_pct=round(100 * (B * N / secs) / rl.ceiling_per_s, 1),
+        bound=rl.bound)
+
+    R = 512 if quick else 1024
+    im_np = rng.standard_normal((R, R)).astype(np.float32)
+    im_np[rng.random(im_np.shape) < 0.2] = np.nan
+    imj = jnp.asarray(im_np)
+    mk2 = jnp.asarray(np.isfinite(im_np))
+    secs = _t_chain(lambda v: savgol2d_apply_masked(
+        v, half_window_x=5, half_window_y=5, poly_order=3, mask=mk2,
+        fill=0.0), imj, iters=2 if quick else 5)
+    rl = speed_of_light_masked_2d(11, 11, 3, shape=(R, R))
+    out["masked2d_o3"] = dict(
+        mpix_s=round(R * R / secs / 1e6, 1),
+        roofline_mpix_s=round(rl.ceiling_per_s / 1e6, 1),
+        roofline_pct=round(100 * (R * R / secs) / rl.ceiling_per_s, 1),
+        bound=rl.bound)
+
+    Bn = 2 if quick else 8
+    tn = jnp.asarray(np.cumsum(rng.random((Bn, N)) + 0.5, axis=-1),
+                     dtype=jnp.float32)
+    xn = jnp.asarray(rng.standard_normal((Bn, N)).astype(np.float32))
+    secs = _t_chain(lambda v: savgol_apply_nonuniform(
+        v, tn, half_window=12, poly_order=4, fill=0.0), xn,
+        iters=2 if quick else 5)
+    rl = speed_of_light_nonuniform(12, 4, shape=(Bn, N))
+    out["nonuniform"] = dict(
+        gsamples_s=round(Bn * N / secs / 1e9, 3),
+        roofline_gs_s=round(rl.ceiling_per_s / 1e9, 3),
+        roofline_pct=round(100 * (Bn * N / secs) / rl.ceiling_per_s, 1),
+        bound=rl.bound)
+
+    _emit("6_masked_nonuniform", **out)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     import jax
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     table = {"1": bench_1, "2": bench_2, "3": bench_3, "4": bench_4,
-             "5": bench_5}
+             "5": bench_5, "6": bench_6}
     for c in args.configs.split(","):
         table[c.strip()](args.quick)
 

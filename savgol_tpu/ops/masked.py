@@ -229,28 +229,30 @@ def savgol_apply_masked(
         wp = jnp.pad(wts, pad, mode=mode)
 
     if solver == "qr":
-        # Accuracy mode: per-position (weighted) masked design
-        # A = diag(sqrt(w)) Q solved by shifted CholeskyQR3 (ops/lsq.py)
-        # — Householder QR's forward-error class up to cond(A) ~ 1/eps
-        # (covers exactly-determined hole-starved windows, cond ~1e5),
-        # but built from MXU-shaped matmuls instead of XLA's blocked
-        # Householder. Windows come from shifted slices (TPU-serialized
-        # gathers avoided). Costs the (..., N, ws) window tensor;
-        # static-shape, differentiable.
-        from savgol_tpu.ops.lsq import cholqr_lstsq, sliding_windows
-        mw = sliding_windows(wp, ws)                    # (..., N, ws)
-        xw = sliding_windows(xzp, ws)
-        count = jnp.sum(mw > 0, axis=-1)
-        ok = count >= kmin
-        sw = jnp.sqrt(mw) if weighted else mw           # binary: sqrt==id
-        qmat = jnp.asarray(Q, dtype=dtype)              # (ws, m+1)
-        A = sw[..., None] * qmat                        # (..., N, ws, m+1)
-        A_safe = jnp.where(ok[..., None, None], A,
-                           jnp.eye(ws, m + 1, dtype=dtype))
-        coef, _, finite = cholqr_lstsq(A_safe, sw * xw,
-                                       precision=precision)
-        ok &= finite        # non-finite factorization windows -> fill
-        coef = jnp.moveaxis(coef, -1, 0)                # planes (m+1, ..., N)
+        # Accuracy mode, PLANE-shaped: compensated (double-word) Gram and
+        # rhs formation + double-word plane Cholesky (ops/lsq.py). The
+        # solution error is ~cond(G) * eps_dd (eps_dd ~ 2^-48 in f32) —
+        # below Householder QR's cond(A) * eps for every window the mode
+        # exists for, including exactly-determined hole-starved ones
+        # (cond(A) ~ 1e5). The former design-tensor QR measured 0.001
+        # Gs/s on v5e: its (ws, m+1) minor dims tile-pad ~30x and batched
+        # tiny QR serializes; this form is the same bank-plane pipeline
+        # as solver="normal" at ~eps^2 precision. (Weighted fits round
+        # the x*w product once in working precision before the
+        # compensated accumulation — one eps of irreducible data error.)
+        from savgol_tpu.ops.lsq import (cholesky_solve_planes_dd,
+                                        correlate_valid_dd)
+        gram_hi, gram_lo = correlate_valid_dd(wp, pair_w)
+        rhs_hi, rhs_lo = correlate_valid_dd(
+            xzp * wp if weighted else xzp, Q.T)
+        if weighted:
+            ones = np.ones((1, ws))
+            count = correlate_valid_dd((wp > 0).astype(dtype), ones)[0][0]
+        else:
+            count = gram_hi[pair_index[0, 0]] * ws
+        ok = count >= (kmin - 0.5)
+        coef, ok = cholesky_solve_planes_dd(
+            gram_hi, gram_lo, pair_index, rhs_hi, rhs_lo, ok)
     else:
         qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
         pw = jnp.asarray(pair_w, dtype=dtype)           # (Kp, ws)

@@ -193,9 +193,18 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
     elif m == "mxu":
         from savgol_tpu.ops.apply import correlate_valid_mxu
         y = jax.vmap(lambda w: correlate_valid_mxu(xp, w))(center)
+    elif m == "mxu_bank":
+        # ONE kernel for all C configs: the K-stencil MXU bank shares a
+        # single folded input pass across the per-config band pairs,
+        # killing the C x 0.6-0.9 ms per-launch fixed cost of the
+        # vmapped einsum form (benchmarks/probe_sweep.py)
+        from savgol_tpu.ops.pallas_conv import \
+            correlate_valid_bank_pallas_mxu
+        y = correlate_valid_bank_pallas_mxu(xp, center)
     else:
         raise ValueError(
-            f"method must be 'auto', 'xla', 'pallas' or 'mxu', got {m!r}")
+            f"method must be 'auto', 'xla', 'pallas', 'mxu' or "
+            f"'mxu_bank', got {m!r}")
 
     if boundary is BoundaryMode.POLYNOMIAL:
         win = min(_M, N)          # N >= 2*max_n+1 may still be < _M

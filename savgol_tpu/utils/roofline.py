@@ -34,7 +34,8 @@ from __future__ import annotations
 import dataclasses
 
 __all__ = ["ChipSpec", "V5E", "Roofline", "speed_of_light_1d",
-           "speed_of_light_2d"]
+           "speed_of_light_2d", "speed_of_light_masked_1d",
+           "speed_of_light_masked_2d", "speed_of_light_nonuniform"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,6 +163,90 @@ def speed_of_light_1d(shape, *, dtype="float32", method: str = "auto",
     macs = 256.0 if family == "mxu" else 0.0
     return _build(elements, macs, passes if family == "mxu" else 0,
                   b, b, chip)
+
+
+def speed_of_light_masked_1d(poly_order: int, *, shape, dtype="float32",
+                             chip: ChipSpec = V5E) -> Roofline:
+    """Roofline for the masked 1D NORMAL pipeline (ops/masked.py).
+
+    Models the pipeline as built: padded value/weight copies, the
+    Kp = (m+1)(m+2)/2 Gram + (m+1) rhs bank correlations (banded MXU,
+    HIGHEST = 6 passes, 256 MACs per stencil output), each plane written
+    to and re-read from HBM by the fused plane-Cholesky solve. This is
+    the PIPELINE ceiling, not an information-theoretic one — a future
+    fully-fused gram+solve kernel could beat it (the irreducible traffic
+    is just x + mask in, y out).
+    """
+    m = int(poly_order)
+    kp = (m + 1) * (m + 2) // 2
+    elements = 1
+    for s in shape:
+        elements *= int(s)
+    b = _nbytes(dtype)
+    # x in + mask(1B) + xzp/wp pad copies (w+r each) + gram/rhs planes
+    # (w+r each) + y out
+    bytes_per = b + 1 + 4 * b + 2 * b * kp + 2 * b * (m + 1) + b
+    macs = (kp + m + 1) * 256.0
+    mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
+    hbm_bytes = float(elements) * bytes_per
+    return Roofline(elements=elements, mxu_flops=mxu_flops,
+                    hbm_bytes=hbm_bytes,
+                    mxu_bound_s=mxu_flops / (chip.bf16_tflops * 1e12),
+                    hbm_bound_s=hbm_bytes / (chip.hbm_gbps * 1e9),
+                    chip=chip)
+
+
+def speed_of_light_masked_2d(window_h: int, window_w: int, poly_order: int,
+                             *, shape, dtype="float32",
+                             chip: ChipSpec = V5E) -> Roofline:
+    """Roofline for the masked 2D pipeline: P = (m+1)(m+2)/2 bivariate
+    terms, Kp = P(P+1)/2 Gram-pair 2D correlations (XLA conv at HIGHEST,
+    wh*ww MACs per stencil output) + P rhs correlations, planes written
+    and re-read by the plane-Cholesky solve."""
+    m = int(poly_order)
+    p = (m + 1) * (m + 2) // 2
+    kp = p * (p + 1) // 2
+    elements = 1
+    for s in shape:
+        elements *= int(s)
+    b = _nbytes(dtype)
+    bytes_per = b + 1 + 4 * b + 2 * b * kp + 2 * b * p + b
+    macs = (kp + p) * float(window_h * window_w)
+    mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
+    hbm_bytes = float(elements) * bytes_per
+    return Roofline(elements=elements, mxu_flops=mxu_flops,
+                    hbm_bytes=hbm_bytes,
+                    mxu_bound_s=mxu_flops / (chip.bf16_tflops * 1e12),
+                    hbm_bound_s=hbm_bytes / (chip.hbm_gbps * 1e9),
+                    chip=chip)
+
+
+def speed_of_light_nonuniform(half_window: int, poly_order: int, *, shape,
+                              dtype="float32",
+                              chip: ChipSpec = V5E) -> Roofline:
+    """Roofline for the nonuniform per-window LS pipeline: the
+    (..., N, ws) window/weight/offset tensors and the (..., N, ws, m+1)
+    design are MATERIALIZED (written + read back), then CholeskyQR3 runs
+    3 Gram passes of ws*(m+1)^2 MACs per position at HIGHEST. The
+    materialization dominates — this documents the measured bound the
+    VERDICT asked for; beating it needs a fused window-gather+solve
+    kernel."""
+    ws = 2 * int(half_window) + 1
+    k = int(poly_order) + 1
+    elements = 1
+    for s in shape:
+        elements *= int(s)
+    b = _nbytes(dtype)
+    # xw/mw/u windows (w+r each) + powers + A (w+r, k*ws wide) + y
+    bytes_per = 3 * b + 3 * 2 * b * ws + 2 * b * ws * k + b
+    macs = 3.0 * ws * k * k + 2.0 * ws * k     # 3 Grams + 2 apply passes
+    mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
+    hbm_bytes = float(elements) * bytes_per
+    return Roofline(elements=elements, mxu_flops=mxu_flops,
+                    hbm_bytes=hbm_bytes,
+                    mxu_bound_s=mxu_flops / (chip.bf16_tflops * 1e12),
+                    hbm_bound_s=hbm_bytes / (chip.hbm_gbps * 1e9),
+                    chip=chip)
 
 
 def speed_of_light_2d(window_h: int, *, shape, dtype="float32",
