@@ -23,17 +23,26 @@ TPU-first formulation (no per-window loop, no dynamic shapes):
    ``r`` needs the m+1 basis kernels against the masked input. Both ride
    the same K-stencil bank kernels as ``SavgolBank`` (one input pass on
    the MXU for all K stencils).
-3. One batched (m+1)x(m+1) solve per position (``jnp.linalg.solve`` over
-   the position axis), then the derivative-at-center row extracts the
-   output. Positions with fewer than ``min_points`` valid samples are
-   filled with ``fill`` (default NaN) through a safe-solve select.
+3. One (m+1)x(m+1) SPD solve per position, executed on the Gram ENTRY
+   PLANES (ops/lsq.py, ops/pallas_solve.py): the tiny system is never
+   materialized with (k, k) minor dims — TPU tiling pads those ~30-40x
+   (a measured 34 GB HBM allocation for a 0.8 GB logical tensor) — and
+   the unrolled Cholesky + compensated refinement runs as fused
+   elementwise ops (one Pallas VMEM pass on TPU). The
+   derivative-at-center row extracts the output; positions with fewer
+   than ``min_points`` valid samples are filled with ``fill`` (default
+   NaN) through a safe-solve select.
 
 Accuracy note: the normal equations square the masked design's condition
-number, so in f32 a hole-starved edge window (cond(A) ~ 1e3) can lose
-~cond(A)^2 * eps ~ 1e-2 relative accuracy. ``solver="qr"`` instead
-QR-factors the masked (ws, m+1) design per position — error ~cond(A)*eps
-(~5e-5 worst-case) at the cost of materializing the (…, N, ws) window
-tensor (ws x input memory) and a batched small QR. The default
+number; the compensated refinement removes the SOLVE's share of that
+(converging to the exact solution of the stored (G, r)), leaving the
+Gram FORMATION error ~cond(A)^2 * ws * eps — in f32 a hole-starved edge
+window (cond(A) ~ 1e3) can still lose ~1e-2 relative accuracy.
+``solver="qr"`` forms G and r in compensated double-word arithmetic and
+solves in the double-word plane Cholesky — error below Householder QR's
+cond(A)*eps class for every window up to cond ~ 1/eps (measured 1.1e-5
+vs f64 lstsq through exactly-determined hole-starved windows), on the
+same plane-shaped pipeline at ~3-5x the cost. The default
 ``solver="normal"`` stays on the fixed-stencil MXU bank path.
 
 Edge handling: ``boundary="truncate"`` (default) treats out-of-range
@@ -56,7 +65,8 @@ from savgol_tpu.config import (PAD_MODE, Boundary2D, BoundaryMode,
                                Savgol2DConfig, num_terms_2d)
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis, correlate_valid)
-from savgol_tpu.ops.lsq import cholesky_solve_planes
+from savgol_tpu.ops.pallas_solve import (plane_cholesky_solve,
+                                         plane_cholesky_solve_dd)
 
 __all__ = ["savgol_apply_masked", "savgol2d_apply_masked"]
 
@@ -240,8 +250,7 @@ def savgol_apply_masked(
         # as solver="normal" at ~eps^2 precision. (Weighted fits round
         # the x*w product once in working precision before the
         # compensated accumulation — one eps of irreducible data error.)
-        from savgol_tpu.ops.lsq import (cholesky_solve_planes_dd,
-                                        correlate_valid_dd)
+        from savgol_tpu.ops.lsq import correlate_valid_dd
         gram_hi, gram_lo = correlate_valid_dd(wp, pair_w)
         rhs_hi, rhs_lo = correlate_valid_dd(
             xzp * wp if weighted else xzp, Q.T)
@@ -251,7 +260,7 @@ def savgol_apply_masked(
         else:
             count = gram_hi[pair_index[0, 0]] * ws
         ok = count >= (kmin - 0.5)
-        coef, ok = cholesky_solve_planes_dd(
+        coef, ok = plane_cholesky_solve_dd(
             gram_hi, gram_lo, pair_index, rhs_hi, rhs_lo, ok)
     else:
         qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
@@ -272,7 +281,7 @@ def savgol_apply_masked(
         ok = count >= (kmin - 0.5)                      # robust int compare
         # per-position k x k solve on ENTRY PLANES (ops/lsq.py) — a
         # (..., N, k, k) Gram tensor would be tile-padded 41x on TPU
-        coef, ok = cholesky_solve_planes(gram, pair_index, rhs, ok)
+        coef, ok = plane_cholesky_solve(gram, pair_index, rhs, ok)
 
     # d-th derivative at the window center, in user units:
     #   y = sum_a coef_a * phi_a^(d)(0) / (n*dt)^d,  phi_a^(d)(0) = d! Rinv[d,a]
@@ -456,7 +465,7 @@ def savgol2d_apply_masked(
     quorum = count >= (kmin - 0.5)
     # Cholesky on entry planes; rcond gates per-pixel identifiability
     # (degenerate valid sets -> fill), NaN-safe substitution inside
-    coef, ok = cholesky_solve_planes(gramP, pair_index, rhsP, quorum,
+    coef, ok = plane_cholesky_solve(gramP, pair_index, rhsP, quorum,
                                      rcond=rcond)        # (P, ..., R, C)
 
     p_idx = mono_index[(int(deriv_x), int(deriv_y))]

@@ -20,11 +20,12 @@ TPU-first formulation (static shapes, no per-window Python):
 
        min_c sum_j w_j * (x[p+j] - sum_q c_q (u_j/s)^q)^2
 
-   via batched shifted CholeskyQR3 (ops/lsq.py) over the position axis
-   — Householder QR's ~cond(A)*eps error class from MXU-shaped matmuls,
-   the same accuracy story as ``solver="qr"`` on the masked path
-   (normal equations are hopeless here: the Gram changes at every
-   position AND its conditioning is data-dependent).
+   via weighted MOMENT planes: the Gram of the normalized Vandermonde
+   is a Hankel of 2m+1 moments per window, accumulated in double-word
+   arithmetic and solved by the double-word plane Cholesky (ops/lsq.py)
+   — better than Householder QR's ~cond(A)*eps error class, the same
+   accuracy story as ``solver="qr"`` on the masked path, with zero
+   (window, terms) tensors for the TPU to tile-pad.
 3. The d-th derivative at the center is ``c_d * d! / s^d``; positions
    whose window has fewer than ``min_points`` valid samples, or whose
    valid abscissae are numerically non-identifying (e.g. all
@@ -47,7 +48,7 @@ from jax import lax
 
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis)
-from savgol_tpu.ops.lsq import cholqr_lstsq, sliding_windows
+from savgol_tpu.ops.lsq import sliding_windows
 
 __all__ = ["savgol_apply_nonuniform", "savgol_resample"]
 
@@ -179,7 +180,20 @@ def _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted, precision):
     ``xw / mw / u`` are (..., P, ws): window values, weights (0 = missing)
     and abscissa offsets from each window's EVALUATION point. Returns the
     (..., P) d-th derivatives at those points (``fill`` where the window
-    is under-quorum or non-identifying)."""
+    is under-quorum or non-identifying).
+
+    TPU-shaped solve: the per-window Gram of the Vandermonde design is a
+    HANKEL of weighted moments — G[i, j] = S_{i+j} with
+    S_p = sum_t w_t (u_t/s)^p — so only 2m+1 unique entries exist per
+    window. They are accumulated tap-by-tap in double-word arithmetic
+    (~eps^2 formation error; ops/lsq.py) as pure elementwise plane ops,
+    and the k x k solve runs in the double-word plane Cholesky — no
+    (..., ws, k) design tensor (whose minor dims TPU tile-pads ~30x; the
+    former batched-QR form measured 0.001 Gs/s on v5e) and better than
+    Householder-QR's cond*eps error class for every identifiable window.
+    """
+    from savgol_tpu.ops.lsq import _dd_add, _dd_mul, _split_const
+    from savgol_tpu.ops.pallas_solve import plane_cholesky_solve_dd
     ws = xw.shape[-1]
     dtype = xw.dtype
     count = jnp.sum(mw > 0, axis=-1)
@@ -189,33 +203,37 @@ def _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted, precision):
     # the m=0 local-mean case stays well-defined)
     s = jnp.max(jnp.abs(u), axis=-1)
     s = jnp.where(s > 0, s, jnp.ones((), dtype))        # (..., P)
-    un = u / s[..., None]
-    # design: A[..., j, q] = sqrt(w_j) * (u_j/s)^q, q = 0..m — built by
-    # cumulative products, NOT `un ** arange`: the power-rule VJP of x**q
-    # at q=0 is 0 * x**(-1), NaN at the exact zeros u carries (center
-    # offsets, masked slots)
-    cols = [jnp.ones_like(un)]
-    for _ in range(m):
-        cols.append(cols[-1] * un)
-    powers = jnp.stack(cols, axis=-1)
-    sw = jnp.sqrt(mw) if weighted else mw               # binary: sqrt == id
-    A = sw[..., None] * powers                          # (..., P, ws, m+1)
-    A_safe = jnp.where(quorum[..., None, None], A,
-                       jnp.eye(ws, m + 1, dtype=dtype))
-    # shifted CholeskyQR3 (ops/lsq.py): Householder-QR error class from
-    # MXU-shaped matmuls; its implicit diag(R) drives the same
-    # identifiability test the explicit QR factor used to
-    coef, rdiag, finite = cholqr_lstsq(A_safe, sw * xw,
-                                       precision=precision)
-    # identifiability: coincident / near-coincident valid abscissae make
-    # column q >= 1 dependent — visible as a collapsed diag(R) entry
-    identifiable = finite & (rdiag.min(axis=-1)
-                             > rcond * jnp.maximum(rdiag.max(axis=-1),
-                                                   1e-30))
-    ok = quorum & identifiable
+    sinv = 1.0 / s
+    c = _split_const(dtype)
+    zero = jnp.zeros_like(s)
+
+    n_mom = 2 * m + 1
+    S = [(zero, zero) for _ in range(n_mom)]            # dd moments
+    r = [(zero, zero) for _ in range(m + 1)]            # dd rhs
+    for t in range(ws):
+        w_t = mw[..., t]
+        wx_t = w_t * xw[..., t]
+        un_t = (u[..., t] * sinv, zero)                 # exact-ish tap
+        pw = (jnp.ones_like(s), zero)                   # un_t^p, dd
+        for p in range(n_mom):
+            S[p] = _dd_add(S[p], _dd_mul(pw, (w_t, zero), c))
+            if p <= m:
+                r[p] = _dd_add(r[p], _dd_mul(pw, (wx_t, zero), c))
+            if p + 1 < n_mom:
+                pw = _dd_mul(pw, un_t, c)
+
+    hankel = np.add.outer(np.arange(m + 1), np.arange(m + 1))
+    # the dd solver gates on sqrt(rcond) * max|diag L| (diag L ~ singular
+    # values of the design); this module's documented rcond acts on those
+    # singular values directly, so square it going in
+    coef, ok = plane_cholesky_solve_dd(
+        jnp.stack([h for h, _ in S]), jnp.stack([l for _, l in S]),
+        hankel,
+        jnp.stack([h for h, _ in r]), jnp.stack([l for _, l in r]),
+        quorum, rcond=float(rcond) ** 2)                # (m+1, ..., P)
 
     # d-th derivative at the evaluation point in t-units: c_d * d! / s^d
-    y = coef[..., d] * (float(math.factorial(d)) / s ** d)
+    y = coef[d] * (float(math.factorial(d)) / s ** d)
     return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
 
 

@@ -2204,7 +2204,7 @@ def correlate_valid_bank_pallas_mxu(x: jax.Array, w: jax.Array,
         xh, R = _fold_rows(xb, n_out)
         BR = xh.shape[0]
         rows_f = min(rows, _round_up(BR, rq))
-        rows_f, cols_f = _bank_tile_cap(K, rows_f, _FOLD_S,
+        rows_f, cols_f = _bank_tile_cap(K, rows_f, min(cols, _FOLD_S),
                                         x.dtype.itemsize, rq)
         xh = jnp.pad(xh, ((0, _round_up(BR, rows_f) - BR), (0, 0)))
         out = _bank_mxu_call(xh, bands, rows_f, cols_f, _FOLD_S,

@@ -181,10 +181,11 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
 
     m = method
     if m == "auto":
-        # measured on v5e (chained): banded-MXU einsums 1.10 Gs/s/config vs
-        # the bank kernel's 0.51 (traced weights keep the bank off the
-        # fast const-tap form)
-        m = "mxu" if jax.default_backend() == "tpu" else "xla"
+        # measured on v5e (chained marginal rate, 6 cfg x 131k,
+        # benchmarks/probe_sweep_bank.py): ONE K-stencil MXU bank kernel
+        # 1.65 Gs/s/config vs 0.73 for per-config banded-MXU einsum
+        # launches, 1.06 for the VPU bank, 0.09 for the XLA conv
+        m = "mxu_bank" if jax.default_backend() == "tpu" else "xla"
     if m == "pallas":
         from savgol_tpu.ops.pallas_conv import correlate_valid_bank_pallas
         y = correlate_valid_bank_pallas(xp, center)      # (C, ..., N)
