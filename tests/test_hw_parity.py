@@ -304,10 +304,76 @@ class TestMasked:
         assert np.abs(const - 2.5).max() <= 1e-5
 
 
+class TestPlaneSolve:
+    """The fused Pallas plane-Cholesky kernels (ops/pallas_solve.py) vs
+    their jnp twins, same Gram/rhs planes on-chip — the dd kernel is
+    hardware-only (interpret mode cannot run it), so THIS is its only
+    executable correctness gate."""
+
+    def _problem(self, k, pos, seed):
+        rng = _rng(seed)
+        kp = k * (k + 1) // 2
+        pidx = np.zeros((k, k), np.int32)
+        c = 0
+        for a in range(k):
+            for b in range(a, k):
+                pidx[a, b] = pidx[b, a] = c
+                c += 1
+        A = rng.standard_normal((pos, 3 * k, k))
+        G = np.einsum("nti,ntj->nij", A, A).astype(np.float32)
+        gram = np.stack([G[:, a, b] for a in range(k) for b in
+                         range(a, k)])
+        rhs = rng.standard_normal((k, pos)).astype(np.float32)
+        quo = rng.random(pos) > 0.05
+        return (jnp.asarray(gram), pidx, jnp.asarray(rhs),
+                jnp.asarray(quo))
+
+    def test_plain_kernel_vs_twin(self):
+        from savgol_tpu.ops.lsq import cholesky_solve_planes
+        from savgol_tpu.ops.pallas_solve import _raw_plane_solve
+        gram, pidx, rhs, quo = self._problem(5, 5000, 60)
+        got, okg = _raw_plane_solve(gram, pidx, rhs, quo, rcond=None,
+                                    interpret=False)
+        want, okw = cholesky_solve_planes(gram, pidx, rhs, quo)
+        assert np.array_equal(np.asarray(okg), np.asarray(okw))
+        fin = np.asarray(okw)
+        d = np.abs(np.asarray(got)[:, fin] - np.asarray(want)[:, fin])
+        assert d.max() <= 1e-4 * max(1.0, np.abs(np.asarray(want)).max())
+
+    def test_dd_kernel_vs_twin(self):
+        from savgol_tpu.ops.lsq import cholesky_solve_planes_dd
+        from savgol_tpu.ops.pallas_solve import _raw_plane_solve_dd
+        gram, pidx, rhs, quo = self._problem(5, 5000, 61)
+        glo = jnp.zeros_like(gram)
+        rlo = jnp.zeros_like(rhs)
+        got, okg = _raw_plane_solve_dd(gram, glo, pidx, rhs, rlo, quo,
+                                       rcond=1e-6, interpret=False)
+        want, okw = cholesky_solve_planes_dd(gram, glo, pidx, rhs, rlo,
+                                             quo, rcond=1e-6)
+        assert np.array_equal(np.asarray(okg), np.asarray(okw))
+        fin = np.asarray(okw)
+        d = np.abs(np.asarray(got)[:, fin] - np.asarray(want)[:, fin])
+        assert d.max() <= 1e-4 * max(1.0, np.abs(np.asarray(want)).max())
+
+    def test_dd_kernel_2d_width(self):
+        # the 2D masked width: k = 10 terms, 55 Gram planes
+        from savgol_tpu.ops.lsq import cholesky_solve_planes
+        from savgol_tpu.ops.pallas_solve import _raw_plane_solve
+        gram, pidx, rhs, quo = self._problem(10, 2000, 62)
+        got, okg = _raw_plane_solve(gram, pidx, rhs, quo, rcond=1e-6,
+                                    interpret=False)
+        want, okw = cholesky_solve_planes(gram, pidx, rhs, quo,
+                                          rcond=1e-6)
+        assert np.array_equal(np.asarray(okg), np.asarray(okw))
+        fin = np.asarray(okw)
+        d = np.abs(np.asarray(got)[:, fin] - np.asarray(want)[:, fin])
+        assert d.max() <= 1e-3 * max(1.0, np.abs(np.asarray(want)).max())
+
+
 class TestNonuniform:
-    """The non-uniform/resample paths are pure XLA (per-window QR /
-    normal equations) — gate the TPU's f32 linear-algebra against the
-    uniform fast path and the mathematics, same data on-chip."""
+    """The non-uniform/resample paths ride the double-word moment planes
+    and the hardware-only dd plane-Cholesky kernel on TPU — gate against
+    the uniform fast path and the mathematics, same data on-chip."""
 
     def test_uniform_grid_matches_uniform_path(self):
         # On an exactly uniform grid the per-window LS fit must agree
