@@ -125,6 +125,56 @@ def _bank_correlate(xp: jax.Array, w: jax.Array,
         w.astype(xp.dtype))
 
 
+@functools.lru_cache(maxsize=None)
+def _masked1d_fused_diff(n: int, m: int, d: int, kmin: int, fill: float,
+                         dt: float):
+    """Differentiable wrapper for the fused masked-1D Pallas kernel.
+
+    Contract: ``op(xv, wv)`` takes mask-sanitized values (invalid = 0)
+    and weights, (..., L), and returns the (..., L) truncate-semantics
+    masked filter output (``fill`` under quorum). The backward pass is
+    the VJP of the staged jnp twin (bank correlations + plane Cholesky —
+    the exact same math, ops/lsq.py has one home for it)."""
+    Q, Rinv, pair_w, pair_index = _masked_tables(n, m)
+    extract = Rinv[d, :] * math.factorial(d) / float(n * dt) ** d
+    ws = 2 * n + 1
+
+    def twin(xv, wv):
+        from savgol_tpu.ops.lsq import cholesky_solve_planes
+        dtype = xv.dtype
+        pad = [(0, 0)] * (xv.ndim - 1) + [(n, n)]
+        wpp = jnp.pad(wv, pad)
+        xpp = jnp.pad(xv * wv, pad)
+        gram = _bank_correlate(wpp, jnp.asarray(pair_w, dtype))
+        rhs = _bank_correlate(xpp, jnp.asarray(Q.T, dtype))
+        ones = jnp.ones((1, ws), dtype)
+        count = _bank_correlate(
+            jnp.pad((wv > 0).astype(dtype), pad), ones)[0]
+        coef, ok = cholesky_solve_planes(gram, pair_index, rhs,
+                                         count >= (kmin - 0.5))
+        y = jnp.einsum("k...,k->...", coef,
+                       jnp.asarray(extract, dtype=dtype))
+        return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+
+    @jax.custom_vjp
+    def op(xv, wv):
+        from savgol_tpu.ops.pallas_masked import \
+            savgol_masked1d_fused_pallas
+        return savgol_masked1d_fused_pallas(
+            xv, wv, pair_w, Q.T, extract, half_window=n, kmin=kmin,
+            fill=fill)
+
+    def fwd(xv, wv):
+        return op(xv, wv), (xv, wv)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def savgol_apply_masked(
     x: jax.Array,
     *,
@@ -262,6 +312,15 @@ def savgol_apply_masked(
         ok = count >= (kmin - 0.5)
         coef, ok = plane_cholesky_solve_dd(
             gram_hi, gram_lo, pair_index, rhs_hi, rhs_lo, ok)
+    elif method == "auto" and jax.default_backend() == "tpu":
+        # ONE fused Pallas kernel: gram/rhs/count matmuls + plane solve +
+        # extraction per VMEM tile — the staged form below writes ~20
+        # Gram/rhs planes to HBM and reads them back (~170 B/sample vs
+        # the kernel's ~13). Backward flows through the staged twin.
+        op = _masked1d_fused_diff(n, m, d, kmin, float(fill), dt)
+        y = op(xzp, wp)[..., n:-n]
+        y = _restore_axis(y, moved)
+        return y.astype(restore) if restore is not None else y
     else:
         qw = jnp.asarray(Q.T, dtype=dtype)              # (m+1, ws)
         pw = jnp.asarray(pair_w, dtype=dtype)           # (Kp, ws)
