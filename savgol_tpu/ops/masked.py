@@ -126,15 +126,20 @@ def _bank_correlate(xp: jax.Array, w: jax.Array,
 
 
 @functools.lru_cache(maxsize=None)
-def _masked1d_fused_diff(n: int, m: int, d: int, kmin: int, fill: float,
+def _masked1d_fused_diff(n: int, m: int, d: int, kmin: int, fill: str,
                          dt: float):
     """Differentiable wrapper for the fused masked-1D Pallas kernel.
+
+    ``fill`` is passed as ``repr(float)`` — NaN is the common value and
+    ``nan != nan`` would miss this lru cache AND every jit static-arg
+    cache downstream, retracing per call.
 
     Contract: ``op(xv, wv)`` takes mask-sanitized values (invalid = 0)
     and weights, (..., L), and returns the (..., L) truncate-semantics
     masked filter output (``fill`` under quorum). The backward pass is
     the VJP of the staged jnp twin (bank correlations + plane Cholesky —
     the exact same math, ops/lsq.py has one home for it)."""
+    fillf = float(fill)
     Q, Rinv, pair_w, pair_index = _masked_tables(n, m)
     extract = Rinv[d, :] * math.factorial(d) / float(n * dt) ** d
     ws = 2 * n + 1
@@ -154,7 +159,7 @@ def _masked1d_fused_diff(n: int, m: int, d: int, kmin: int, fill: float,
                                          count >= (kmin - 0.5))
         y = jnp.einsum("k...,k->...", coef,
                        jnp.asarray(extract, dtype=dtype))
-        return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+        return jnp.where(ok, y, jnp.asarray(fillf, dtype=dtype))
 
     @jax.custom_vjp
     def op(xv, wv):
@@ -162,7 +167,7 @@ def _masked1d_fused_diff(n: int, m: int, d: int, kmin: int, fill: float,
             savgol_masked1d_fused_pallas
         return savgol_masked1d_fused_pallas(
             xv, wv, pair_w, Q.T, extract, half_window=n, kmin=kmin,
-            fill=fill)
+            fill=fillf)
 
     def fwd(xv, wv):
         return op(xv, wv), (xv, wv)
@@ -317,7 +322,7 @@ def savgol_apply_masked(
         # extraction per VMEM tile — the staged form below writes ~20
         # Gram/rhs planes to HBM and reads them back (~170 B/sample vs
         # the kernel's ~13). Backward flows through the staged twin.
-        op = _masked1d_fused_diff(n, m, d, kmin, float(fill), dt)
+        op = _masked1d_fused_diff(n, m, d, kmin, repr(float(fill)), dt)
         y = op(xzp, wp)[..., n:-n]
         y = _restore_axis(y, moved)
         return y.astype(restore) if restore is not None else y

@@ -96,6 +96,8 @@ def _masked1d_kernel(bands_ref, ex_ref, x_ref, xh_ref, w_ref, wh_ref,
 def _masked1d_call(xpad, wpad, bands, extract, rows, cols, Kp, kk,
                    pair_key, kmin, fill, n_total, interpret,
                    mxu_precision):
+    # fill arrives as repr(float) — a hashable jit key NaN cannot break
+    fill = float(fill)
     B, Np = xpad.shape
     n_out = Np - _LANES
     cb = cols // _LANES
@@ -196,6 +198,6 @@ def savgol_masked1d_fused_pallas(xz, wts, pair_w, qw, extract, *,
             pidx[a, b] = pidx[b, a] = c
             c += 1
     out = _masked1d_call(xp, wp, bands, ex, rows, cols, Kp, kk,
-                         _PairKey(pidx), int(kmin), float(fill),
+                         _PairKey(pidx), int(kmin), repr(float(fill)),
                          N + 2 * n, interpret, mxu_precision)
     return out[:B, :N].reshape(batch_shape + (N,))
