@@ -48,11 +48,16 @@ def main():
         print(f"{name:26s} chained {rate:8.3f} Gs/s-agg ({rate/K:6.3f}/cfg)"
               f"  ratio {ratio:.2f}  [compile {comp:.0f}s]", flush=True)
 
+    def chainable(y, v):
+        # valid output is ws-1 shorter than the input; pad for feedback
+        return jnp.pad(y.sum(axis=0), (0, ws - 1)) * 1e-3 + v
+
     for rows in (8, 16, 32, 64):
         for cols in (256, 512, 1024, 2048):
             def fn(v, r=rows, c=cols):
-                y = pc.correlate_valid_bank_pallas_mxu(v, w, rows=r, cols=c)
-                return y.sum(axis=0) * 1e-3 + v
+                return chainable(
+                    pc.correlate_valid_bank_pallas_mxu(v, w, rows=r,
+                                                       cols=c), v)
             try:
                 run(f"bank r{rows} c{cols}", fn, x, K * N)
             except Exception as e:  # noqa: BLE001
@@ -60,10 +65,9 @@ def main():
                       f"{type(e).__name__}: {e}"[:150], flush=True)
 
     # VPU bank for reference at its default tile
-    def fnv(v):
-        y = pc.correlate_valid_bank_pallas(v, w)
-        return y.sum(axis=0) * 1e-3 + v
-    run("bank vpu default", fnv, x, K * N)
+    run("bank vpu default",
+        lambda v: chainable(pc.correlate_valid_bank_pallas(v, w), v),
+        x, K * N)
 
 
 if __name__ == "__main__":

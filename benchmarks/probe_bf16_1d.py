@@ -55,7 +55,7 @@ def main():
     cw, ew = flt.center_weights, flt.edge_weights
     DEFAULT = jax.lax.Precision.DEFAULT
 
-    def run(name, fn, x=x, k=4):
+    def run(name, fn, x=x, k=16):
         fc = jax.jit(fn)
         t0 = time.perf_counter()
         jax.block_until_ready(fc(x))
@@ -71,8 +71,8 @@ def main():
     run("api bf16", lambda v: flt.apply(v, method="bf16"))
     run("kernel poly bf16", lambda v: pc.savgol_polynomial_pallas_mxu(
         v, cw, ew, n, 1.0, mxu_precision=DEFAULT))
-    run("valid bf16", lambda v: pc.correlate_valid_pallas_mxu(
-        v, cw, mxu_precision=DEFAULT))
+    run("valid bf16", lambda v: jnp.pad(pc.correlate_valid_pallas_mxu(
+        v, cw, mxu_precision=DEFAULT), ((0, 0), (n, n))))
 
     # ---- tile sweep on the poly kernel -------------------------------------
     for rows in (128, 256):

@@ -98,9 +98,13 @@ def _plane_solve_call(gram, rhs, quo, pair_key, rcond, rows, cols,
     grid = (R // rows,)
     kernel = functools.partial(_solve_kernel, pair_index=pair_index,
                                rcond=rcond)
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     coef, okf = pl.pallas_call(
         kernel,
         grid=grid,
+        **params,
         in_specs=[
             pl.BlockSpec((kp, rows, cols), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -150,9 +154,13 @@ def _plane_solve_call_dd(ghi, glo, rhi, rlo, quo, pair_key, rcond, rows,
     plane = lambda lead: pl.BlockSpec((lead, rows, cols),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     coef, okf = pl.pallas_call(
         kernel,
         grid=grid,
+        **params,
         in_specs=[plane(kp), plane(kp), plane(k), plane(k),
                   pl.BlockSpec((rows, cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
