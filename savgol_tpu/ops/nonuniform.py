@@ -160,60 +160,69 @@ def savgol_apply_nonuniform(
     wp = jnp.pad(wts, pad)                  # out-of-range invalid
     tzp = jnp.pad(tz, pad)
 
-    # shifted-slice windows (ops/lsq.py), not a minor-axis gather TPUs
-    # would serialize
-    xw = sliding_windows(xzp, ws)                       # (..., N, ws)
-    mw = sliding_windows(wp, ws)
-    u = (sliding_windows(tzp, ws)
-         - tl[..., :, None]).astype(dtype)              # (..., N, ws)
-    u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # pads/holes -> 0
+    # per-tap PLANES via shifted slices — neither a minor-axis gather
+    # (TPU-serialized) nor a (..., N, ws) window tensor (the ws-minor
+    # axis tile-pads 25 -> 128, ~5x memory; measured as the path's wall)
+    def tap(tt):
+        x_t = lax.slice_in_dim(xzp, tt, tt + n_out, axis=-1)
+        w_t = lax.slice_in_dim(wp, tt, tt + n_out, axis=-1)
+        u_t = lax.slice_in_dim(tzp, tt, tt + n_out, axis=-1) - tl
+        return x_t, w_t, u_t
 
-    y = _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted,
-                     precision)
+    y = _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype)
     y = _restore_axis(y, moved)
     return y.astype(restore) if restore is not None else y
 
 
-def _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted, precision):
-    """Solve the per-window weighted LS fits and extract the derivative.
+def _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype):
+    """Per-window weighted LS from a TAP ACCESSOR — no window tensors.
 
-    ``xw / mw / u`` are (..., P, ws): window values, weights (0 = missing)
-    and abscissa offsets from each window's EVALUATION point. Returns the
-    (..., P) d-th derivatives at those points (``fill`` where the window
-    is under-quorum or non-identifying).
+    ``tap(t) -> (x_t, w_t, u_t)`` returns the t-th tap of every window
+    as (..., P) PLANES: masked values, weights (0 = missing) and
+    abscissa offsets from the evaluation point (in t's own dtype —
+    cast to working precision AFTER the subtraction so epoch-scale
+    abscissae survive f32). Returns the (..., P) d-th derivatives
+    (``fill`` where under-quorum or non-identifying).
 
-    TPU-shaped solve: the per-window Gram of the Vandermonde design is a
-    HANKEL of weighted moments — G[i, j] = S_{i+j} with
+    TPU-shaped solve: the per-window Gram of the normalized Vandermonde
+    is a HANKEL of weighted moments — G[i, j] = S_{i+j} with
     S_p = sum_t w_t (u_t/s)^p — so only 2m+1 unique entries exist per
-    window. They are accumulated tap-by-tap in double-word arithmetic
-    (~eps^2 formation error; ops/lsq.py) as pure elementwise plane ops,
-    and the k x k solve runs in the double-word plane Cholesky — no
-    (..., ws, k) design tensor (whose minor dims TPU tile-pads ~30x; the
-    former batched-QR form measured 0.001 Gs/s on v5e) and better than
-    Householder-QR's cond*eps error class for every identifiable window.
+    window. Two passes over the taps: (1) the per-window normalizer
+    s = max_t |u_t| over valid taps plus the quorum count; (2) the
+    double-word moment/rhs accumulation (~eps^2 formation, ops/lsq.py),
+    solved by the double-word plane Cholesky. No (..., P, ws) window
+    tensor (ws-minor tile-pads ~5x) and no (..., ws, k) design tensor
+    (~30x; the original batched-QR form measured 0.001 Gs/s on v5e);
+    accuracy is better than Householder-QR's cond*eps class for every
+    identifiable window.
     """
     from savgol_tpu.ops.lsq import _dd_add, _dd_mul, _split_const
     from savgol_tpu.ops.pallas_solve import plane_cholesky_solve_dd
-    ws = xw.shape[-1]
-    dtype = xw.dtype
-    count = jnp.sum(mw > 0, axis=-1)
+
+    # pass 1: normalizer (largest valid |offset|; 1 when all coincide —
+    # the m=0 local-mean case stays well-defined) + quorum count
+    s = None
+    count = None
+    for t in range(ws):
+        _, w_t, u_t = tap(t)
+        valid_t = w_t > 0
+        au = jnp.where(valid_t, jnp.abs(u_t), 0)
+        s = au if s is None else jnp.maximum(s, au)
+        c_t = valid_t.astype(dtype)
+        count = c_t if count is None else count + c_t
+    s = jnp.where(s > 0, s, 1).astype(dtype)            # (..., P)
+    sinv = 1.0 / s
     quorum = count >= kmin
 
-    # per-window normalizer: largest valid |offset| (1 when all coincide —
-    # the m=0 local-mean case stays well-defined)
-    s = jnp.max(jnp.abs(u), axis=-1)
-    s = jnp.where(s > 0, s, jnp.ones((), dtype))        # (..., P)
-    sinv = 1.0 / s
     c = _split_const(dtype)
     zero = jnp.zeros_like(s)
-
     n_mom = 2 * m + 1
     S = [(zero, zero) for _ in range(n_mom)]            # dd moments
     r = [(zero, zero) for _ in range(m + 1)]            # dd rhs
     for t in range(ws):
-        w_t = mw[..., t]
-        wx_t = w_t * xw[..., t]
-        un_t = (u[..., t] * sinv, zero)                 # exact-ish tap
+        x_t, w_t, u_t = tap(t)
+        wx_t = w_t * x_t
+        un_t = (u_t.astype(dtype) * sinv, zero)
         pw = (jnp.ones_like(s), zero)                   # un_t^p, dd
         for p in range(n_mom):
             S[p] = _dd_add(S[p], _dd_mul(pw, (w_t, zero), c))
@@ -339,14 +348,17 @@ def savgol_resample(
     # clipped inside the data (edge queries reuse the first/last window)
     ins = jnp.searchsorted(t, tq)                       # (Nq,)
     start = jnp.clip(ins - n, 0, N - ws)
-    widx = start[:, None] + jnp.arange(ws)[None, :]     # (Nq, ws)
-    # offsets in t's own dtype first (epoch-scale abscissae), then cast
-    u = (jnp.take(t, widx, axis=0) - tq[:, None]).astype(dtype)
-    xw = jnp.take(xz, widx, axis=-1)                    # (..., Nq, ws)
-    mw = jnp.take(wts, widx, axis=-1)
-    u = jnp.broadcast_to(u, xw.shape)
-    u = jnp.where(mw > 0, u, jnp.zeros((), dtype))      # holes -> 0
 
-    y = _fit_windows(xw, mw, u, m, d, kmin, rcond, fill, weighted,
-                     precision)
+    # per-tap PLANES via one gather per tap — a (..., Nq, ws) window
+    # tensor would tile-pad its ws-minor axis 25 -> 128 on TPU
+    def tap(tt):
+        idx = start + tt                                # (Nq,)
+        x_t = jnp.take(xz, idx, axis=-1)                # (..., Nq)
+        w_t = jnp.take(wts, idx, axis=-1)
+        # offsets in t's own dtype first (epoch-scale abscissae); the
+        # working-precision cast happens inside _fit_taps
+        u_t = jnp.broadcast_to(jnp.take(t, idx, axis=0) - tq, x_t.shape)
+        return x_t, w_t, u_t
+
+    y = _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype)
     return y.astype(restore) if restore is not None else y
