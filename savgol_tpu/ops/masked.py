@@ -363,6 +363,37 @@ def savgol_apply_masked(
 # 2D: masked bivariate fits
 # ---------------------------------------------------------------------------
 
+_STACK2D_CHUNK = 4   # stencils per stack-kernel launch: bands are
+                     # (K, wh, 256, 128) in VMEM — 4 x 11-row stencils
+                     # ~ 5.6 MB, inside the budget
+
+
+def _corr2d_bank(x: jax.Array, w_stack: jax.Array,
+                 precision=lax.Precision.HIGHEST) -> jax.Array:
+    """(..., Rp, Cp) x (K, wh, ww) -> (K, ..., R, C) valid correlation,
+    PLANES-FIRST.
+
+    On TPU this rides the K-chunked row-banded MXU stack kernel: its
+    output is natively plane-major AND it measured 3x the 65-channel
+    XLA conv (55 vs 19 Mpix/s) — but the decisive reason is LAYOUT: the
+    XLA conv materializes its output feature-minor, and re-laying
+    65 planes out for the Pallas solve measured ~250 ms/Mpix (the whole
+    masked-2D wall; benchmarks/probe_masked2d_stages.py). Elsewhere (or
+    for stencils beyond the kernel's halo limits) the XLA conv + a
+    moveaxis serve."""
+    if jax.default_backend() == "tpu":
+        from savgol_tpu.ops import pallas_conv as pc
+        K, wh, ww = w_stack.shape
+        if wh <= pc._HALO_R + 1 and ww <= pc._LANES + 1:
+            outs = [pc.correlate2d_valid_pallas_rowmxu_stack(
+                x, w_stack[s:s + _STACK2D_CHUNK])
+                for s in range(0, K, _STACK2D_CHUNK)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                                  axis=0)
+    from savgol_tpu.ops.apply2d import correlate2d_valid
+    return jnp.moveaxis(correlate2d_valid(x, w_stack, precision), -3, 0)
+
+
 @functools.lru_cache(maxsize=None)
 def _masked_tables_2d(half_window_x: int, half_window_y: int,
                       poly_order: int):
@@ -505,24 +536,20 @@ def savgol2d_apply_masked(
         xzp = jnp.pad(xz, pad, mode=mode)
         wp = jnp.pad(wts, pad, mode=mode)
 
-    from savgol_tpu.ops.apply2d import correlate2d_valid
     pw = jnp.asarray(pair_w, dtype=dtype)
     qw = jnp.asarray(Q3, dtype=dtype)
-    gram = correlate2d_valid(wp, pw, precision)          # (..., Kp, R, C)
-    rhs = correlate2d_valid(xzp * wp if weighted else xzp,
-                            qw, precision)               # (..., P, R, C)
-
-    # planes-first layout: the per-pixel P x P Gram is NEVER materialized
-    # with (P, P) minor dims (TPU tile-padding would blow it up ~20x at
-    # P = 10 — see ops/lsq.py::cholesky_solve_planes)
-    gramP = jnp.moveaxis(gram, -3, 0)                    # (Kp, ..., R, C)
-    rhsP = jnp.moveaxis(rhs, -3, 0)                      # (P, ..., R, C)
+    # planes-first layout everywhere: the per-pixel P x P Gram is NEVER
+    # materialized with (P, P) minor dims (TPU tile-padding would blow
+    # it up ~20x at P = 10 — see ops/lsq.py::cholesky_solve_planes)
+    gramP = _corr2d_bank(wp, pw, precision)              # (Kp, ..., R, C)
+    rhsP = _corr2d_bank(xzp * wp if weighted else xzp,
+                        qw, precision)                   # (P, ..., R, C)
 
     if weighted:
         # positive-weight count needs its own box correlation (the Gram's
         # phi_0 row carries the weight SUM, not the count)
-        ones = jnp.ones((wy, wx), dtype)
-        count = correlate2d_valid((wp > 0).astype(dtype), ones, precision)
+        ones = jnp.ones((1, wy, wx), dtype)
+        count = _corr2d_bank((wp > 0).astype(dtype), ones, precision)[0]
     else:
         # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx)
         count = gramP[pair_index[0, 0]] * (wy * wx)
