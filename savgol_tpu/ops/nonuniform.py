@@ -48,7 +48,6 @@ from jax import lax
 
 from savgol_tpu.ops.apply import (_compute_dtype, _move_axis_last,
                                   _restore_axis)
-from savgol_tpu.ops.lsq import sliding_windows
 
 __all__ = ["savgol_apply_nonuniform", "savgol_resample"]
 
