@@ -200,9 +200,12 @@ def speed_of_light_masked_2d(window_h: int, window_w: int, poly_order: int,
                              *, shape, dtype="float32",
                              chip: ChipSpec = V5E) -> Roofline:
     """Roofline for the masked 2D pipeline: P = (m+1)(m+2)/2 bivariate
-    terms, Kp = P(P+1)/2 Gram-pair 2D correlations (XLA conv at HIGHEST,
-    wh*ww MACs per stencil output) + P rhs correlations, planes written
-    and re-read by the plane-Cholesky solve."""
+    terms, Kp = P(P+1)/2 Gram-pair 2D correlations + P rhs correlations
+    through the row-banded MXU STACK kernel (wh row-matmuls of K = 128
+    lanes per stencil output — the 128-quantization is the engine's
+    cost, ~10x the dense tap count at 11x11, paid for plane-major output
+    the Pallas solve can consume without the XLA conv's ~250 ms/Mpix
+    feature-minor relayout), planes written and re-read by the solve."""
     m = int(poly_order)
     p = (m + 1) * (m + 2) // 2
     kp = p * (p + 1) // 2
@@ -211,7 +214,7 @@ def speed_of_light_masked_2d(window_h: int, window_w: int, poly_order: int,
         elements *= int(s)
     b = _nbytes(dtype)
     bytes_per = b + 1 + 4 * b + 2 * b * kp + 2 * b * p + b
-    macs = (kp + p) * float(window_h * window_w)
+    macs = (kp + p) * float(window_h) * 128.0
     mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
     hbm_bytes = float(elements) * bytes_per
     return Roofline(elements=elements, mxu_flops=mxu_flops,
