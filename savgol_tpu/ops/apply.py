@@ -177,9 +177,13 @@ def _pallas_poly_diff(n: int, lead_sign: float, mode: str = "exact"):
             # single source of truth for block admissibility
             ok = pallas_conv._pick_block_width(N, n, ws) is not None
             if ok:
+                # cols=4096 preference: at DEFAULT-precision bf16 the
+                # kernel is HBM-floor-bound and the wider tile measured
+                # 83.9 vs 77.3 Gs/s chained (probe_bf16_1d.py, v5e);
+                # _pick_block_width falls back when inadmissible
                 y = pallas_conv.savgol_polynomial_pallas_mxu(
                     x.astype(jnp.bfloat16), cw, ew, n, dt_inv,
-                    lead_sign=lead_sign,
+                    lead_sign=lead_sign, cols=4096,
                     mxu_precision=lax.Precision.DEFAULT)
                 return y.astype(x.dtype)
         return pallas_conv.savgol_polynomial_pallas_auto(
