@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from savgol_tpu.config import (MAX_HALF_WINDOW, MAX_POLY_ORDER,
@@ -155,19 +156,67 @@ def _bank_conv_xla(x, w_stack, precision=jax.lax.Precision.HIGHEST):
     return out.reshape((C,) + batch_shape + (Np - ws + 1,))
 
 
+@functools.lru_cache(maxsize=None)
+def _sweep_weights_cached(hw_key: tuple, po_key: tuple, derivative: int,
+                          dtype):
+    """Device weight stacks for CONCRETE configs, computed once.
+
+    The vmapped on-device generator is a sizeable op soup (~0.7 ms per
+    launch on v5e); regenerating it per apply capped the benched sweep
+    at ~1.05 Gs/s/config while the conv's marginal rate is 1.65
+    (probe_sweep_bank.py). Same generator, same dtype — bit-identical
+    weights to the fused in-graph form, just cached across calls (and a
+    CONSTANT inside callers' jits, so chained pipelines hoist it)."""
+    hw = jnp.asarray(hw_key)
+    po = jnp.asarray(po_key)
+    gen = jax.jit(jax.vmap(
+        lambda n, m: savgol_weights_masked(n, m, derivative, dtype)))
+    center, lead, trail = gen(hw, po)
+    return (jax.block_until_ready(center), jax.block_until_ready(lead),
+            jax.block_until_ready(trail))
+
+
+def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
+                     method, reference_edge_sign):
+    """Dispatch: concrete configs pull cached device weight stacks;
+    traced configs generate them in-graph (fully fused)."""
+    d = int(derivative)
+    if not (isinstance(hw, jax.core.Tracer)
+            or isinstance(po, jax.core.Tracer)):
+        hw_key = tuple(int(v) for v in np.asarray(hw))
+        po_key = tuple(int(v) for v in np.asarray(po))
+        center, lead_w, trail_w = _sweep_weights_cached(
+            hw_key, po_key, d, dtype)
+        return _sweep_apply_core(x, hw, center, lead_w, trail_w, d,
+                                 boundary, dt_inv, method,
+                                 reference_edge_sign)
+    return _apply_sweep_traced(x, hw, po, d, boundary, dt_inv, dtype,
+                               method, reference_edge_sign)
+
+
 @functools.partial(jax.jit, static_argnames=("derivative", "boundary",
                                              "dtype", "method",
                                              "reference_edge_sign"))
-def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
-                     method, reference_edge_sign):
+def _apply_sweep_traced(x, hw, po, derivative, boundary, dt_inv, dtype,
+                        method, reference_edge_sign):
+    d = int(derivative)
+    center, lead_w, trail_w = jax.vmap(
+        lambda n, m: savgol_weights_masked(n, m, d, dtype))(hw, po)
+    return _sweep_apply_core(x, hw, center, lead_w, trail_w, d, boundary,
+                             dt_inv, method, reference_edge_sign)
+
+
+@functools.partial(jax.jit, static_argnames=("derivative", "boundary",
+                                             "method",
+                                             "reference_edge_sign"))
+def _sweep_apply_core(x, hw, center, lead_w, trail_w, derivative,
+                      boundary, dt_inv, method, reference_edge_sign):
     """All C configs in one pass: the center correlation runs as a K-stencil
     BANK (one read of the data for every config — the Pallas bank kernel on
     TPU, a C-output-channel conv elsewhere) instead of per-config vmap
     lanes; only the tiny edge fixups are vmapped."""
     d = int(derivative)
     hp = jax.lax.Precision.HIGHEST
-    center, lead_w, trail_w = jax.vmap(
-        lambda n, m: savgol_weights_masked(n, m, d, dtype))(hw, po)
     if reference_edge_sign and d % 2 == 1:
         # reproduce the C's reversed-data leading edge, which negates odd
         # derivatives (src/savgolFilter.c:773-777)
