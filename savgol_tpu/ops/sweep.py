@@ -167,11 +167,15 @@ def _sweep_weights_cached(hw_key: tuple, po_key: tuple, derivative: int,
     (probe_sweep_bank.py). Same generator, same dtype — bit-identical
     weights to the fused in-graph form, just cached across calls (and a
     CONSTANT inside callers' jits, so chained pipelines hoist it)."""
-    hw = jnp.asarray(hw_key)
-    po = jnp.asarray(po_key)
-    gen = jax.jit(jax.vmap(
-        lambda n, m: savgol_weights_masked(n, m, derivative, dtype)))
-    center, lead, trail = gen(hw, po)
+    # escape any OUTER trace: without this, a first call from inside a
+    # user jit would populate the cache with that trace's TRACERS
+    # (observed UnexpectedTracerError on the second call)
+    with jax.ensure_compile_time_eval():
+        hw = jnp.asarray(hw_key)
+        po = jnp.asarray(po_key)
+        gen = jax.jit(jax.vmap(
+            lambda n, m: savgol_weights_masked(n, m, derivative, dtype)))
+        center, lead, trail = gen(hw, po)
     return (jax.block_until_ready(center), jax.block_until_ready(lead),
             jax.block_until_ready(trail))
 
