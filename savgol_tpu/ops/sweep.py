@@ -182,20 +182,45 @@ def _sweep_weights_cached(hw_key: tuple, po_key: tuple, derivative: int,
 
 def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
                      method, reference_edge_sign):
-    """Dispatch: concrete configs pull cached device weight stacks;
-    traced configs generate them in-graph (fully fused)."""
+    """Dispatch: concrete configs get a per-config SPECIALIZED jit over
+    host-numpy weight constants (bands fold at trace time — weights
+    passed as runtime device arrays kept the one-hot on-device band
+    build in the hot path); traced configs generate everything in-graph
+    (fully fused)."""
     d = int(derivative)
     if not (isinstance(hw, jax.core.Tracer)
             or isinstance(po, jax.core.Tracer)):
         hw_key = tuple(int(v) for v in np.asarray(hw))
         po_key = tuple(int(v) for v in np.asarray(po))
-        center, lead_w, trail_w = _sweep_weights_cached(
-            hw_key, po_key, d, dtype)
-        return _sweep_apply_core(x, hw, center, lead_w, trail_w, d,
-                                 boundary, dt_inv, method,
-                                 reference_edge_sign)
+        run = _sweep_apply_specialized(hw_key, po_key, d, boundary,
+                                       dtype, method,
+                                       reference_edge_sign)
+        return run(x, dt_inv)
     return _apply_sweep_traced(x, hw, po, d, boundary, dt_inv, dtype,
                                method, reference_edge_sign)
+
+
+@functools.lru_cache(maxsize=None)
+def _sweep_apply_specialized(hw_key, po_key, derivative, boundary, dtype,
+                             method, reference_edge_sign):
+    """Jitted apply specialized to one CONCRETE config tuple: the weight
+    stacks become host-numpy constants inside the trace, so the band
+    matrices constant-fold instead of running a per-call on-device
+    gather/one-hot build."""
+    center, lead, trail = _sweep_weights_cached(hw_key, po_key,
+                                                derivative, dtype)
+    c_np = np.asarray(center)
+    l_np = np.asarray(lead)
+    t_np = np.asarray(trail)
+    hw_np = np.asarray(hw_key)
+
+    @jax.jit
+    def run(x, dt_inv):
+        return _sweep_core_body(x, hw_np, c_np, l_np, t_np, derivative,
+                                boundary, dt_inv, method,
+                                reference_edge_sign)
+
+    return run
 
 
 @functools.partial(jax.jit, static_argnames=("derivative", "boundary",
@@ -206,19 +231,17 @@ def _apply_sweep_traced(x, hw, po, derivative, boundary, dt_inv, dtype,
     d = int(derivative)
     center, lead_w, trail_w = jax.vmap(
         lambda n, m: savgol_weights_masked(n, m, d, dtype))(hw, po)
-    return _sweep_apply_core(x, hw, center, lead_w, trail_w, d, boundary,
-                             dt_inv, method, reference_edge_sign)
+    return _sweep_core_body(x, hw, center, lead_w, trail_w, d, boundary,
+                            dt_inv, method, reference_edge_sign)
 
 
-@functools.partial(jax.jit, static_argnames=("derivative", "boundary",
-                                             "method",
-                                             "reference_edge_sign"))
-def _sweep_apply_core(x, hw, center, lead_w, trail_w, derivative,
-                      boundary, dt_inv, method, reference_edge_sign):
+def _sweep_core_body(x, hw, center, lead_w, trail_w, derivative,
+                     boundary, dt_inv, method, reference_edge_sign):
     """All C configs in one pass: the center correlation runs as a K-stencil
     BANK (one read of the data for every config — the Pallas bank kernel on
     TPU, a C-output-channel conv elsewhere) instead of per-config vmap
-    lanes; only the tiny edge fixups are vmapped."""
+    lanes; only the tiny edge fixups are vmapped. Not jitted itself —
+    the traced path and the per-config specialized closures wrap it."""
     d = int(derivative)
     hp = jax.lax.Precision.HIGHEST
     if reference_edge_sign and d % 2 == 1:
