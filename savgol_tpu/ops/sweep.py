@@ -188,8 +188,13 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
     build in the hot path); traced configs generate everything in-graph
     (fully fused)."""
     d = int(derivative)
-    if not (isinstance(hw, jax.core.Tracer)
-            or isinstance(po, jax.core.Tracer)):
+    # Specialization compiles once PER CONFIG TUPLE (vs once per shape
+    # for the traced path) — worth it only where the per-dispatch fixed
+    # cost it removes matters. Small inputs (tests, fuzz campaigns with
+    # random configs) keep the shared traced compile.
+    if (x.shape[-1] >= _SPECIALIZE_MIN_N
+            and not (isinstance(hw, jax.core.Tracer)
+                     or isinstance(po, jax.core.Tracer))):
         hw_key = tuple(int(v) for v in np.asarray(hw))
         po_key = tuple(int(v) for v in np.asarray(po))
         run = _sweep_apply_specialized(hw_key, po_key, d, boundary,
@@ -198,6 +203,9 @@ def _apply_sweep_jit(x, hw, po, derivative, boundary, dt_inv, dtype,
         return run(x, dt_inv)
     return _apply_sweep_traced(x, hw, po, d, boundary, dt_inv, dtype,
                                method, reference_edge_sign)
+
+
+_SPECIALIZE_MIN_N = 16384
 
 
 @functools.lru_cache(maxsize=None)
