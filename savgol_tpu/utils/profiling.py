@@ -49,8 +49,15 @@ def benchmark(fn: Callable, *args, iters: int = 20, warmup: int = 3):
     return (time.perf_counter() - t0) / iters, out
 
 
-# t(2k)/t(k) must sit near 2 for the k-difference to mean anything
-RATIO_BAND = (1.6, 2.6)
+# t(2k)/t(k) must sit near 2 for the k-difference to mean anything.
+# The band is the ONE acceptance range for the protocol (bench.py and the
+# probes import it — do not hand-code a second band). Lower bound 1.4, not
+# ~1.6: a genuine per-invocation fixed cost F lowers the ratio to
+# (F + 2ks)/(F + ks) < 2 while the k-difference still cancels F exactly —
+# at ratio 1.4 the difference amplifies timing noise ~5x (acceptable at
+# iters>=5); ratios near 1.0 mean the virtualized stack collapsed the
+# chain (dedup) and the difference is garbage.
+RATIO_BAND = (1.4, 2.7)
 
 
 def benchmark_chained(fn: Callable, x, *rest, iters: int = 5, k: int = 4,
