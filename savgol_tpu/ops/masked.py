@@ -369,7 +369,8 @@ _STACK2D_CHUNK = 4   # stencils per stack-kernel launch: bands are
 
 
 def _corr2d_bank(x: jax.Array, w_stack: jax.Array,
-                 precision=lax.Precision.HIGHEST) -> jax.Array:
+                 precision=lax.Precision.HIGHEST,
+                 method: str = "auto") -> jax.Array:
     """(..., Rp, Cp) x (K, wh, ww) -> (K, ..., R, C) valid correlation,
     PLANES-FIRST.
 
@@ -381,7 +382,7 @@ def _corr2d_bank(x: jax.Array, w_stack: jax.Array,
     masked-2D wall; benchmarks/probe_masked2d_stages.py). Elsewhere (or
     for stencils beyond the kernel's halo limits) the XLA conv + a
     moveaxis serve."""
-    if jax.default_backend() == "tpu":
+    if method == "auto" and jax.default_backend() == "tpu":
         from savgol_tpu.ops import pallas_conv as pc
         K, wh, ww = w_stack.shape
         if wh <= pc._HALO_R + 1 and ww <= pc._LANES + 1:
@@ -435,6 +436,65 @@ def _masked_tables_2d(half_window_x: int, half_window_y: int,
     return Q3, Rinv, pair_w, pair_index, mono_index
 
 
+@functools.lru_cache(maxsize=None)
+def _masked2d_fused_diff(nx: int, ny: int, m: int, dx: int, dy: int,
+                         delta_x: float, delta_y: float, kmin: int,
+                         fill: str, rcond: float, weighted: bool):
+    """Differentiable wrapper for the fused masked-2D Pallas kernel
+    (ops/pallas_masked2d.py): separable tensor-moment Gram + plane
+    Cholesky + extraction in one VMEM pass. The backward pass is the VJP
+    of the staged jnp twin below — same mathematical function (the
+    masked-LS fit is basis-independent), one home for the math.
+
+    ``fill`` arrives as ``repr(float)`` (NaN-safe cache key, see the 1D
+    wrapper). Contract: ``op(xv, wv)`` takes the BOUNDARY-PADDED
+    mask-sanitized values (pre-multiplied by the weights when
+    ``weighted``) and weights, (..., R + 2ny, C + 2nx), and returns the
+    (..., R, C) masked filter output with ``fill`` at under-quorum /
+    unidentifiable pixels."""
+    fillf = float(fill)
+    wx, wy = 2 * nx + 1, 2 * ny + 1
+    Q3, Rinv, pair_w, pair_index, mono_index = _masked_tables_2d(nx, ny, m)
+    p_idx = mono_index[(dx, dy)]
+    scale = (math.factorial(dx) * math.factorial(dy)
+             / float(nx * delta_x) ** dx / float(ny * delta_y) ** dy)
+    extract = Rinv[p_idx, :] * scale
+
+    def twin(xv, wv):
+        dtype = xv.dtype
+        gramP = _corr2d_bank(wv, jnp.asarray(pair_w, dtype))
+        rhsP = _corr2d_bank(xv, jnp.asarray(Q3, dtype))
+        if weighted:
+            ones = jnp.ones((1, wy, wx), dtype)
+            count = _corr2d_bank((wv > 0).astype(dtype), ones)[0]
+        else:
+            count = gramP[pair_index[0, 0]] * (wy * wx)
+        coef, ok = plane_cholesky_solve(gramP, pair_index, rhsP,
+                                        count >= (kmin - 0.5), rcond=rcond)
+        y = jnp.einsum("k...,k->...", coef,
+                       jnp.asarray(extract, dtype=dtype))
+        return jnp.where(ok, y, jnp.asarray(fillf, dtype=dtype))
+
+    @jax.custom_vjp
+    def op(xv, wv):
+        from savgol_tpu.ops.pallas_masked2d import \
+            savgol_masked2d_fused_pallas
+        return savgol_masked2d_fused_pallas(
+            xv, wv, half_window_x=nx, half_window_y=ny, poly_order=m,
+            deriv_x=dx, deriv_y=dy, delta_x=delta_x, delta_y=delta_y,
+            kmin=kmin, fill=fillf, rcond=rcond, weighted=weighted)
+
+    def fwd(xv, wv):
+        return op(xv, wv), (xv, wv)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def savgol2d_apply_masked(
     x: jax.Array,
     *,
@@ -450,6 +510,7 @@ def savgol2d_apply_masked(
     min_points: Optional[int] = None,
     fill: float = float("nan"),
     rcond: Optional[float] = None,
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """2D Savitzky-Golay filtering with missing pixels (last two axes).
@@ -512,6 +573,8 @@ def savgol2d_apply_masked(
     if mask.shape != x.shape:
         raise ValueError(
             f"mask shape {mask.shape} != data shape {x.shape}")
+    if method not in ("auto", "xla"):
+        raise ValueError(f"method must be 'auto' or 'xla', got {method!r}")
     dtype = x.dtype
     if rcond is None:
         rcond = 1e-6 if dtype == jnp.float32 else 1e-12
@@ -536,20 +599,36 @@ def savgol2d_apply_masked(
         xzp = jnp.pad(xz, pad, mode=mode)
         wp = jnp.pad(wts, pad, mode=mode)
 
+    from savgol_tpu.ops.pallas_masked2d import fused2d_supported
+    if (method == "auto" and jax.default_backend() == "tpu"
+            and fused2d_supported(nx, ny, m)):
+        # ONE fused Pallas kernel: separable tensor-moment Gram + plane
+        # Cholesky + extraction per VMEM tile (ops/pallas_masked2d.py) —
+        # the staged form below launches ~(Kp + P) / 4 stack-kernel
+        # chunks and round-trips every Gram/rhs plane through HBM.
+        # Backward flows through the staged twin.
+        op = _masked2d_fused_diff(nx, ny, m, int(deriv_x), int(deriv_y),
+                                  float(delta_x), float(delta_y), kmin,
+                                  repr(float(fill)), float(rcond),
+                                  weighted)
+        y = op(xzp * wp if weighted else xzp, wp)
+        return y.astype(restore) if restore is not None else y
+
     pw = jnp.asarray(pair_w, dtype=dtype)
     qw = jnp.asarray(Q3, dtype=dtype)
     # planes-first layout everywhere: the per-pixel P x P Gram is NEVER
     # materialized with (P, P) minor dims (TPU tile-padding would blow
     # it up ~20x at P = 10 — see ops/lsq.py::cholesky_solve_planes)
-    gramP = _corr2d_bank(wp, pw, precision)              # (Kp, ..., R, C)
+    gramP = _corr2d_bank(wp, pw, precision, method)      # (Kp, ..., R, C)
     rhsP = _corr2d_bank(xzp * wp if weighted else xzp,
-                        qw, precision)                   # (P, ..., R, C)
+                        qw, precision, method)           # (P, ..., R, C)
 
     if weighted:
         # positive-weight count needs its own box correlation (the Gram's
         # phi_0 row carries the weight SUM, not the count)
         ones = jnp.ones((1, wy, wx), dtype)
-        count = _corr2d_bank((wp > 0).astype(dtype), ones, precision)[0]
+        count = _corr2d_bank((wp > 0).astype(dtype), ones, precision,
+                             method)[0]
     else:
         # phi_0 is the constant 1/sqrt(wy*wx): G[0,0] == count/(wy*wx)
         count = gramP[pair_index[0, 0]] * (wy * wx)

@@ -303,6 +303,42 @@ class TestMasked:
         assert np.isfinite(got).all()
         assert np.abs(const - 2.5).max() <= 1e-5
 
+    def test_masked_2d_fused_vs_xla(self):
+        # the fused tensor-moment kernel (the TPU default) vs the staged
+        # XLA twin, flagship geometry, gated on well-covered windows
+        # (hole-starved windows amplify the formulations' differing Gram
+        # rounding by cond^2 — conditioning, not a Mosaic divergence)
+        from scipy.ndimage import uniform_filter
+        rng = _rng(46)
+        img = rng.standard_normal((512, 512)).astype(np.float32)
+        img[rng.random(img.shape) < 0.2] = np.nan
+        kw = dict(half_window_x=5, half_window_y=5, poly_order=3,
+                  deriv_x=1, fill=0.0)
+        got = np.asarray(sg.savgol2d_apply_masked(jnp.asarray(img), **kw))
+        want = np.asarray(sg.savgol2d_apply_masked(
+            jnp.asarray(img), method="xla", **kw))
+        cov = uniform_filter(np.isfinite(img).astype(float), size=11,
+                             mode="constant") * 121
+        well = cov >= 0.7 * 121
+        assert np.abs(got - want)[well].max() <= 2e-4
+
+    def test_masked_2d_fused_weighted_and_gradient(self):
+        rng = _rng(47)
+        img = rng.standard_normal((128, 256)).astype(np.float32)
+        wts = rng.random(img.shape).astype(np.float32)
+        wts[rng.random(wts.shape) < 0.15] = 0.0
+        kw = dict(half_window_x=3, half_window_y=3, poly_order=2,
+                  fill=0.0)
+        got = np.asarray(sg.savgol2d_apply_masked(
+            jnp.asarray(img), mask=jnp.asarray(wts), **kw))
+        want = np.asarray(sg.savgol2d_apply_masked(
+            jnp.asarray(img), mask=jnp.asarray(wts), method="xla", **kw))
+        assert np.abs(got - want).max() <= 2e-3      # hole-starved incl.
+        assert np.median(np.abs(got - want)) <= 1e-5
+        g = jax.grad(lambda v: jnp.sum(sg.savgol2d_apply_masked(
+            v, mask=jnp.asarray(wts), **kw) ** 2))(jnp.asarray(img))
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestPlaneSolve:
     """The fused Pallas plane-Cholesky kernels (ops/pallas_solve.py) vs
@@ -416,3 +452,21 @@ class TestNonuniform:
         want = 0.6 * t - 1.7
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 1e-4 * max(1.0, scale)
+
+    def test_nonuniform_fused_vs_xla(self):
+        # the fused dd-moment kernel (the TPU default) vs the staged XLA
+        # twin, same data on-chip, masked + derivative, flagship config
+        rng = _rng(53)
+        t = np.cumsum(0.5 + rng.random((8, 8192))).astype(np.float32)
+        x = rng.standard_normal((8, 8192)).astype(np.float32)
+        x[rng.random(x.shape) < 0.1] = np.nan
+        kw = dict(half_window=12, poly_order=4, derivative=1, fill=0.0)
+        got = np.asarray(sg.savgol_apply_nonuniform(
+            jnp.asarray(x), jnp.asarray(t), **kw))
+        want = np.asarray(sg.savgol_apply_nonuniform(
+            jnp.asarray(x), jnp.asarray(t), method="xla", **kw))
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() <= 1e-4 * scale
+        g = jax.grad(lambda v: jnp.sum(sg.savgol_apply_nonuniform(
+            v, jnp.asarray(t), **kw) ** 2))(jnp.asarray(x))
+        assert np.isfinite(np.asarray(g)).all()
