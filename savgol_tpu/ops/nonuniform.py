@@ -38,6 +38,7 @@ boundary="truncate")`` exactly, hence the classic filter in the interior.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -64,6 +65,7 @@ def savgol_apply_nonuniform(
     min_points: Optional[int] = None,
     fill: float = float("nan"),
     rcond: Optional[float] = None,
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Savitzky-Golay filtering at arbitrary sample positions ``t``.
@@ -89,10 +91,21 @@ def savgol_apply_nonuniform(
     assumes monotonicity, but the index-neighbor window is only a
     *meaningful* neighborhood when ``t`` is (roughly) ordered.
 
+    ``method``: ``"auto"`` (default) runs the fully-fused Pallas kernel
+    on TPU (slab taps + dd Hankel moments + dd plane Cholesky +
+    extraction in one VMEM pass; backward through the staged twin) when
+    supported (``2*half_window <= 128`` and ``t`` in working
+    precision), the staged XLA pipeline otherwise; ``"xla"`` forces the
+    staged pipeline; ``"fused"`` forces the kernel (downcasting ``t``
+    to working dtype if needed).
+
     Fully jittable / differentiable (in ``x``, ``t`` and a float
     ``mask``) / vmappable; static args: ``half_window, poly_order,
-    derivative, axis, min_points``.
+    derivative, axis, min_points, method``.
     """
+    if method not in ("auto", "xla", "fused"):
+        raise ValueError(
+            f"method must be 'auto', 'xla' or 'fused', got {method!r}")
     n = int(half_window)
     m = int(poly_order)
     d = int(derivative)
@@ -149,15 +162,44 @@ def savgol_apply_nonuniform(
     wts = jnp.where(valid, ml.astype(dtype),
                     jnp.zeros((), dtype)) if weighted else valid.astype(dtype)
     xz = jnp.where(valid, xl, jnp.zeros((), dtype))
-    # offsets are formed BEFORE any cast of t: u = t[p+j] - t[p] in t's own
-    # dtype kills the catastrophic cancellation large raw abscissae (epoch
-    # timestamps) would suffer in f32
-    tz = jnp.where(valid, tl, jnp.zeros((), t.dtype))
 
-    pad = [(0, 0)] * (xl.ndim - 1) + [(n, n)]
+    from savgol_tpu.ops.pallas_nonuniform import nonuniform_fused_supported
+    if method == "fused" or (method == "auto"
+                             and jax.default_backend() == "tpu"
+                             and nonuniform_fused_supported(n)
+                             and tl.dtype == dtype):
+        # ONE fused Pallas kernel: slab-shift taps + dd Hankel moments +
+        # dd plane Cholesky + extraction per VMEM tile — the staged form
+        # below writes ~2*(3m+2) dd moment/rhs planes to HBM and reads
+        # them back. Backward flows through the staged twin.
+        op = _nonuni_fused_diff(n, m, d, kmin, repr(float(fill)),
+                                float(rcond))
+        y = op(xz, wts, tl.astype(dtype))
+    else:
+        y = _staged_nonuniform(xz, wts, tl, n, m, d, kmin, rcond, fill,
+                               dtype)
+    y = _restore_axis(y, moved)
+    return y.astype(restore) if restore is not None else y
+
+
+def _staged_nonuniform(xz, wts, tl, n, m, d, kmin, rcond, fill, dtype):
+    """Staged XLA nonuniform pipeline — and the fused kernel's
+    differentiable jnp twin.
+
+    ``xz``/``wts`` mask-sanitized values and weights, ``tl`` RAW
+    abscissae (invalid taps are killed centrally by ``w = 0`` inside
+    :func:`_fit_taps`, so NaN/epoch-scale abscissae at masked-out
+    samples cannot poison the moments), all (..., N), filter axis last.
+
+    Offsets are formed in t's own dtype: ``u = t[p+j] - t[p]`` before
+    any cast kills the catastrophic cancellation large raw abscissae
+    (epoch timestamps) would suffer in f32.
+    """
+    n_out = xz.shape[-1]
+    pad = [(0, 0)] * (xz.ndim - 1) + [(n, n)]
     xzp = jnp.pad(xz, pad)                  # zeros, masked out
     wp = jnp.pad(wts, pad)                  # out-of-range invalid
-    tzp = jnp.pad(tz, pad)
+    tzp = jnp.pad(tl, pad)
 
     # per-tap PLANES via shifted slices — neither a minor-axis gather
     # (TPU-serialized) nor a (..., N, ws) window tensor (the ws-minor
@@ -168,9 +210,50 @@ def savgol_apply_nonuniform(
         u_t = lax.slice_in_dim(tzp, tt, tt + n_out, axis=-1) - tl
         return x_t, w_t, u_t
 
-    y = _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype)
-    y = _restore_axis(y, moved)
-    return y.astype(restore) if restore is not None else y
+    return _fit_taps(tap, 2 * n + 1, m, d, kmin, rcond, fill, dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _nonuni_fused_diff(n: int, m: int, d: int, kmin: int, fill: str,
+                       rcond: float):
+    """Differentiable wrapper for the fused nonuniform Pallas kernel.
+
+    ``fill`` arrives as ``repr(float)`` — NaN is the common value and
+    ``nan != nan`` would miss this lru cache AND every jit static-arg
+    cache downstream, retracing per call.
+
+    Contract: ``op(xz, wts, tl)`` takes mask-sanitized values
+    (invalid = 0), weights (0 = missing) and RAW abscissae, all
+    (..., N) in working dtype, and returns the (..., N) d-th
+    derivatives at each sample's own abscissa (``fill`` at
+    under-quorum / non-identifying positions) — exactly
+    :func:`_staged_nonuniform`'s contract (truncate edges). The
+    backward pass is the VJP of the staged jnp twin (the same dd
+    moments + dd plane Cholesky; ops/lsq.py has one home for the
+    math)."""
+    fillf = float(fill)
+
+    def twin(xz, wts, tl):
+        return _staged_nonuniform(xz, wts, tl, n, m, d, kmin, rcond,
+                                  fillf, xz.dtype)
+
+    @jax.custom_vjp
+    def op(xz, wts, tl):
+        from savgol_tpu.ops.pallas_nonuniform import \
+            savgol_nonuniform_fused_pallas
+        return savgol_nonuniform_fused_pallas(
+            xz, wts, tl, half_window=n, poly_order=m, derivative=d,
+            kmin=kmin, fill=fillf, rcond=rcond)
+
+    def fwd(xz, wts, tl):
+        return op(xz, wts, tl), (xz, wts, tl)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 def _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype):
@@ -221,6 +304,12 @@ def _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype):
     for t in range(ws):
         x_t, w_t, u_t = tap(t)
         wx_t = w_t * x_t
+        # invalid taps must carry u = 0, not just w = 0: an unsanitized
+        # offset (a NaN abscissa at a masked-out sample, or zero padding
+        # minus an epoch-scale center) would turn (u/s)^(2m) into
+        # inf/NaN and poison the w = 0 moment product with inf * 0 =
+        # NaN. The fused Pallas kernel sanitizes identically.
+        u_t = jnp.where(w_t > 0, u_t, jnp.zeros((), u_t.dtype))
         un_t = (u_t.astype(dtype) * sinv, zero)
         pw = (jnp.ones_like(s), zero)                   # un_t^p, dd
         for p in range(n_mom):
