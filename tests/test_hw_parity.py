@@ -440,6 +440,25 @@ class TestNonuniform:
         sl = slice(6, -6)
         assert np.abs(got[sl] - want[sl]).max() <= 1e-4
 
+    def test_resample_auto_vs_direct(self):
+        # The recentered-plane resample (the default; rides the fused
+        # coeff pipeline) vs the per-query-gather direct path — same
+        # windows, same LS fit in a different basis — on-chip.
+        rng = _rng(54)
+        N = 32_768
+        t = np.cumsum(0.5 + rng.random(N)).astype(np.float32)
+        tq = np.linspace(t[0] - 2, t[-1] + 2, N // 2).astype(np.float32)
+        x = rng.standard_normal((4, N)).astype(np.float32)
+        x[rng.random(x.shape) < 0.1] = np.nan
+        kw = dict(half_window=12, poly_order=4, derivative=1, fill=0.0)
+        got = np.asarray(sg.savgol_resample(
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(tq), **kw))
+        want = np.asarray(sg.savgol_resample(
+            jnp.asarray(x), jnp.asarray(t), jnp.asarray(tq),
+            method="direct", **kw))
+        scale = max(1.0, np.abs(want).max())
+        assert np.abs(got - want).max() <= 1e-4 * scale
+
     def test_polynomial_reproduction_on_jittered_grid(self):
         # An order-<=m polynomial sampled at irregular positions is
         # reproduced exactly (to f32 LS rounding), derivative included.
