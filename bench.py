@@ -194,6 +194,24 @@ def _bench_chained(fn, x, *, key, iters=5, k=2, feedback_scale=1e-3):
         return None
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _row(key: str):
+    """One optional metric row: a transient failure (tunnel compile
+    hiccup, OOM on a capability shape) records a path_error and the run
+    CONTINUES — one flaky compile must not kill the remaining rows.
+    Parity-gate AssertionErrors stay fatal."""
+    try:
+        yield
+    except AssertionError:
+        raise
+    except Exception as e:
+        _EX["path_errors"][key] = f"{type(e).__name__}: {e}"[:200]
+        _note(f"{key}: row failed — continuing ({type(e).__name__})")
+
+
 def _require_backend(timeout_s: float = 600.0):
     """Fail FAST (rc 3) if the device backend cannot initialize.
 
@@ -294,11 +312,21 @@ def main():
     _require_backend()
     try:
         _main_impl()
-    except BaseException:
-        # a parity gate tripped or the run crashed: DO NOT flush a record
-        # that a later reader would take as a clean bench
+    except AssertionError:
+        # a parity gate tripped: DO NOT flush a record that a later
+        # reader would take as a clean bench
         _FAILED = True
         raise
+    except BaseException as e:
+        # infrastructure crash (tunnel compile hiccup, OOM, ...): the
+        # measurements taken BEFORE it are real — publish the partial
+        # record, labeled, with a nonzero rc (a r5 dry run died on a
+        # transient remote-compile error AFTER the headline and gates
+        # were in hand and published nothing)
+        import traceback
+        traceback.print_exc()
+        _emit(1, f"crashed: {type(e).__name__}: {e}"[:200])
+        raise  # unreachable (emit hard-exits), for readers
     _emit(0)
 
 
@@ -543,13 +571,15 @@ def _main_impl():
         assert gates["masked_vs_xla"] <= 2e-4, (
             f"masked hw parity: {gates['masked_vs_xla']:.3e}")
 
-        per = _bench_chained(lambda v: savgol_apply_masked(
-            v, half_window=12, poly_order=4, mask=mk, fill=0.0), xm,
-            key="masked1d_normal_gs_s")
-        if per is not None:
-            masked_rates["masked1d_normal_gs_s"] = round(
-                xm.size / per / 1e9, 3)
+        with _row("masked1d_normal_gs_s"):
+            per = _bench_chained(lambda v: savgol_apply_masked(
+                v, half_window=12, poly_order=4, mask=mk, fill=0.0), xm,
+                key="masked1d_normal_gs_s")
+            if per is not None:
+                masked_rates["masked1d_normal_gs_s"] = round(
+                    xm.size / per / 1e9, 3)
         if _time_left(150):
+          with _row("masked1d_qr_gs_s"):
             xq = xm[:8]
             per = _bench_chained(lambda v: savgol_apply_masked(
                 v, half_window=12, poly_order=4, mask=mk[:8], fill=0.0,
@@ -558,6 +588,7 @@ def _main_impl():
                 masked_rates["masked1d_qr_gs_s"] = round(
                     xq.size / per / 1e9, 3)
         if _time_left(130):
+          with _row("masked2d_mpix_s"):
             im_np = np.asarray(rng.standard_normal((1024, 1024)),
                                dtype=np.float32)
             im_np[rng.random(im_np.shape) < 0.2] = np.nan
@@ -570,6 +601,7 @@ def _main_impl():
                 masked_rates["masked2d_mpix_s"] = round(
                     imj.size / per / 1e6, 1)
         if _time_left(100):
+          with _row("nonuniform_gs_s"):
             tn = jnp.asarray(np.cumsum(
                 rng.random((8, 131_072)) + 0.5, axis=-1), dtype=jnp.float32)
             xn = jnp.asarray(rng.standard_normal((8, 131_072)),
@@ -580,7 +612,25 @@ def _main_impl():
             if per is not None:
                 masked_rates["nonuniform_gs_s"] = round(
                     xn.size / per / 1e9, 3)
+        if _time_left(110):
+          with _row("resample_ms_s"):
+            # recentered-plane resample (VERDICT r04 #4): sorted data,
+            # uniform query grid — the probe_masked.py config
+            from savgol_tpu.ops.nonuniform import savgol_resample
+            t1 = jnp.asarray(np.cumsum(
+                rng.random(131_072) + 0.5), dtype=jnp.float32)
+            tq1 = jnp.asarray(np.linspace(float(t1[0]), float(t1[-1]),
+                                          131_072), dtype=jnp.float32)
+            xr = jnp.asarray(rng.standard_normal((8, 131_072)),
+                             dtype=np.float32)
+            per = _bench_chained(lambda v: savgol_resample(
+                v, t1, tq1, half_window=12, poly_order=4, fill=0.0),
+                xr, key="resample_ms_s")
+            if per is not None:
+                masked_rates["resample_ms_s"] = round(
+                    xr.size / per / 1e6, 1)
         if _time_left(120):
+          with _row("sweep_marginal_4m_gs_s_per_config"):
             # (n, m) sweep MARGINAL at 4M (VERDICT r04 #8): the 131k
             # bench size is per-call-fixed-cost bound (~0.7 ms of
             # virtualized-chip launch overhead, probe_sweep.py); at 4M

@@ -351,6 +351,95 @@ def _fit_coeffs(tap, ws, m, kmin, rcond, dtype):
     return coef, s, ok
 
 
+@functools.lru_cache(maxsize=None)
+def _nonuni_planes_diff(n: int, m: int, kmin: int, rcond: float):
+    """Differentiable wrapper for the plane-emitting fused kernel.
+
+    ``op(xz, wts, tl)`` returns ``(coef, s, okf)`` — the
+    :func:`_fit_coeffs` plane stack with the quorum mask as 0/1 floats —
+    computed by ONE Pallas pass on TPU
+    (pallas_nonuniform.savgol_nonuniform_planes_pallas); backward is the
+    VJP of the staged jnp twin (the same dd moments + dd plane
+    Cholesky), exactly the :func:`_nonuni_fused_diff` pattern."""
+
+    def twin(xz, wts, tl):
+        coef, s, ok = _fit_coeffs(_staged_taps(xz, wts, tl, n),
+                                  2 * n + 1, m, kmin, rcond, xz.dtype)
+        return coef, s, ok.astype(xz.dtype)
+
+    @jax.custom_vjp
+    def op(xz, wts, tl):
+        from savgol_tpu.ops.pallas_nonuniform import \
+            savgol_nonuniform_planes_pallas
+        return savgol_nonuniform_planes_pallas(
+            xz, wts, tl, half_window=n, poly_order=m, kmin=kmin,
+            rcond=rcond)
+
+    def fwd(xz, wts, tl):
+        return op(xz, wts, tl), (xz, wts, tl)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(twin, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_eval_diff(K: int, d: int, fill: str):
+    """Differentiable resample plane evaluation (TPU).
+
+    ``op(bpl, s, ok, t, ctr, tq)`` evaluates the derivative-adjusted
+    coefficient planes ``bpl`` (K, B, N) at the query centers:
+    clustered (sorted) queries ride the one-hot slab-matmul Pallas
+    kernel (ops/pallas_resample.py), arbitrary ones the XLA gathers —
+    picked per call by ``lax.cond`` on the block-fit predicate, so
+    sparse/shuffled queries stay correct. Backward is the XLA twin's
+    VJP. ``fill`` is a repr(float) token (NaN-safe cache key)."""
+    fillf = float(fill)
+
+    def xla_eval(bpl, s_pl, ok_pl, tvec, ctr, tq):
+        bg = jnp.take(bpl, ctr, axis=-1)            # (K, B, Nq)
+        sgth = jnp.take(s_pl, ctr, axis=-1)         # (B, Nq)
+        okg = jnp.take(ok_pl, ctr, axis=-1)
+        tg = jnp.take(tvec, ctr)
+        u = (tq - tg)[None, :] / sgth
+        acc = bg[K - 1]
+        for j in range(K - 2, -1, -1):
+            acc = acc * u + bg[j]
+        y = acc / sgth ** d
+        return jnp.where(okg > 0.5, y, jnp.asarray(fillf, y.dtype))
+
+    @jax.custom_vjp
+    def op(bpl, s_pl, ok_pl, tvec, ctr, tq):
+        from savgol_tpu.ops.pallas_resample import (resample_block_fit,
+                                                    resample_eval_pallas)
+        N = tvec.shape[-1]
+        B = s_pl.shape[0]
+        fit = resample_block_fit(ctr, N)
+
+        def fast(ops):
+            bpl_, s_, ok_, tv_, ctr_, tq_ = ops
+            stack = jnp.concatenate(
+                [bpl_.reshape(K * B, N), s_, ok_, tv_[None]], axis=0)
+            return resample_eval_pallas(stack, ctr_, tq_, K=K, B=B,
+                                        derivative=d, fill=fillf)
+
+        return lax.cond(fit, fast, lambda ops: xla_eval(*ops),
+                        (bpl, s_pl, ok_pl, tvec, ctr, tq))
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(xla_eval, *res)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def savgol_resample(
     x: jax.Array,
     t: jax.Array,
@@ -469,7 +558,11 @@ def savgol_resample(
 
     # window of query q: the ws index-neighbors of its insertion point,
     # clipped inside the data (edge queries reuse the first/last window)
-    ins = jnp.searchsorted(t, tq)                       # (Nq,)
+    # method="sort" (one XLA merge-sort over t ++ tq) measures 7.5x
+    # faster on TPU than the default binary-search scan, whose log2(N)
+    # serialized minor-axis gather steps were THE wall of this path
+    # (17 of 27 ms on the 8x131k probe); identical insertion points
+    ins = jnp.searchsorted(t, tq, method="sort")        # (Nq,)
     start = jnp.clip(ins - n, 0, N - ws)
 
     if method == "auto":
@@ -477,12 +570,41 @@ def savgol_resample(
         # (coefficient planes over the clipped centers ride the same
         # shifted-slice pipeline as savgol_apply_nonuniform — the fused
         # dd-moment Pallas kernel's staged twin), then gather one
-        # (m+3)-plane stack per query and Horner-evaluate. Same window,
+        # plane stack per query and Horner-evaluate. Same window,
         # same LS fit, different (window-centered) basis.
         ctr = start + n                                 # in [n, N-1-n]
         tb = jnp.broadcast_to(t, x.shape)
-        coef, s_pl, ok_pl = _fit_coeffs(
-            _staged_taps(xz, wts, tb, n), ws, m, kmin, rcond, dtype)
+        from savgol_tpu.ops.pallas_nonuniform import \
+            nonuniform_fused_supported
+        if (jax.default_backend() == "tpu"
+                and nonuniform_fused_supported(n) and t.dtype == dtype):
+            # ONE fused Pallas pass for the whole plane fit (dd moments
+            # + dd plane Cholesky, emit_planes mode) — the staged form
+            # below round-trips every moment/rhs plane through HBM
+            op_fit = _nonuni_planes_diff(n, m, kmin, float(rcond))
+            coef, s_pl, ok_pl = op_fit(xz, wts, tb.astype(dtype))
+        else:
+            coef, s_pl, ok_pl = _fit_coeffs(
+                _staged_taps(xz, wts, tb, n), ws, m, kmin, rcond, dtype)
+        K = m + 1 - d
+        if jax.default_backend() == "tpu" and t.dtype == dtype:
+            # one-hot slab-matmul gather kernel for clustered (sorted)
+            # queries, XLA gathers via lax.cond otherwise
+            # (ops/pallas_resample.py); backward through the XLA twin
+            lead = x.shape[:-1]
+            B = 1
+            for s_ in lead:
+                B *= int(s_)
+            bpl = jnp.stack([
+                coef[j + d] * float(math.factorial(j + d)
+                                    // math.factorial(j))
+                for j in range(K)])                     # (K, ..., N)
+            op = _resample_eval_diff(K, d, repr(float(fill)))
+            y = op(bpl.reshape(K, B, N), s_pl.reshape(B, N),
+                   ok_pl.astype(dtype).reshape(B, N), t.astype(dtype),
+                   ctr.astype(jnp.int32), tq.astype(dtype))
+            y = y.reshape(lead + (tq.shape[0],))
+            return y.astype(restore) if restore is not None else y
         ck = jnp.take(coef, ctr, axis=-1)               # (m+1, ..., Nq)
         sg = jnp.take(s_pl, ctr, axis=-1)               # (..., Nq)
         okg = jnp.take(ok_pl, ctr, axis=-1)

@@ -48,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 from savgol_tpu.ops.lsq import (_split_const, _two_sum,
                                 cholesky_solve_planes_dd)
 
-__all__ = ["savgol_nonuniform_fused_pallas", "nonuniform_fused_supported"]
+__all__ = ["savgol_nonuniform_fused_pallas",
+           "savgol_nonuniform_planes_pallas",
+           "nonuniform_fused_supported"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -72,7 +74,8 @@ def nonuniform_fused_supported(half_window: int) -> bool:
 
 def _nonuni_kernel(x_ref, xh_ref, w_ref, wh_ref, t_ref, th_ref, o_ref, *,
                    n: int, m: int, d: int, kmin: int, fill: float,
-                   rcond: float, n_total: int, cols: int):
+                   rcond: float, n_total: int, cols: int,
+                   emit_planes: bool = False):
     """One (rows, cols) output tile; slabs are (rows, cols + 128)."""
     ci = pl.program_id(1)
     ws = 2 * n + 1
@@ -185,6 +188,16 @@ def _nonuni_kernel(x_ref, xh_ref, w_ref, wh_ref, t_ref, th_ref, o_ref, *,
         jnp.stack([h for h, _ in r]), jnp.stack([l for _, l in r]),
         quorum, rcond=rcond ** 2)
 
+    if emit_planes:
+        # resample mode: the full coefficient/normalizer stack instead
+        # of one extracted derivative — rows 0..m the u/s-basis coef
+        # planes, m+1 the normalizer s, m+2 the quorum mask as 0/1
+        # (d and fill are applied downstream at evaluation time)
+        for j in range(m + 1):
+            o_ref[j] = coef[j].astype(o_ref.dtype)
+        o_ref[m + 1] = s.astype(o_ref.dtype)
+        o_ref[m + 2] = jnp.where(ok, one, zero).astype(o_ref.dtype)
+        return
     sd = jnp.ones_like(s)
     for _ in range(d):
         sd = sd * s
@@ -196,9 +209,9 @@ def _nonuni_kernel(x_ref, xh_ref, w_ref, wh_ref, t_ref, th_ref, o_ref, *,
 @functools.partial(jax.jit, static_argnames=("n", "m", "d", "kmin",
                                              "fill", "rcond", "rows",
                                              "cols", "n_total",
-                                             "interpret"))
+                                             "interpret", "emit_planes"))
 def _nonuni_call(xp, wp, tp, n, m, d, kmin, fill, rcond, rows, cols,
-                 n_total, interpret):
+                 n_total, interpret, emit_planes=False):
     # fill arrives as repr(float) — a hashable jit key NaN cannot break
     fill = float(fill)
     B, Np = xp.shape
@@ -206,7 +219,8 @@ def _nonuni_call(xp, wp, tp, n, m, d, kmin, fill, rcond, rows, cols,
     last128 = Np // _LANES - 1
     kernel = functools.partial(
         _nonuni_kernel, n=n, m=m, d=d, kmin=kmin, fill=fill,
-        rcond=float(rcond), n_total=n_total, cols=cols)
+        rcond=float(rcond), n_total=n_total, cols=cols,
+        emit_planes=emit_planes)
     block = pl.BlockSpec((rows, cols), lambda bi, ci: (bi, ci),
                          memory_space=pltpu.VMEM)
     halo = pl.BlockSpec(
@@ -214,6 +228,14 @@ def _nonuni_call(xp, wp, tp, n, m, d, kmin, fill, rcond, rows, cols,
         lambda bi, ci: (bi, jnp.minimum((ci + 1) * (cols // _LANES),
                                         last128)),
         memory_space=pltpu.VMEM)
+    if emit_planes:
+        out_specs = pl.BlockSpec((m + 3, rows, cols),
+                                 lambda bi, ci: (0, bi, ci),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((m + 3, B, n_out), xp.dtype)
+    else:
+        out_specs = block
+        out_shape = jax.ShapeDtypeStruct((B, n_out), xp.dtype)
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024))
@@ -221,8 +243,8 @@ def _nonuni_call(xp, wp, tp, n, m, d, kmin, fill, rcond, rows, cols,
         kernel,
         grid=(B // rows, n_out // cols),
         in_specs=[block, halo, block, halo, block, halo],
-        out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((B, n_out), xp.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         **params,
     )(xp, xp, wp, wp, tp, tp)
@@ -282,3 +304,52 @@ def savgol_nonuniform_fused_pallas(xz, wts, traw, *, half_window: int,
                        repr(float(fill)), float(rcond), rows, cols,
                        N + 2 * n, interpret)
     return out[:B, :N].reshape(batch_shape + (N,))
+
+
+def savgol_nonuniform_planes_pallas(xz, wts, traw, *, half_window: int,
+                                    poly_order: int, kmin: int,
+                                    rcond: float,
+                                    interpret: bool | None = None):
+    """Fused nonuniform FIT emitting the full plane stack.
+
+    Same tile pipeline as :func:`savgol_nonuniform_fused_pallas` but the
+    output is everything ``savgol_resample`` needs to evaluate at
+    arbitrary query positions instead of one extracted derivative:
+    ``(coef, s, okf)`` with ``coef`` the ``(m+1, ..., N)`` polynomial
+    coefficient planes in each window's u/s-normalized basis, ``s`` the
+    ``(..., N)`` normalizers and ``okf`` the quorum/identifiability mask
+    as 0/1 floats — ops/nonuniform.py::_fit_coeffs' contract (which is
+    the jnp twin; gradients flow through it via the custom VJP in
+    ops/nonuniform.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = int(half_window)
+    m = int(poly_order)
+    if not nonuniform_fused_supported(n):
+        raise ValueError(f"fused nonuniform kernel supports 2n <= {_LANES}"
+                         f", got half_window={n}")
+    batch_shape = xz.shape[:-1]
+    N = xz.shape[-1]
+    xb = xz.reshape(-1, N)
+    wb = wts.reshape(-1, N)
+    tb = traw.reshape(-1, N).astype(xz.dtype)
+    B = xb.shape[0]
+
+    r0, c0 = _pick_tile(n, m, xz.dtype.itemsize)
+    rows = min(r0, _round_up(B, _SUBLANES))
+    cols = c0
+    n_out_p = _round_up(N, cols)
+    Np = n_out_p + _LANES
+    Bp = _round_up(B, rows)
+    pad = ((0, Bp - B), (n, Np - N - n))
+    xp = jnp.pad(xb, pad)
+    wp = jnp.pad(wb, pad)                        # zero weight = missing
+    tp = jnp.pad(tb, pad)
+    out = _nonuni_call(xp, wp, tp, n, m, 0, int(kmin), repr(0.0),
+                       float(rcond), rows, cols, N + 2 * n, interpret,
+                       emit_planes=True)
+    out = out[:, :B, :N]
+    coef = out[:m + 1].reshape((m + 1,) + batch_shape + (N,))
+    s = out[m + 1].reshape(batch_shape + (N,))
+    okf = out[m + 2].reshape(batch_shape + (N,))
+    return coef, s, okf

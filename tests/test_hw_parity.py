@@ -472,11 +472,42 @@ class TestNonuniform:
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 1e-4 * max(1.0, scale)
 
+    def test_nonuniform_planes_kernel_vs_staged(self):
+        # the emit_planes mode of the fused dd kernel (savgol_resample's
+        # TPU fit stage) vs the staged _fit_coeffs twin, same data
+        # on-chip: coefficient planes, normalizers and quorum mask
+        from savgol_tpu.ops.nonuniform import _fit_coeffs, _staged_taps
+        from savgol_tpu.ops.pallas_nonuniform import \
+            savgol_nonuniform_planes_pallas
+        rng = _rng(55)
+        n, m = 12, 4
+        t = np.cumsum(0.5 + rng.random((8, 8192)), axis=-1).astype(
+            np.float32)
+        x = rng.standard_normal((8, 8192)).astype(np.float32)
+        x[rng.random(x.shape) < 0.1] = np.nan
+        fin = np.isfinite(x)
+        xz = jnp.asarray(np.where(fin, x, 0.0))
+        wts = jnp.asarray(fin.astype(np.float32))
+        tb = jnp.asarray(t)
+        ck, sk, okk = savgol_nonuniform_planes_pallas(
+            xz, wts, tb, half_window=n, poly_order=m, kmin=m + 1,
+            rcond=1e-6)
+        ct, st, okt = _fit_coeffs(_staged_taps(xz, wts, tb, n),
+                                  2 * n + 1, m, m + 1, 1e-6, jnp.float32)
+        okb = np.asarray(okt)
+        assert bool(jnp.all((okk > 0.5) == okt))
+        dc = np.abs(np.asarray(ck - ct))[:, okb]
+        scale = max(1.0, float(np.abs(np.asarray(ct))[:, okb].max()))
+        assert dc.max() <= 1e-5 * scale
+        np.testing.assert_allclose(np.asarray(sk), np.asarray(st),
+                                   rtol=1e-6)
+
     def test_nonuniform_fused_vs_xla(self):
         # the fused dd-moment kernel (the TPU default) vs the staged XLA
         # twin, same data on-chip, masked + derivative, flagship config
         rng = _rng(53)
-        t = np.cumsum(0.5 + rng.random((8, 8192))).astype(np.float32)
+        t = np.cumsum(0.5 + rng.random((8, 8192)), axis=-1).astype(
+            np.float32)
         x = rng.standard_normal((8, 8192)).astype(np.float32)
         x[rng.random(x.shape) < 0.1] = np.nan
         kw = dict(half_window=12, poly_order=4, derivative=1, fill=0.0)
