@@ -167,15 +167,12 @@ def speed_of_light_1d(shape, *, dtype="float32", method: str = "auto",
 
 def speed_of_light_masked_1d(poly_order: int, *, shape, dtype="float32",
                              chip: ChipSpec = V5E) -> Roofline:
-    """Roofline for the masked 1D NORMAL pipeline (ops/masked.py).
-
-    Models the pipeline as built: padded value/weight copies, the
-    Kp = (m+1)(m+2)/2 Gram + (m+1) rhs bank correlations (banded MXU,
-    HIGHEST = 6 passes, 256 MACs per stencil output), each plane written
-    to and re-read from HBM by the fused plane-Cholesky solve. This is
-    the PIPELINE ceiling, not an information-theoretic one — a future
-    fully-fused gram+solve kernel could beat it (the irreducible traffic
-    is just x + mask in, y out).
+    """Roofline for the masked 1D NORMAL path — the fused single-VMEM-pass
+    kernel (ops/pallas_masked.py): Kp = (m+1)(m+2)/2 Gram + (m+1) rhs
+    bank correlations (banded MXU, HIGHEST = 6 passes, 256 MACs per
+    stencil output) with the plane Cholesky fused in-kernel, so the only
+    HBM traffic is x + mask in, y out. The solve's VPU cost is uncounted
+    (measured ~free — probe_psolve.py: 12-35 Gpos/s standalone).
     """
     m = int(poly_order)
     kp = (m + 1) * (m + 2) // 2
@@ -183,9 +180,7 @@ def speed_of_light_masked_1d(poly_order: int, *, shape, dtype="float32",
     for s in shape:
         elements *= int(s)
     b = _nbytes(dtype)
-    # x in + mask(1B) + xzp/wp pad copies (w+r each) + gram/rhs planes
-    # (w+r each) + y out
-    bytes_per = b + 1 + 4 * b + 2 * b * kp + 2 * b * (m + 1) + b
+    bytes_per = b + 1 + b                       # x in + mask(1B) + y out
     macs = (kp + m + 1) * 256.0
     mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
     hbm_bytes = float(elements) * bytes_per
@@ -199,22 +194,29 @@ def speed_of_light_masked_1d(poly_order: int, *, shape, dtype="float32",
 def speed_of_light_masked_2d(window_h: int, window_w: int, poly_order: int,
                              *, shape, dtype="float32",
                              chip: ChipSpec = V5E) -> Roofline:
-    """Roofline for the masked 2D pipeline: P = (m+1)(m+2)/2 bivariate
-    terms, Kp = P(P+1)/2 Gram-pair 2D correlations + P rhs correlations
-    through the row-banded MXU STACK kernel (wh row-matmuls of K = 128
-    lanes per stencil output — the 128-quantization is the engine's
-    cost, ~10x the dense tap count at 11x11, paid for plane-major output
-    the Pallas solve can consume without the XLA conv's ~250 ms/Mpix
-    feature-minor relayout), planes written and re-read by the solve."""
+    """Roofline for the masked 2D path — the fused tensor-moment kernel
+    (ops/pallas_masked2d.py). In the tensor-product orthonormal basis the
+    whole Gram is a fixed combination of T = (2m+1)(2m+2)/2 separable
+    tensor moments; per 128-lane block each moment (and each of the
+    P = (m+1)(m+2)/2 rhs projections) costs ONE vertical VPU slab
+    combination (shared, uncounted) + ONE K=256 banded matmul at HIGHEST
+    — window-size-independent, ~18x fewer MXU flops than the staged
+    stack-kernel pipeline this replaced (its model ceiling was 179
+    Mpix/s at 11x11 o3; measured fused chained rate is 542, i.e. ~32% of
+    THIS model — the same plateau as every row-banded kernel). Gram
+    assembly, plane Cholesky and extraction stay in VMEM, so HBM traffic
+    is image + mask in, y out. ``window_h``/``window_w`` do not enter the
+    MXU cost; they are kept for call-site documentation."""
+    del window_h, window_w
     m = int(poly_order)
     p = (m + 1) * (m + 2) // 2
-    kp = p * (p + 1) // 2
+    t = (2 * m + 1) * (2 * m + 2) // 2
     elements = 1
     for s in shape:
         elements *= int(s)
     b = _nbytes(dtype)
-    bytes_per = b + 1 + 4 * b + 2 * b * kp + 2 * b * p + b
-    macs = (kp + p) * float(window_h) * 128.0
+    bytes_per = b + 1 + b                       # image in + mask(1B) + y out
+    macs = (t + p) * 256.0
     mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
     hbm_bytes = float(elements) * bytes_per
     return Roofline(elements=elements, mxu_flops=mxu_flops,
@@ -227,27 +229,32 @@ def speed_of_light_masked_2d(window_h: int, window_w: int, poly_order: int,
 def speed_of_light_nonuniform(half_window: int, poly_order: int, *, shape,
                               dtype="float32",
                               chip: ChipSpec = V5E) -> Roofline:
-    """Roofline for the nonuniform per-window LS pipeline: the
-    (..., N, ws) window/weight/offset tensors and the (..., N, ws, m+1)
-    design are MATERIALIZED (written + read back), then CholeskyQR3 runs
-    3 Gram passes of ws*(m+1)^2 MACs per position at HIGHEST. The
-    materialization dominates — this documents the measured bound the
-    VERDICT asked for; beating it needs a fused window-gather+solve
-    kernel."""
-    ws = 2 * int(half_window) + 1
-    k = int(poly_order) + 1
+    """Roofline for the nonuniform path — the fused dd-moment kernel
+    (ops/pallas_nonuniform.py): per output position, ws = 2n+1 slab taps
+    accumulate the 2m+1 Hankel Gram moments + (m+1) rhs moments in
+    DOUBLE-WORD (two-float EFT) arithmetic, then the dd plane Cholesky
+    solves in the same VMEM pass. The window tensors and design matrix of
+    the old staged pipeline (whose materialization bound this model used
+    to publish, 507 Ms/s at n=12 m=4) are never formed, so the HBM lower
+    bound is just x + t + weights in, y out — but the kernel is nowhere
+    near it: it is VPU-bound on the dd multiply-accumulates (~10-20 VPU
+    flops per dd-FMA, ws*(3m+4) dd-FMAs per position), and, like
+    ``method="vpu"``, no trustworthy public VPU FLOP peak exists to bake
+    in, so only the HBM bound is reported (``mxu_bound_s = 0``). Treat
+    ``utilization`` against it as a traffic statement, not a compute one;
+    the kernel's real scaling lever is tile geometry (measured 76/129/214
+    Ms/s at cols 1024/2048/4096 — ROADMAP round-5). ``half_window`` and
+    ``poly_order`` are kept for call-site documentation."""
+    del half_window, poly_order
     elements = 1
     for s in shape:
         elements *= int(s)
     b = _nbytes(dtype)
-    # xw/mw/u windows (w+r each) + powers + A (w+r, k*ws wide) + y
-    bytes_per = 3 * b + 3 * 2 * b * ws + 2 * b * ws * k + b
-    macs = 3.0 * ws * k * k + 2.0 * ws * k     # 3 Grams + 2 apply passes
-    mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
+    bytes_per = 3 * b + b                       # x, t, weights in + y out
     hbm_bytes = float(elements) * bytes_per
-    return Roofline(elements=elements, mxu_flops=mxu_flops,
+    return Roofline(elements=elements, mxu_flops=0.0,
                     hbm_bytes=hbm_bytes,
-                    mxu_bound_s=mxu_flops / (chip.bf16_tflops * 1e12),
+                    mxu_bound_s=0.0,
                     hbm_bound_s=hbm_bytes / (chip.hbm_gbps * 1e9),
                     chip=chip)
 
