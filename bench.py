@@ -158,6 +158,26 @@ def _bench(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def _dev_normal(seed: int, shape, dtype=None):
+    """Standard-normal bench data generated ON DEVICE. Uploading numpy
+    arrays with jnp.asarray rides the dev tunnel's H2D path, which under
+    degradation measured ~0.7 MB/s — the 512 MB headline input alone ate
+    600-770 s of the 850 s budget in three r5 runs. jax.random costs
+    milliseconds and zero transfer."""
+    import jax
+    import jax.numpy as jnp
+    x = jax.random.normal(jax.random.PRNGKey(seed), shape,
+                          dtype or jnp.float32)
+    return jax.block_until_ready(x)
+
+
+def _dev_holes(seed: int, shape, p: float):
+    """On-device Bernoulli(p) hole mask (True = missing)."""
+    import jax
+    u = jax.random.uniform(jax.random.PRNGKey(seed), shape)
+    return jax.block_until_ready(u < p)
+
+
 def _bench_chained(fn, x, *, key, iters=5, k=2, feedback_scale=1e-3):
     """On-device per-step seconds via the chained k-difference protocol
     (benchmarks/chainlib.py — one implementation, one RATIO_BAND).
@@ -342,13 +362,14 @@ def _main_impl():
     # ---- headline: batched 1D, n=12, m=4, DEFAULT path -------------------
     B, N = 128, 1_048_576
     _EX["batch"], _EX["samples"] = B, N
-    x = jnp.asarray(rng.standard_normal((B, N)), dtype=jnp.float32)
+    x = _dev_normal(0, (B, N))
     flt = sg.Savgol1D.create(sg.SavgolConfig(12, 4), dtype=jnp.float32)
 
     candidates = {}
     _EX["candidates_s"] = candidates
 
     _note(f"1D candidates on {jax.devices()[0]}")
+    t_stage = time.perf_counter()
     fn_default = jax.jit(lambda v: flt.apply(v))      # method="auto"
     candidates["default"] = round(_bench(fn_default, x), 6)
 
@@ -357,8 +378,19 @@ def _main_impl():
     RESULT["value"] = round(gsps, 3)
     RESULT["vs_baseline"] = round(gsps / 5.0, 3)
 
+    # The shared chip sometimes serves multi-second dispatches under
+    # contention (observed r5: a warm-cache candidates stage ate 630 s and
+    # starved every later stage). When the headline path alone burned
+    # >90 s, shrink the remaining DIAGNOSTIC timings so the chained
+    # metrics and parity gates still run inside the deadline.
+    slow_chip = time.perf_counter() - t_stage > 90.0
+    diag_iters = 4 if slow_chip else 20
+    if slow_chip:
+        _note(f"slow chip ({time.perf_counter() - t_stage:.0f}s for the "
+              f"headline path) — diagnostic timings at iters={diag_iters}")
+
     fn_xla = jax.jit(lambda v: flt.apply(v, method="xla"))
-    candidates["xla"] = round(_bench(fn_xla, x), 6)
+    candidates["xla"] = round(_bench(fn_xla, x, iters=diag_iters), 6)
 
     # ---- on-hardware parity gate: default path vs XLA HIGHEST ------------
     # Run IMMEDIATELY after the headline so an early kill still carries the
@@ -377,9 +409,11 @@ def _main_impl():
 
     for name, kw in (("pallas", dict(method="pallas")),
                      ("mxu", dict(method="mxu"))):
+        if slow_chip and not _time_left(500):
+            break                         # diagnostics only — keep budget
         try:
             fn_c = jax.jit(lambda v, kw=kw: flt.apply(v, **kw))
-            candidates[name] = round(_bench(fn_c, x), 6)
+            candidates[name] = round(_bench(fn_c, x, iters=diag_iters), 6)
         except Exception as e:            # surfaced in the JSON, not hidden
             _EX["path_errors"][name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -392,7 +426,8 @@ def _main_impl():
     try:
         xh = x.astype(jnp.bfloat16)
         fn_bf16 = jax.jit(lambda v: flt.apply(v, method="bf16"))
-        candidates["bf16_io"] = round(_bench(fn_bf16, xh), 6)
+        candidates["bf16_io"] = round(
+            _bench(fn_bf16, xh, iters=diag_iters), 6)
         y_bf = np.asarray(fn_bf16(x[:16]), dtype=np.float32)
         y_f32 = np.asarray(jax.jit(
             lambda v: flt.apply(v, method="xla"))(x[:16]))
@@ -420,8 +455,7 @@ def _main_impl():
     # ---- extras: 2D 2048x2048, 11x11 window, order 3 ---------------------
     # 16 images amortize the per-dispatch tunnel overhead (~2-4 ms) so the
     # wall number approaches the on-device rate
-    img = jnp.asarray(rng.standard_normal((16, 2048, 2048)),
-                      dtype=jnp.float32)
+    img = _dev_normal(1, (16, 2048, 2048))
     f2 = sg.Savgol2D.create(sg.Savgol2DConfig(5, 5, 3), dtype=jnp.float32)
     _note("2D wall metrics")
     fn2_default = jax.jit(lambda v: f2.apply(v))      # method="auto"
@@ -438,6 +472,48 @@ def _main_impl():
         f"2D default-path output diverges from XLA HIGHEST on hardware: "
         f"max abs err {err2_gate:.3e}")
     _EX["max_abs_err_2d_default_vs_xla"] = err2_gate
+
+    # ---- secondary on-hardware parity gates ------------------------------
+    # every fast path vs the XLA HIGHEST twin, on the same data on-chip
+    gates = _EX["hardware_parity_gates"]
+    _note("hardware parity gates")
+    xs_small = jnp.asarray(rng.standard_normal((2, 20_000)),
+                           dtype=jnp.float32)
+    y_fold = np.asarray(jax.jit(
+        lambda v: flt.apply(v))(xs_small))          # thin batch -> folded
+    y_ref = np.asarray(jax.jit(
+        lambda v: flt.apply(v, method="xla"))(xs_small))
+    gates["fold_thin_batch"] = float(np.abs(y_fold - y_ref).max())
+
+    from savgol_tpu.ops.sweep import savgol_apply_sweep
+    xsw = jnp.asarray(rng.standard_normal(8192), dtype=jnp.float32)
+    ns_ = jnp.asarray([4, 12, 32])
+    ms_ = jnp.asarray([2, 4, 6])
+    ysw = np.asarray(jax.jit(
+        lambda v: savgol_apply_sweep(v, ns_, ms_))(xsw))
+    ysw_ref = np.asarray(jax.jit(
+        lambda v: savgol_apply_sweep(v, ns_, ms_, method="xla"))(xsw))
+    gates["sweep_vs_xla"] = float(np.abs(ysw - ysw_ref).max())
+
+    bank = sg.SavgolBank.smooth_and_derivatives(12, 4, 2)
+    xbk = jnp.asarray(rng.standard_normal((8, 8192)), dtype=jnp.float32)
+    ybk = np.asarray(jax.jit(lambda v: bank.apply(v))(xbk))
+    ybk_ref = np.stack([np.asarray(
+        sg.Savgol1D.create(sg.SavgolConfig(12, 4, d)).apply(
+            xbk, method="xla")) for d in range(3)])
+    gates["bank_vs_xla"] = float(np.abs(ybk - ybk_ref).max())
+
+    from savgol_tpu.ops.pallas_conv import correlate2d_valid_pallas_sep
+    from savgol_tpu.ops.apply2d import correlate2d_valid
+    ysep = np.asarray(jax.jit(lambda v: correlate2d_valid_pallas_sep(
+        v, np.asarray(f2.weights)))(img[:1, :256, :256]))
+    ysep_ref = np.asarray(jax.jit(lambda v: correlate2d_valid(
+        v, f2.weights))(img[:1, :256, :256]))
+    gates["sep2d_vs_xla"] = float(np.abs(ysep - ysep_ref).max())
+
+    for k, v in gates.items():
+        assert v <= 2e-5, f"hardware parity gate failed: {k} err {v:.3e}"
+        gates[k] = round(v, 10)
 
     # all wall metrics are done: start the CPU-side native head-to-head
     # concurrently with the chained stages below
@@ -491,47 +567,6 @@ def _main_impl():
             f"2D bf16 mode outside its 5e-3 contract: {err2_bf16:.3e}")
         _EX["max_abs_err_2d_bf16_vs_xla"] = err2_bf16
 
-    # ---- secondary on-hardware parity gates ------------------------------
-    # every fast path vs the XLA HIGHEST twin, on the same data on-chip
-    gates = _EX["hardware_parity_gates"]
-    _note("hardware parity gates")
-    xs_small = jnp.asarray(rng.standard_normal((2, 20_000)),
-                           dtype=jnp.float32)
-    y_fold = np.asarray(jax.jit(
-        lambda v: flt.apply(v))(xs_small))          # thin batch -> folded
-    y_ref = np.asarray(jax.jit(
-        lambda v: flt.apply(v, method="xla"))(xs_small))
-    gates["fold_thin_batch"] = float(np.abs(y_fold - y_ref).max())
-
-    from savgol_tpu.ops.sweep import savgol_apply_sweep
-    xsw = jnp.asarray(rng.standard_normal(8192), dtype=jnp.float32)
-    ns_ = jnp.asarray([4, 12, 32])
-    ms_ = jnp.asarray([2, 4, 6])
-    ysw = np.asarray(jax.jit(
-        lambda v: savgol_apply_sweep(v, ns_, ms_))(xsw))
-    ysw_ref = np.asarray(jax.jit(
-        lambda v: savgol_apply_sweep(v, ns_, ms_, method="xla"))(xsw))
-    gates["sweep_vs_xla"] = float(np.abs(ysw - ysw_ref).max())
-
-    bank = sg.SavgolBank.smooth_and_derivatives(12, 4, 2)
-    xbk = jnp.asarray(rng.standard_normal((8, 8192)), dtype=jnp.float32)
-    ybk = np.asarray(jax.jit(lambda v: bank.apply(v))(xbk))
-    ybk_ref = np.stack([np.asarray(
-        sg.Savgol1D.create(sg.SavgolConfig(12, 4, d)).apply(
-            xbk, method="xla")) for d in range(3)])
-    gates["bank_vs_xla"] = float(np.abs(ybk - ybk_ref).max())
-
-    from savgol_tpu.ops.pallas_conv import correlate2d_valid_pallas_sep
-    from savgol_tpu.ops.apply2d import correlate2d_valid
-    ysep = np.asarray(jax.jit(lambda v: correlate2d_valid_pallas_sep(
-        v, np.asarray(f2.weights)))(img[:1, :256, :256]))
-    ysep_ref = np.asarray(jax.jit(lambda v: correlate2d_valid(
-        v, f2.weights))(img[:1, :256, :256]))
-    gates["sep2d_vs_xla"] = float(np.abs(ysep - ysep_ref).max())
-
-    for k, v in gates.items():
-        assert v <= 2e-5, f"hardware parity gate failed: {k} err {v:.3e}"
-        gates[k] = round(v, 10)
 
     # ---- masked / nonuniform capability paths (chained) -------------------
     # VERDICT r03 #2: the flagship capabilities must carry numbers like the
@@ -543,11 +578,9 @@ def _main_impl():
         from savgol_tpu.ops.masked import (savgol_apply_masked,
                                            savgol2d_apply_masked)
         from savgol_tpu.ops.nonuniform import savgol_apply_nonuniform
-        xm_np = np.asarray(rng.standard_normal((64, 131_072)),
-                           dtype=np.float32)
-        xm_np[rng.random(xm_np.shape) < 0.2] = np.nan
-        xm = jnp.asarray(xm_np)
-        mk = jnp.asarray(np.isfinite(xm_np))
+        holes = _dev_holes(1002, (64, 131_072), 0.2)
+        xm = jnp.where(holes, jnp.nan, _dev_normal(2, (64, 131_072)))
+        mk = ~holes
 
         # hardware parity gate first (small shape): TPU fused/plane
         # pipeline vs the XLA method twin on the same data on-chip.
@@ -589,11 +622,9 @@ def _main_impl():
                     xq.size / per / 1e9, 3)
         if _time_left(130):
           with _row("masked2d_mpix_s"):
-            im_np = np.asarray(rng.standard_normal((1024, 1024)),
-                               dtype=np.float32)
-            im_np[rng.random(im_np.shape) < 0.2] = np.nan
-            imj = jnp.asarray(im_np)
-            mk2 = jnp.asarray(np.isfinite(im_np))
+            holes2 = _dev_holes(1003, (1024, 1024), 0.2)
+            imj = jnp.where(holes2, jnp.nan, _dev_normal(3, (1024, 1024)))
+            mk2 = ~holes2
             per = _bench_chained(lambda v: savgol2d_apply_masked(
                 v, half_window_x=5, half_window_y=5, poly_order=3,
                 mask=mk2, fill=0.0), imj, key="masked2d_mpix_s")
@@ -602,10 +633,10 @@ def _main_impl():
                     imj.size / per / 1e6, 1)
         if _time_left(100):
           with _row("nonuniform_gs_s"):
-            tn = jnp.asarray(np.cumsum(
-                rng.random((8, 131_072)) + 0.5, axis=-1), dtype=jnp.float32)
-            xn = jnp.asarray(rng.standard_normal((8, 131_072)),
-                             dtype=jnp.float32)
+            import jax as _jax
+            tn = jnp.cumsum(_jax.random.uniform(
+                _jax.random.PRNGKey(1004), (8, 131_072)) + 0.5, axis=-1)
+            xn = _dev_normal(4, (8, 131_072))
             per = _bench_chained(lambda v: savgol_apply_nonuniform(
                 v, tn, half_window=12, poly_order=4, fill=0.0), xn,
                 key="nonuniform_gs_s")
@@ -617,12 +648,11 @@ def _main_impl():
             # recentered-plane resample (VERDICT r04 #4): sorted data,
             # uniform query grid — the probe_masked.py config
             from savgol_tpu.ops.nonuniform import savgol_resample
-            t1 = jnp.asarray(np.cumsum(
-                rng.random(131_072) + 0.5), dtype=jnp.float32)
-            tq1 = jnp.asarray(np.linspace(float(t1[0]), float(t1[-1]),
-                                          131_072), dtype=jnp.float32)
-            xr = jnp.asarray(rng.standard_normal((8, 131_072)),
-                             dtype=np.float32)
+            import jax as _jax
+            t1 = jnp.cumsum(_jax.random.uniform(
+                _jax.random.PRNGKey(1005), (131_072,)) + 0.5)
+            tq1 = jnp.linspace(t1[0], t1[-1], 131_072)
+            xr = _dev_normal(5, (8, 131_072))
             per = _bench_chained(lambda v: savgol_resample(
                 v, t1, tq1, half_window=12, poly_order=4, fill=0.0),
                 xr, key="resample_ms_s")
@@ -638,8 +668,7 @@ def _main_impl():
             # k=16: smaller chains collapse below the protocol's noise
             # floor (measured ratio 1.26 at k=8).
             from savgol_tpu.ops.sweep import savgol_apply_sweep
-            xsw4 = jnp.asarray(rng.standard_normal(4_194_304),
-                               dtype=jnp.float32)
+            xsw4 = _dev_normal(6, (4_194_304,))
             ns6 = jnp.asarray([4, 8, 12, 16, 24, 32])
             ms6 = jnp.asarray([2, 3, 4, 4, 5, 6])
             per = _bench_chained(

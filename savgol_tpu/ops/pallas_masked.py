@@ -8,7 +8,12 @@ whole thing per VMEM tile in ONE pass:
 
   per 128-lane output block (the 2-band shifted-slab form of
   ops/pallas_conv.py::_bank_mxu_kernel):
-    gram_k  = (w-slab)  @ band_pair[phi_a * phi_b]     (Kp matmuls)
+    mom_s   = (w-slab)  @ band_pair[phi2_s]            (S matmuls,
+              S = min(2m+1, ws) orthonormal moment stencils)
+    gram_k  = sum_s comb[k, s] * mom_s                 (VPU, baked O(1)
+              coefficients — phi_a*phi_b expands EXACTLY in the
+              degree-<=2m grid basis, so S moments reconstruct all
+              Kp = (m+1)(m+2)/2 pair correlations)
     rhs_j   = (wx-slab) @ band_pair[phi_j]             (m+1 matmuls)
     count   = (ind-slab) @ band_pair[ones]             (1 matmul)
     coef    = plane-Cholesky solve in registers (ops/lsq.py — the SAME
@@ -17,9 +22,10 @@ whole thing per VMEM tile in ONE pass:
     y       = extract . coef, under-quorum -> fill
 
 Gram/rhs planes never touch HBM. HIGHEST matmuls keep the f32-exact
-accuracy contract; the per-sample MXU cost is unchanged (~(Kp+m+2) * 256
-MACs x 6 passes), so the kernel targets the pipeline's MXU roofline
-(~3.2 Gs/s for m=4 on v5e) instead of the staged form's traffic wall.
+accuracy contract; the per-sample MXU cost is (S+m+2) * 256 MACs x 6
+passes — the moment form cut it 21 -> 15 matmuls for m=4 (the 1D
+instance of the 2D kernel's tensor-moment trick), raising the kernel's
+MXU roofline from ~3.1 to ~4.3 Gs/s for m=4 on v5e.
 
 Gradients: wrapped by ops/masked.py with a custom VJP through the staged
 jnp twin (same pattern as ops/apply.py's Pallas wrappers).
@@ -48,10 +54,15 @@ def _round_up(a, b):
 
 
 def _masked1d_kernel(bands_ref, ex_ref, x_ref, xh_ref, w_ref, wh_ref,
-                     o_ref, *, cb: int, Kp: int, kk: int, pair_index,
-                     kmin: int, fill: float, n_total: int,
+                     o_ref, *, cb: int, S: int, kk: int, comb,
+                     pair_index, kmin: int, fill: float, n_total: int,
                      mxu_precision):
-    """One (rows, cols) output tile; bands_ref: (Kp + kk + 1, 2L, L)."""
+    """One (rows, cols) output tile; bands_ref: (S + kk + 1, 2L, L).
+
+    The Gram planes are reconstructed from the S weight-moment
+    correlations with the baked ``comb`` (Kp, S) coefficients (see
+    ``savgol_masked1d_fused_pallas``) — S = min(2m+1, ws) matmuls
+    replace the Kp = (m+1)(m+2)/2 direct pair correlations."""
     ci = pl.program_id(1)
     cols = cb * _LANES
     xw = jnp.concatenate([x_ref[:, :], xh_ref[:, :]], axis=1)
@@ -72,14 +83,26 @@ def _masked1d_kernel(bands_ref, ex_ref, x_ref, xh_ref, w_ref, wh_ref,
             precision=mxu_precision, preferred_element_type=jnp.float32)
 
     fillv = jnp.asarray(fill, dtype=o_ref.dtype)
+    Kp = comb.shape[0]
     for i in range(cb):
         sl = slice(i * _LANES, i * _LANES + 2 * _LANES)
         ws_s = ww[:, sl]
         xz_s = xz[:, sl]
         in_s = ind[:, sl]
-        gram = jnp.stack([mm(ws_s, bands_ref[k]) for k in range(Kp)])
-        rhs = jnp.stack([mm(xz_s, bands_ref[Kp + j]) for j in range(kk)])
-        count = mm(in_s, bands_ref[Kp + kk])
+        moms = [mm(ws_s, bands_ref[s]) for s in range(S)]
+        planes = []
+        for k in range(Kp):
+            acc = None
+            for s in range(S):
+                c = float(comb[k, s])
+                if c == 0.0:
+                    continue
+                term = c * moms[s]
+                acc = term if acc is None else acc + term
+            planes.append(acc)
+        gram = jnp.stack(planes)
+        rhs = jnp.stack([mm(xz_s, bands_ref[S + j]) for j in range(kk)])
+        count = mm(in_s, bands_ref[S + kk])
         quorum = count >= (kmin - 0.5)
         coef, ok = cholesky_solve_planes(gram, pair_index, rhs, quorum)
         y = jnp.zeros_like(count)
@@ -89,12 +112,13 @@ def _masked1d_kernel(bands_ref, ex_ref, x_ref, xh_ref, w_ref, wh_ref,
             ok, y, fillv).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "Kp", "kk",
-                                             "pair_key", "kmin", "fill",
-                                             "n_total", "interpret",
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "S", "kk",
+                                             "comb_key", "pair_key",
+                                             "kmin", "fill", "n_total",
+                                             "interpret",
                                              "mxu_precision"))
-def _masked1d_call(xpad, wpad, bands, extract, rows, cols, Kp, kk,
-                   pair_key, kmin, fill, n_total, interpret,
+def _masked1d_call(xpad, wpad, bands, extract, rows, cols, S, kk,
+                   comb_key, pair_key, kmin, fill, n_total, interpret,
                    mxu_precision):
     # fill arrives as repr(float) — a hashable jit key NaN cannot break
     fill = float(fill)
@@ -103,7 +127,8 @@ def _masked1d_call(xpad, wpad, bands, extract, rows, cols, Kp, kk,
     cb = cols // _LANES
     last128 = Np // _LANES - 1
     kernel = functools.partial(
-        _masked1d_kernel, cb=cb, Kp=Kp, kk=kk,
+        _masked1d_kernel, cb=cb, S=S, kk=kk,
+        comb=np.asarray(comb_key.arr),
         pair_index=np.asarray(pair_key.arr), kmin=kmin, fill=fill,
         n_total=n_total, mxu_precision=mxu_precision)
     halo_spec = pl.BlockSpec(
@@ -115,7 +140,7 @@ def _masked1d_call(xpad, wpad, bands, extract, rows, cols, Kp, kk,
         kernel,
         grid=(B // rows, n_out // cols),
         in_specs=[
-            pl.BlockSpec((Kp + kk + 1, 2 * _LANES, _LANES),
+            pl.BlockSpec((S + kk + 1, 2 * _LANES, _LANES),
                          lambda bi, ci: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kk), lambda bi, ci: (0, 0),
@@ -135,9 +160,12 @@ def _masked1d_call(xpad, wpad, bands, extract, rows, cols, Kp, kk,
 
 
 class _PairKey:
-    def __init__(self, arr):
-        self.arr = np.asarray(arr, dtype=np.int32)
-        self._key = (self.arr.shape, self.arr.tobytes())
+    """Hashable jit-static wrapper for a host numpy table (dtype kept)."""
+
+    def __init__(self, arr, dtype=np.int32):
+        self.arr = np.ascontiguousarray(np.asarray(arr, dtype=dtype))
+        self._key = (self.arr.shape, str(self.arr.dtype),
+                     self.arr.tobytes())
 
     def __hash__(self):
         return hash(self._key)
@@ -173,12 +201,38 @@ def savgol_masked1d_fused_pallas(xz, wts, pair_w, qw, extract, *,
     B = xb.shape[0]
 
     from savgol_tpu.ops.pallas_conv import _valid_band_matrices
-    stencils = np.concatenate([np.asarray(pair_w), np.asarray(qw),
-                               np.ones((1, ws))]).astype(
-                                   np.float64)
+    # Moment decomposition (host f64): every pair stencil phi_a*phi_b is
+    # a grid function of polynomial degree <= 2m on the ws-point window,
+    # so it expands EXACTLY in an orthonormal grid basis of
+    # S = min(2m+1, ws) columns: pair_w[k] = sum_s comb[k, s] * Q2[:, s].
+    # The kernel then correlates the weights with the S moment stencils
+    # (S matmuls) and reconstructs the Kp Gram planes as O(1)-coefficient
+    # VPU combinations — (Kp - S) fewer HIGHEST matmuls per block (e.g.
+    # 15 -> 9 for m=4) with the same exact-f32 error class (the 2D
+    # tensor-moment kernel's argument, ops/pallas_masked2d.py).
+    pair_np = np.asarray(pair_w, dtype=np.float64)
+    S = min(2 * (kk - 1) + 1, ws)
+    t = (np.arange(ws, dtype=np.float64) - n) / max(n, 1)
+    V2 = np.vander(t, S, increasing=True)
+    Q2, R2 = np.linalg.qr(V2)
+    sg = np.sign(np.diag(R2)).copy()
+    sg[sg == 0] = 1.0
+    Q2 = Q2 * sg
+    comb = pair_np @ Q2                                  # (Kp, S)
+    comb[np.abs(comb) < 1e-12 * np.abs(comb).max()] = 0.0  # parity zeros
+    resid = np.abs(comb @ Q2.T - pair_np).max()
+    if resid > 1e-9:
+        # extreme orders push the degree-2m Vandermonde QR past clean
+        # f64 reconstruction — fall back to direct pair correlation
+        # (identity comb), trading the saved matmuls for exactness
+        S = Kp
+        Q2 = pair_np.T
+        comb = np.eye(Kp)
+    stencils = np.concatenate([Q2.T, np.asarray(qw),
+                               np.ones((1, ws))]).astype(np.float64)
     bands = jnp.stack([_valid_band_matrices(
         jnp.asarray(stencils[i], dtype=dtype))
-        for i in range(Kp + kk + 1)])
+        for i in range(S + kk + 1)])
     ex = jnp.asarray(np.asarray(extract, dtype=np.float64)[None, :],
                      dtype=dtype)
 
@@ -197,7 +251,8 @@ def savgol_masked1d_fused_pallas(xz, wts, pair_w, qw, extract, *,
         for b in range(a, k):
             pidx[a, b] = pidx[b, a] = c
             c += 1
-    out = _masked1d_call(xp, wp, bands, ex, rows, cols, Kp, kk,
+    out = _masked1d_call(xp, wp, bands, ex, rows, cols, S, kk,
+                         _PairKey(comb, dtype=np.float64),
                          _PairKey(pidx), int(kmin), repr(float(fill)),
                          N + 2 * n, interpret, mxu_precision)
     return out[:B, :N].reshape(batch_shape + (N,))

